@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-runnable ANSI-SQL equivalent the driver compares against at
+sf=0.01 (row-count + schema + order-insensitive value-hash).
 """
 
 from __future__ import annotations
@@ -12,27 +11,110 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _tune(spark: SparkSession) -> SparkSession:
+    """Driver may hand us a vanilla session; apply runtime-settable conf."""
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }.items():
+        spark.conf.set(k, v)
+    return spark
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG extraction — transcripts → (subj, pred, obj)
+    triples — on /root/testdata/sf0.001."""
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import read_transcripts
+
+    t = read_transcripts(_tune(spark), "/root/testdata/sf0.001")
+    return extract_triples(t)
+
+
+# --------------------------------------------------------------------
+# queries / oracles
+# --------------------------------------------------------------------
+
+def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return read_transcripts(_tune(spark), sf_dir)
+
+
+def _q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.operators.sentences import segment_transcripts
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return segment_transcripts(read_transcripts(_tune(spark), sf_dir)).select(
+        "conv_id", "turn_idx", "sent_idx", "sent", "n_words"
+    )
+
+
+def _q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.operators.extract import explode_extractions, tag_predicates
+    from openie_spark.operators.sentences import segment_transcripts
+    from openie_spark.sources.transcripts import read_transcripts
+
+    ext = explode_extractions(
+        tag_predicates(segment_transcripts(read_transcripts(_tune(spark), sf_dir)))
+    )
+    return ext.select(
+        "conv_id", "turn_idx", "sent_idx", "ext_idx",
+        F.array_min("span").alias("span_l"),
+        F.array_max("span").alias("span_r"),
+    )
+
+
+def _q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return extract_triples(read_transcripts(_tune(spark), sf_dir)).select(
+        "conv_id", "turn_idx", "sent_idx", "ext_idx", "sent", "pred", "subj", "obj", "confidence"
+    )
+
+
+def _q_turn_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.operators.sentences import segment_transcripts
+    from openie_spark.sources.transcripts import read_transcripts
+
+    t = read_transcripts(_tune(spark), sf_dir)
+    sents = segment_transcripts(t)
+    recon = sents.groupBy("conv_id", "turn_idx").agg(
+        F.array_join(F.array_sort(F.collect_list(F.struct("sent_idx", "sent"))).sent, " ").alias("reconstructed")
+    )
+    orig = t.select(
+        "conv_id", "turn_idx",
+        F.array_join(F.filter(F.split("text", " "), lambda w: w != ""), " ").alias("orig"),
+    )
+    joined = recon.join(orig, ["conv_id", "turn_idx"])
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("reconstructed") != F.col("orig"), 1).otherwise(0)).alias("n_mismatch"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts_derive": _q_transcripts,
+        "sentence_segment": _q_sentences,
+        "predicate_spans": _q_spans,
+        "triples_extract": _q_triples,
+        "turn_text_invariant": _q_turn_invariant,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from openie_spark.plans import oracles as o
+
+    return {
+        "transcripts_derive": o.transcripts_sql(),
+        "sentence_segment": o.sentences_sql(),
+        "predicate_spans": o.spans_sql(),
+        "triples_extract": o.triples_sql(),
+        "turn_text_invariant": o.turn_invariant_sql(),
+    }

@@ -1,0 +1,58 @@
+"""Engine constants shared by the Spark implementation and the DuckDB
+oracle SQL (so the driver's correctness gate compares like with like).
+
+Reference invariants (SURVEY.md §1.2):
+  * MAX_LEN = 98 words per sentence (/root/reference/utils/dataset.py:10,39-41).
+    The reference crashes on longer sentences; we segment deterministically
+    instead and record the deviation in lineage.
+  * PREDICATE_LIMIT = 3 predicate spans per sentence
+    (/root/reference/configs/joint.cfg:59).
+  * confidence = 1.0 literal for every emitted tuple
+    (/root/reference/eval/oie_eval/oie_readers/goldReader.py:26,31).
+"""
+
+from __future__ import annotations
+
+MAX_SENT_WORDS = 98
+PREDICATE_LIMIT = 3
+CONFIDENCE = 1.0
+
+# Sentence-terminal punctuation tokens (text is pre-tokenized,
+# space-joined — FIXTURES.md §1).
+SENT_PUNCT = (".", "!", "?")
+
+# Deterministic rule-tagger predicate lexicon. The rule backend tags a
+# word P iff it is in this set; maximal P-runs become predicate spans
+# (the 'seqie' span semantics, /root/reference/models/seqie.py:58-72).
+# The set mixes common English copulas/verbs with the synthetic-corpus
+# verbs so both CaRB-style fixtures and /root/testdata documents produce
+# non-trivial extractions.
+PRED_LEXICON = (
+    "is", "was", "are", "were", "be", "been", "being", "has", "have", "had",
+    "plays", "played", "says", "said", "made", "makes", "wrote", "won",
+    "scan", "join", "merge", "sort", "filter", "group", "query", "stream",
+)
+
+# 18-tag oie2016 vocabulary (/root/reference/utils/tagset.py:7-10).
+TAGSET_OIE2016 = (
+    "[PAD]", "[CLS]", "[SEP]", "O",
+    "A0-B", "A1-B", "A2-B", "A3-B", "A4-B", "A5-B",
+    "A0-I", "A1-I", "A2-I", "A3-I", "A4-I", "A5-I",
+    "P-B", "P-I",
+)
+TAG2IDX = {t: i for i, t in enumerate(TAGSET_OIE2016)}
+IDX2TAG = dict(enumerate(TAGSET_OIE2016))
+
+# Deterministic transcripts derivation from the driver's `documents`
+# table (TESTDATA.md): TURNS_PER_CONV docs fold into one conversation.
+# Shared literally by datagen.transcripts_df() and the oracle SQL.
+TURNS_PER_CONV = 5
+ROLES = ("user", "assistant", "system", "tool")
+
+# "be"-form equivalence used by the CaRB matcher
+# (/root/reference/eval/oie_eval/matcher.py:178-184).
+BE_FORMS = ("be", "is", "am", "are", "was", "were", "been", "being")
+
+# Predicates that trigger arg-order reversal in binary matching
+# (/root/reference/eval/oie_eval/matcher.py:306).
+SAID_PREDS = ("said", "told", "added", "adds", "says", "say")

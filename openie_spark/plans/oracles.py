@@ -1,0 +1,148 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Each builder returns ANSI SQL (DuckDB dialect) that recomputes a
+pipeline stage from the pre-registered parquet views (documents, …)
+using ONLY window functions / standard SQL — an independent
+re-implementation of the engine semantics, not a translation of the
+Spark plan. The window-function formulation is the closed form of the
+array-aggregate segmentation (see functions/arrays.py docstrings).
+
+NOTE: the oracle exploits a rule-backend property: P-I only ever
+follows another P word, so seqie spans (models/seqie.py:58-72) reduce
+to contiguous maximal runs of lexicon words — a gaps-and-islands
+query. The general (neural-tag) span semantics are unit-tested in
+tests/test_spans.py instead.
+"""
+
+from __future__ import annotations
+
+from openie_spark.config import MAX_SENT_WORDS, PRED_LEXICON, SENT_PUNCT
+from openie_spark.sources.transcripts import TRANSCRIPTS_CTE_DUCKDB
+
+_LEX = ", ".join(f"'{w}'" for w in PRED_LEXICON)
+_PUNCT = ", ".join(f"'{p}'" for p in SENT_PUNCT)
+
+# words → (pos, word) with sentence assignment: punctuation segments
+# (boundary after a terminal-punct token) chunked every MAX_SENT_WORDS.
+_SENT_IDS_CTES = f"""
+toks AS (
+  SELECT conv_id, turn_idx, u.i - 1 AS pos, u.x AS word
+  FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                                 (x, i) -> struct_pack(x := x, i := i))) AS u
+    FROM transcripts
+  )
+),
+segged AS (
+  SELECT conv_id, turn_idx, pos, word,
+         COALESCE(SUM(CASE WHEN prev_word IN ({_PUNCT}) THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY conv_id, turn_idx ORDER BY pos), 0) AS punct_seg
+  FROM (
+    SELECT *, lag(word) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos) AS prev_word
+    FROM toks
+  )
+),
+chunked AS (
+  SELECT *, (ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, punct_seg ORDER BY pos) - 1)
+            // {MAX_SENT_WORDS} AS chunk
+  FROM segged
+),
+sent_ids AS (
+  SELECT conv_id, turn_idx, pos, word,
+         CAST(DENSE_RANK() OVER (PARTITION BY conv_id, turn_idx ORDER BY punct_seg, chunk) - 1 AS INT) AS sent_idx,
+         ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx, punct_seg, chunk ORDER BY pos) - 1 AS wpos
+  FROM chunked
+)"""
+
+_SENTENCES_CTE = """
+sentences AS (
+  SELECT conv_id, turn_idx, sent_idx,
+         string_agg(word, ' ' ORDER BY wpos) AS sent,
+         CAST(count(*) AS INT) AS n_words
+  FROM sent_ids GROUP BY 1, 2, 3
+)"""
+
+# gaps-and-islands over the lexicon flag → contiguous predicate runs.
+_SPANS_CTES = f"""
+flagged AS (
+  SELECT *, word IN ({_LEX}) AS is_pred,
+         lag(word IN ({_LEX})) OVER (PARTITION BY conv_id, turn_idx, sent_idx ORDER BY wpos) AS prev_pred
+  FROM sent_ids
+),
+runs AS (
+  SELECT *, SUM(CASE WHEN is_pred AND NOT COALESCE(prev_pred, FALSE) THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id, turn_idx, sent_idx ORDER BY wpos) AS run_id
+  FROM flagged
+),
+spans AS (
+  SELECT conv_id, turn_idx, sent_idx, CAST(run_id - 1 AS INT) AS ext_idx,
+         min(wpos) AS l, max(wpos) AS r
+  FROM runs WHERE is_pred GROUP BY 1, 2, 3, 4
+)"""
+
+_TRIPLES_CTES = f"""
+assembled AS (
+  SELECT s.conv_id, s.turn_idx, s.sent_idx, s.ext_idx,
+         string_agg(CASE WHEN t.wpos BETWEEN s.l AND s.r THEN t.word END, ' ' ORDER BY t.wpos) AS pred_raw,
+         string_agg(CASE WHEN t.wpos < s.l AND t.word NOT IN ({_PUNCT}) THEN t.word END, ' ' ORDER BY t.wpos) AS a0,
+         string_agg(CASE WHEN t.wpos > s.r AND t.word NOT IN ({_PUNCT}) THEN t.word END, ' ' ORDER BY t.wpos) AS a1
+  FROM spans s JOIN sent_ids t USING (conv_id, turn_idx, sent_idx)
+  GROUP BY 1, 2, 3, 4
+),
+triples AS (
+  SELECT a.conv_id, a.turn_idx, a.sent_idx, a.ext_idx, n.sent,
+         COALESCE(pred_raw, ' ') AS pred,
+         COALESCE(a0, a1, '') AS subj,
+         CASE WHEN a0 IS NOT NULL THEN COALESCE(a1, '') ELSE '' END AS obj,
+         CAST(1.0 AS DOUBLE) AS confidence
+  FROM assembled a JOIN sentences n USING (conv_id, turn_idx, sent_idx)
+)"""
+
+
+def _with(*ctes: str, select: str) -> str:
+    return "WITH " + ",".join(ctes) + "\n" + select
+
+
+def transcripts_sql() -> str:
+    return _with(TRANSCRIPTS_CTE_DUCKDB, select="SELECT * FROM transcripts")
+
+
+def sentences_sql() -> str:
+    return _with(
+        TRANSCRIPTS_CTE_DUCKDB, _SENT_IDS_CTES, _SENTENCES_CTE,
+        select="SELECT conv_id, turn_idx, sent_idx, sent, n_words FROM sentences",
+    )
+
+
+def triples_sql() -> str:
+    return _with(
+        TRANSCRIPTS_CTE_DUCKDB, _SENT_IDS_CTES, _SENTENCES_CTE, _SPANS_CTES, _TRIPLES_CTES,
+        select="SELECT conv_id, turn_idx, sent_idx, ext_idx, sent, pred, subj, obj, confidence FROM triples",
+    )
+
+
+def spans_sql() -> str:
+    return _with(
+        TRANSCRIPTS_CTE_DUCKDB, _SENT_IDS_CTES, _SPANS_CTES,
+        select="SELECT conv_id, turn_idx, sent_idx, ext_idx, CAST(l AS INT) AS span_l, CAST(r AS INT) AS span_r FROM spans",
+    )
+
+
+def turn_invariant_sql() -> str:
+    """Per-turn text reconstruction: count of turns whose re-joined
+    sentence words differ from the original tokenized text (must be 0
+    everywhere — the per-row invariant from BASELINE.json input_hint)."""
+    return _with(
+        TRANSCRIPTS_CTE_DUCKDB, _SENT_IDS_CTES, _SENTENCES_CTE,
+        select=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN reconstructed <> orig THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+FROM (
+  SELECT s.conv_id, s.turn_idx,
+         string_agg(s.sent, ' ' ORDER BY s.sent_idx) AS reconstructed,
+         any_value(array_to_string(list_filter(string_split(t.text, ' '), x -> x <> ''), ' ')) AS orig
+  FROM sentences s JOIN transcripts t USING (conv_id, turn_idx)
+  GROUP BY 1, 2
+)""",
+    )

@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB target (SURVEY.md §4): AQE on (runtime
+re-plan + skew-join splitting), broadcast threshold generous (dimension
+tables in entity linking are small), Arrow batches sized for the
+model-inference UDF, shuffle partitions overridable per environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "openie-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- Adaptive execution: runtime re-plan, skew-join splitting,
+        #     partition coalescing. Non-negotiable at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Arrow: the JVM<->Python boundary for the model UDF.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # --- Keep scans splittable and sized for executor memory.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- Deterministic timestamps in tests regardless of host TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
