@@ -55,18 +55,14 @@ def _q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openie_spark.operators.extract import explode_extractions, tag_predicates
+    from openie_spark.operators.extract import fan_out_spans, tag_predicates
     from openie_spark.operators.sentences import segment_transcripts
     from openie_spark.sources.transcripts import read_transcripts
 
-    ext = explode_extractions(
+    fanned = fan_out_spans(
         tag_predicates(segment_transcripts(read_transcripts(_tune(spark), sf_dir)))
     )
-    return ext.select(
-        "conv_id", "turn_idx", "sent_idx", "ext_idx",
-        F.array_min("span").alias("span_l"),
-        F.array_max("span").alias("span_r"),
-    )
+    return fanned.select("conv_id", "turn_idx", "sent_idx", "ext_idx", "span_l", "span_r")
 
 
 def _q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
