@@ -94,12 +94,26 @@ def _q_turn_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triples_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neural (numpy BiLSTM+CRF mapInPandas) extraction path — not
+    SQL-expressible, driver records the weaker rows-only check."""
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return extract_triples(
+        read_transcripts(_tune(spark), sf_dir), backend="neural"
+    ).select(
+        "conv_id", "turn_idx", "sent_idx", "ext_idx", "sent", "pred", "subj", "obj", "confidence"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_derive": _q_transcripts,
         "sentence_segment": _q_sentences,
         "predicate_spans": _q_spans,
         "triples_extract": _q_triples,
+        "triples_extract_neural": _q_triples_neural,
         "turn_text_invariant": _q_turn_invariant,
     }
 
