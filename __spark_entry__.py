@@ -107,6 +107,30 @@ def _q_triples_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_carb_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CaRB scorer (E1-E6) on engine triples vs themselves — the parity
+    self-check: P=R=F1=1 plus the gold-sentence count."""
+    from openie_spark.eval.carb import carb_compare, triples_as_tuples
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import read_transcripts
+
+    triples = triples_as_tuples(extract_triples(read_transcripts(_tune(spark), sf_dir)))
+    return carb_compare(triples, triples)
+
+
+def _q_carb_degraded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CaRB scorer on deterministically degraded predictions (every arg
+    truncated to its first token): non-trivial single-point P/R/F1.
+    Greedy bipartite matching isn't SQL-expressible → rows-only check."""
+    from openie_spark.eval.carb import carb_compare, triples_as_tuples
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import read_transcripts
+
+    gold = triples_as_tuples(extract_triples(read_transcripts(_tune(spark), sf_dir)))
+    pred = gold.withColumn("args", F.transform("args", lambda a: F.split(a, " ")[0]))
+    return carb_compare(gold, pred)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_derive": _q_transcripts,
@@ -114,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_spans": _q_spans,
         "triples_extract": _q_triples,
         "triples_extract_neural": _q_triples_neural,
+        "carb_score_self": _q_carb_self,
+        "carb_score_degraded": _q_carb_degraded,
         "turn_text_invariant": _q_turn_invariant,
     }
 
@@ -126,5 +152,6 @@ def oracle_sql() -> dict[str, str]:
         "sentence_segment": o.sentences_sql(),
         "predicate_spans": o.spans_sql(),
         "triples_extract": o.triples_sql(),
+        "carb_score_self": o.carb_self_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
     }

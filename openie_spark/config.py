@@ -53,6 +53,8 @@ ROLES = ("user", "assistant", "system", "tool")
 # (/root/reference/eval/oie_eval/matcher.py:178-184).
 BE_FORMS = ("be", "is", "am", "are", "was", "were", "been", "being")
 
-# Predicates that trigger arg-order reversal in binary matching
-# (/root/reference/eval/oie_eval/matcher.py:306).
-SAID_PREDS = ("said", "told", "added", "adds", "says", "say")
+# Predicates that trigger arg-order reversal in binary matching —
+# SUBSTRING containment against the gold predicate string, and the
+# reference list really does repeat "adds" and omit bare "say"
+# (/root/reference/eval/oie_eval/matcher.py:306-311).
+SAID_PREDS = ("said", "told", "added", "adds", "says")

@@ -129,6 +129,29 @@ def spans_sql() -> str:
     )
 
 
+def carb_self_sql() -> str:
+    """CaRB self-comparison oracle. Scoring a triples table against
+    itself yields P=R=F1=1 exactly: the greedy precision matcher always
+    finds the identity pairing first in row-major order (strict-> scan,
+    /root/reference/eval/oie_eval/carb.py:137-150) and every
+    self-match is [1,1] (non-empty predicates on the rule path). The
+    only data-dependent output is the gold-sentence count — distinct
+    E1-normalized sentence keys (carb.py:263-289)."""
+    import string
+
+    punct = string.punctuation.replace("'", "''")
+    norm = "translate(replace(replace(replace(replace(replace(replace(replace(sent, ' ', ''), '-LRB-','('),'-RRB-',')'),'-LSB-','['),'-RSB-',']'),'-LCB-','{'),'-RCB-','}')" \
+           f", '{punct}', '')"
+    return _with(
+        TRANSCRIPTS_CTE_DUCKDB, _SENT_IDS_CTES, _SENTENCES_CTE, _SPANS_CTES, _TRIPLES_CTES,
+        select=f"""
+SELECT CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall,
+       CAST(1.0 AS DOUBLE) AS f1, CAST(1.0 AS DOUBLE) AS auc,
+       count(DISTINCT {norm}) AS n_gold_sents
+FROM triples""",
+    )
+
+
 def turn_invariant_sql() -> str:
     """Per-turn text reconstruction: count of turns whose re-joined
     sentence words differ from the original tokenized text (must be 0
