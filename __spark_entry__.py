@@ -131,6 +131,78 @@ def _q_carb_degraded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carb_compare(gold, pred)
 
 
+# ------------------------------------------------------------- KG F-H
+
+def _kg_parts(spark: SparkSession, sf_dir: str):
+    from openie_spark.kg.canon import canonical_map, connected_components
+    from openie_spark.kg.linking import exact_pairs
+    from openie_spark.kg.mentions import extract_mentions, mention_vocab
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import read_transcripts
+
+    triples = extract_triples(read_transcripts(_tune(spark), sf_dir))
+    vocab = mention_vocab(extract_mentions(triples))
+    pairs = exact_pairs(vocab)
+    canon = canonical_map(vocab, connected_components(pairs))
+    return triples, vocab, pairs, canon
+
+
+def _q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.kg.mentions import extract_mentions
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return extract_mentions(
+        extract_triples(read_transcripts(_tune(spark), sf_dir))
+    ).select("conv_id", "turn_idx", "sent_idx", "ext_idx", "side", "mention", "norm")
+
+
+def _q_kg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, pairs, _ = _kg_parts(spark, sf_dir)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_kg_pairs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-LSH pair path (scale variant) — hash-dependent candidate
+    set, rows-only check; recall vs exact pinned in tests/test_kg.py."""
+    from openie_spark.kg.linking import minhash_pairs
+    from openie_spark.kg.mentions import extract_mentions, mention_vocab
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import read_transcripts
+
+    vocab = mention_vocab(extract_mentions(
+        extract_triples(read_transcripts(_tune(spark), sf_dir))))
+    return minhash_pairs(vocab).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, _, canon = _kg_parts(spark, sf_dir)
+    return canon.select("norm", "freq", "component")
+
+
+def _q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.kg.graph import build_nodes
+
+    _, _, _, canon = _kg_parts(spark, sf_dir)
+    return build_nodes(canon).select("entity_id", "canonical", "n_aliases", "freq")
+
+
+def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.kg.graph import build_edges
+
+    triples, _, _, canon = _kg_parts(spark, sf_dir)
+    # salted strategy on the driver path: exercises the skew-safe join
+    # (result is provably identical to broadcast/shuffle joins)
+    return build_edges(triples, canon, strategy="salted")
+
+
+def _q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.kg.graph import build_edges, degree_stats
+
+    triples, _, _, canon = _kg_parts(spark, sf_dir)
+    return degree_stats(build_edges(triples, canon, strategy="broadcast"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_derive": _q_transcripts,
@@ -140,6 +212,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_extract_neural": _q_triples_neural,
         "carb_score_self": _q_carb_self,
         "carb_score_degraded": _q_carb_degraded,
+        "kg_mentions": _q_kg_mentions,
+        "kg_pairs_exact": _q_kg_pairs,
+        "kg_pairs_minhash": _q_kg_pairs_minhash,
+        "kg_components": _q_kg_components,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "kg_degree": _q_kg_degree,
         "turn_text_invariant": _q_turn_invariant,
     }
 
@@ -153,5 +232,11 @@ def oracle_sql() -> dict[str, str]:
         "predicate_spans": o.spans_sql(),
         "triples_extract": o.triples_sql(),
         "carb_score_self": o.carb_self_sql(),
+        "kg_mentions": o.kg_mentions_sql(),
+        "kg_pairs_exact": o.kg_pairs_sql(),
+        "kg_components": o.kg_components_sql(),
+        "kg_nodes": o.kg_nodes_sql(),
+        "kg_edges": o.kg_edges_sql(),
+        "kg_degree": o.kg_degree_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
     }

@@ -58,3 +58,31 @@ BE_FORMS = ("be", "is", "am", "are", "was", "were", "been", "being")
 # reference list really does repeat "adds" and omit bare "say"
 # (/root/reference/eval/oie_eval/matcher.py:306-311).
 SAID_PREDS = ("said", "told", "added", "adds", "says")
+
+# Mention stopword policy (engine choice, SURVEY.md §7 risk register):
+# role strings and pronouns are linkage-useless mega-hubs at transcript
+# scale; filtered before entity linking.
+STOP_MENTIONS = (
+    "user", "assistant", "system", "tool",
+    "i", "you", "he", "she", "it", "we", "they", "this", "that",
+    "these", "those", "there", "here", "who", "which", "what",
+)
+
+# Entity-linking knobs. MAX_BLOCK caps blocking-group size: a block
+# larger than this (head-entity skew) is excluded from the quadratic
+# exact-pair compare and recorded in lineage counters — at 10^12-turn
+# scale an uncapped hot block is an O(n^2) shuffle bomb.
+LINK_JACCARD = 0.6
+MAX_BLOCK = 1000
+# Only short mentions are linkable entities: spans longer than this are
+# clause fragments, not names — they stay singleton nodes. Guards both
+# linking quality (token-Jaccard over long spans over-merges) and cost
+# (pair graph stays name-sized).
+MAX_MENTION_TOKENS = 6
+
+# Minhash-LSH: NUM_PERM permutations in BANDS bands of ROWS_PER_BAND
+# (NUM_PERM = BANDS * ROWS_PER_BAND). s-curve threshold ≈
+# (1/BANDS)^(1/ROWS_PER_BAND) ≈ 0.45 for 8x2.
+MINHASH_PERM = 16
+LSH_BANDS = 8
+LSH_ROWS = 2

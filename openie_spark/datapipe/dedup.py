@@ -1,0 +1,188 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five dedup families, all shuffle-bounded:
+
+* ``exact_dedup_groups`` — md5(text) hash-groupBy. One shuffle on the
+  content hash; at 100 TB this is the canonical first pass (tiny keys,
+  map-side partial agg).
+* ``minhash_pairs_docs`` — word-3-gram minhash-LSH: signature + band
+  hashes are single-projection higher-order expressions (no explode);
+  the only shuffle is the band-bucket self-join; candidates verified
+  with exact n-gram Jaccard. All hashes are md5h60 → the full LSH
+  structure is DuckDB-oracle-checked.
+* ``simhash_docs`` / ``simhash_pairs`` — 60-bit simhash (per-bit
+  majority vote over token hashes, computed as one zip_with fold);
+  near-dup = band-equal candidates with Hamming distance ≤ k
+  (bit_count(xor)).
+* ``ngram_jaccard_pairs`` — blocked exact n-gram Jaccard (small-scale
+  ground truth for the LSH paths).
+* ``embedding_pairs`` (similarity.py) — cosine near-dup over vectors.
+
+``planted_docs`` doubles the corpus with deterministically perturbed
+copies (every PERTURB_DROPth token dropped) so dedup queries have a
+non-trivial, exactly-known answer on the synthetic testdata — the
+planted twin of doc i is doc i + PLANT_OFFSET.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openie_spark.datapipe.hashing import (
+    band_hashes_md5,
+    md5h60,
+    minhash_sig_md5,
+    tokens_of,
+    word_ngrams,
+)
+
+DOC_MINHASH_PERM = 16
+DOC_BANDS = 8
+DOC_ROWS = 2          # threshold ≈ (1/8)^(1/2) ≈ 0.35 — high recall at j≥0.5
+DOC_JACCARD = 0.5
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = 6
+PLANT_OFFSET = 10_000_000
+PERTURB_DROP = 15
+
+
+# ------------------------------------------------------------ exact
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """(text_hash, n_docs, keep_doc_id): keeper = min doc_id."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Documents with exact-duplicate texts removed (keep min doc_id).
+    Expressed as a window-free groupBy + semi-join so the heavy ``text``
+    column never shuffles twice."""
+    keep = exact_dedup_groups(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------- planted
+
+def planted_docs(docs: DataFrame) -> DataFrame:
+    """docs ∪ perturbed twins (drop every PERTURB_DROPth token;
+    doc_id += PLANT_OFFSET). Deterministic near-dup ground truth."""
+    toks = tokens_of(F.col("text"))
+    perturbed = docs.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.filter(toks, lambda w, i: (i + 1) % PERTURB_DROP != 0), " "
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(perturbed)
+
+
+# ---------------------------------------------------------- minhash
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        word_ngrams(tokens_of(F.col("text"))).alias("shingles"),
+    )
+
+
+def minhash_pairs_docs(docs: DataFrame,
+                       threshold: float = DOC_JACCARD,
+                       bands: int = DOC_BANDS, rows: int = DOC_ROWS) -> DataFrame:
+    """(a, b, jaccard): LSH candidates verified with exact n-gram
+    Jaccard. a/b are doc_ids, a < b."""
+    sh = _with_shingles(docs)
+    banded = sh.select(
+        "doc_id", "shingles",
+        F.posexplode(
+            band_hashes_md5(minhash_sig_md5(F.col("shingles"), bands * rows), bands, rows)
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select("band_idx", "band_hash", F.col("doc_id").alias("a"), F.col("shingles").alias("sa"))
+    right = banded.select("band_idx", "band_hash", F.col("doc_id").alias("b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb").distinct()
+        .withColumn("jaccard", inter / (F.size("sa") + F.size("sb") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = DOC_JACCARD) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (cross join) — the small-scale
+    ground truth; quadratic by construction, use the LSH path at scale."""
+    sh = _with_shingles(docs)
+    left = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa"))
+    right = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .withColumn("jaccard", inter / (F.size("sa") + F.size("sb") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------- simhash
+
+def simhash_col(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
+    """60-bit simhash: bit b set iff Σ_tokens (bit b of md5h60(token)
+    ? +1 : −1) ≥ 0. One fold over tokens with an array<int> accumulator
+    — no explode, mirrors the DuckDB per-bit vote exactly."""
+    zeros = F.array(*[F.lit(0) for _ in range(bits)])
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    votes = F.aggregate(
+        tokens,
+        zeros,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(md5h60(t).bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks,
+            lambda v, m: F.when(v >= 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", simhash_col(tokens_of(F.col("text"))).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by simhash: candidates share at least one
+    15-bit band (pigeonhole: Hamming ≤ 3 guarantees a match across 4
+    bands; larger distances are best-effort), verified with
+    bit_count(xor) ≤ max_hamming."""
+    sh = simhash_docs(docs)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ])).alias("band_idx", "band_val"),
+    )
+    left = banded.select("band_idx", "band_val", F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    right = banded.select("band_idx", "band_val", F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb").distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over the ``embeddings`` table
+(vec_id BIGINT, embedding FLOAT[], label INT).
+
+* ``brute_topk_sql`` — exact cosine top-k for a deterministic query
+  sample, pure column expressions (zip_with dot product + window
+  rank). Quadratic in corpus size — the correctness oracle / small-
+  scale baseline, DuckDB-checked.
+* ``brute_topk_np`` — same computation as one numpy matmul per Arrow
+  batch (mapInPandas, corpus broadcast) — the throughput path for a
+  broadcastable corpus; identical results pinned by tests.
+* ``lsh_topk`` — random-hyperplane LSH: sign-bit sketch over
+  deterministic md5-derived hyperplanes, candidates restricted to the
+  query's bucket (multi-probe over bands) — the 100 TB path: shuffle
+  is bucket-sized, not corpus-sized. Recall vs brute force pinned by
+  tests (probabilistic, rows-only at the driver).
+* ``embedding_pairs`` — cosine near-duplicate pairs (dedup family).
+
+Scale note: at 10^9+ vectors use IVF-style coarse quantization — the
+bucket join here has the same shape (bucket key = cluster id instead
+of hyperplane signs); the LSH variant is chosen because it needs no
+training step and stays fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from openie_spark.datapipe.hashing import md5h60
+
+TOPK = 5
+QUERY_MOD = 50          # query sample: vec_id % QUERY_MOD == 0
+NEAR_DUP_COSINE = 0.95
+LSH_PLANES = 12
+LSH_PLANE_BANDS = 3     # 3 bands x 4 bits, multi-probe over bands
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_unit(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Pre-normalize to unit length (double precision) — cosine becomes
+    a plain dot product; normalization happens once per vector, not
+    once per pair."""
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    return df.withColumn("unit", F.transform(v, lambda x: x / _norm(v)))
+
+
+def _queries(emb: DataFrame, query_mod: int) -> DataFrame:
+    return emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("unit").alias("q_vec")
+    )
+
+
+def brute_topk_sql(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) -> DataFrame:
+    """(q_id, rank, vec_id, cos): exact top-k by cosine, self-match
+    excluded; ties broken by vec_id for determinism."""
+    e = with_unit(emb)
+    q = _queries(e, query_mod)
+    corpus = e.select("vec_id", "unit")
+    scored = (
+        q.crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", F.round(_dot(F.col("q_vec"), F.col("unit")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos")
+    )
+
+
+def brute_topk_np(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) -> DataFrame:
+    """Same result as brute_topk_sql via one numpy GEMM per Arrow batch
+    of queries against the broadcast corpus matrix."""
+    import numpy as np
+    import pandas as pd
+
+    e = with_unit(emb)
+    corpus_rows = e.select("vec_id", "unit").collect()
+    ids = np.array([r.vec_id for r in corpus_rows], dtype=np.int64)
+    mat = np.array([r.unit for r in corpus_rows], dtype=np.float64)
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    q = _queries(e, query_mod)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.array(list(pdf["q_vec"]), dtype=np.float64)
+            scores = qm @ b_mat.value.T                      # (Q, N)
+            out = []
+            for qi, q_id in enumerate(pdf["q_id"]):
+                s = np.round(scores[qi], 6)
+                mask = b_ids.value != q_id
+                # sort by (-cos, vec_id): lexsort keys in reverse priority
+                order = np.lexsort((b_ids.value[mask], -s[mask]))[:k]
+                cand_ids = b_ids.value[mask][order]
+                cand_s = s[mask][order]
+                for rank, (vid, cs) in enumerate(zip(cand_ids, cand_s), 1):
+                    out.append((q_id, rank, int(vid), float(cs)))
+            yield pd.DataFrame(out, columns=["q_id", "rank", "vec_id", "cos"])
+
+    return q.mapInPandas(run, "q_id long, rank int, vec_id long, cos double")
+
+
+def _plane(dim: int, p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component weights from
+    md5 — stable across engines/processes, no RNG state."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"plane{p}dim{d}".encode()).hexdigest()[:8], 16) / 0x7FFFFFFF) - 1.0
+        for d in range(dim)
+    ]
+
+
+def lsh_sketch(df: DataFrame, dim: int, planes: int = LSH_PLANES) -> DataFrame:
+    """+ sketch: bit p = sign(unit · plane_p)."""
+    bits = []
+    for p in range(planes):
+        w = F.array(*[F.lit(x) for x in _plane(dim, p)])
+        bits.append(F.when(_dot(F.col("unit"), w) >= 0,
+                           F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return df.withColumn("sketch", total)
+
+
+def lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
+             planes: int = LSH_PLANES, bands: int = LSH_PLANE_BANDS) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing ≥1 sketch band
+    with the query; exact rescoring within candidates."""
+    dim = len(emb.select("embedding").first()[0])
+    e = lsh_sketch(with_unit(emb), dim, planes)
+    band_bits = planes // bands
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(id_col), F.col("unit").alias(vec_col),
+            F.posexplode(F.array(*[
+                F.shiftright(F.col("sketch"), b * band_bits).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ])).alias("band_idx", "band_val"),
+        )
+
+    q = banded(e.filter(F.col("vec_id") % query_mod == 0), "q_id", "q_vec")
+    c = banded(e, "vec_id", "unit")
+    cand = (
+        q.join(c, ["band_idx", "band_val"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "vec_id", "unit").distinct()
+        .withColumn("cos", F.round(_dot(F.col("q_vec"), F.col("unit")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos")
+    )
+
+
+def embedding_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COSINE) -> DataFrame:
+    """Cosine near-duplicate pairs (a < b) — exact all-pairs variant
+    (DuckDB-checked); at scale reuse lsh_topk's bucket join instead."""
+    e = with_unit(emb)
+    left = e.select(F.col("vec_id").alias("a"), F.col("unit").alias("ua"))
+    right = e.select(F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(_dot(F.col("ua"), F.col("ub")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

@@ -1,0 +1,109 @@
+"""Text analysis over ``documents``: language-ID, quality scoring,
+token counting, document fingerprinting. All pure column expressions
+(whole-stage codegen, narrow plans) with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openie_spark.datapipe.hashing import md5h60, tokens_of
+
+# Tiny per-language stopword profiles for the n-gram/stopword-overlap
+# language heuristic (real deployments plug a fastText-style model into
+# the same column contract).
+LANG_PROFILES = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "was", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "avec", "de", "du"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "con", "de", "por"),
+}
+STOPWORDS_EN = LANG_PROFILES["en"] + ("that", "this", "it", "on", "as", "at", "by")
+FP_PRIME = 1_000_000_007
+FP_MULT = 31
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc counts + quality score in [0,1]: penalizes extreme
+    length, low alpha ratio, and stopword-free (unnatural) text."""
+    toks = tokens_of(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS_EN)))
+    mean_len = F.round((n_chars - (n_tok - 1)) / n_tok, 6)
+    alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6)
+    len_score = F.when((n_tok >= 10) & (n_tok <= 5000), 1.0).otherwise(0.5)
+    quality = F.round(
+        0.4 * len_score + 0.3 * alpha_ratio
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)), 6)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-overlap language heuristic: score(lang) = hits of that
+    language's profile among the doc's tokens; winner by (score desc,
+    lang asc); 'und' (undetermined) when all scores are 0."""
+    toks = tokens_of(F.lower(F.col("text")))
+
+    def profile_hits(words):
+        # single-arg lambda via factory: a default-arg lambda would be
+        # mistaken for Spark's (element, index) two-arg form
+        return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+    scores = [
+        profile_hits(words).alias(f"s_{lang}")
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    # argmax via struct max on (score, inverted-rank): highest score
+    # wins; ties go to the alphabetically-first language
+    ranked = F.array(*[
+        F.struct(
+            F.col(f"s_{lang}").alias("score"),
+            F.lit(len(LANG_PROFILES) - i).alias("inv"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(sorted(LANG_PROFILES))
+    ])
+    win = F.array_max(ranked)
+    return scored.select(
+        "doc_id", "lang",
+        *[F.col(f"s_{lang}") for lang in sorted(LANG_PROFILES)],
+        F.when(win["score"] > 0, win["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex unit count (alpha runs,
+    digit runs, single symbols) — the pre-tokenizer unit count an LLM
+    data pipeline budgets by."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens_of(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("re_units"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive rolling hash over tokens:
+    fp = fold(acc * 31 + md5h60(token) mod P) — engine-portable
+    (everything stays < 2^40, no overflow in either engine)."""
+    toks = tokens_of(F.col("text"))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_MULT + md5h60(t) % FP_PRIME) % FP_PRIME,
+    )
+    return docs.select("doc_id", fp.alias("fp"))

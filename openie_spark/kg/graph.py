@@ -1,0 +1,92 @@
+"""Stage H — graph materialize: nodes / edges tables.
+
+    nodes(entity_id, canonical, aliases, n_aliases, freq)
+    edges(src_id, dst_id, pred, conv_id, turn_idx, sent_idx, ext_idx)
+
+entity_id = md5(canonical normalized mention) — stable across engines
+(DuckDB oracle computes the identical id) and across runs (no
+monotonically_increasing_id, which breaks checkpoint-resume
+determinism).
+
+Scale notes:
+  * the mention→entity map is vocabulary-sized; edge-build joins it to
+    occurrence-sized triples TWICE (subj, obj). Map side broadcasts
+    when small; at 10^12-turn scale use strategy='salted' — head
+    entities make the norm key skewed, so the map side is replicated
+    over SALT_BUCKETS deterministic salts (functions/joins.py).
+  * writers bucket by entity_id so downstream per-entity queries
+    partition-prune (see pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openie_spark.functions.joins import salted_equi_join
+from openie_spark.kg.mentions import norm_mention_col
+
+_PROV = ["conv_id", "turn_idx", "sent_idx", "ext_idx"]
+
+
+def build_nodes(canon: DataFrame) -> DataFrame:
+    """canonical_map output → nodes. One hash-agg on component."""
+    return (
+        canon.groupBy(F.col("component").alias("canonical"))
+        .agg(
+            F.sort_array(F.collect_set("norm")).alias("aliases"),
+            F.count(F.lit(1)).alias("n_aliases"),
+            F.sum("freq").alias("freq"),
+        )
+        .select(
+            F.md5(F.col("canonical")).alias("entity_id"),
+            "canonical", "aliases", "n_aliases", "freq",
+        )
+    )
+
+
+def build_edges(triples: DataFrame, canon: DataFrame,
+                strategy: str = "broadcast") -> DataFrame:
+    """triples ⋈ entity map (subj side, obj side) → edges.
+
+    strategy: 'broadcast' (small vocab) | 'salted' (skewed head
+    entities at scale) | 'shuffle' (plain AQE hash join).
+    """
+    from openie_spark.config import STOP_MENTIONS
+
+    emap = canon.select("norm", F.md5(F.col("component")).alias("entity_id"))
+
+    t = triples.select(
+        *_PROV, "pred",
+        norm_mention_col(F.col("subj")).alias("subj_norm"),
+        norm_mention_col(F.col("obj")).alias("obj_norm"),
+    ).filter(
+        (F.col("subj_norm") != "") & ~F.col("subj_norm").isin(*STOP_MENTIONS)
+        & (F.col("obj_norm") != "") & ~F.col("obj_norm").isin(*STOP_MENTIONS)
+    )
+
+    def attach(df: DataFrame, key: str, out: str) -> DataFrame:
+        m = emap.withColumnsRenamed({"norm": key, "entity_id": out})
+        if strategy == "broadcast":
+            return df.join(F.broadcast(m), key)
+        if strategy == "salted":
+            return salted_equi_join(df, m, key)
+        return df.join(m, key)
+
+    edges = attach(attach(t, "subj_norm", "src_id"), "obj_norm", "dst_id")
+    return edges.select("src_id", "dst_id", "pred", *_PROV)
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-entity out/in degree — the graph-sanity aggregation used by
+    tests and the driver query (SQL-expressible)."""
+    out_deg = edges.groupBy(F.col("src_id").alias("entity_id")).agg(F.count(F.lit(1)).alias("out_deg"))
+    in_deg = edges.groupBy(F.col("dst_id").alias("entity_id")).agg(F.count(F.lit(1)).alias("in_deg"))
+    return (
+        out_deg.join(in_deg, "entity_id", "full")
+        .select(
+            "entity_id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )

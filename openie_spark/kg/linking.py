@@ -1,0 +1,157 @@
+"""Stage F — candidate-pair generation over the mention vocabulary.
+
+Two interchangeable pair generators, both emitting
+``pairs(a string, b string, jaccard double)`` with a < b:
+
+* ``exact_pairs`` — blocking keys (first/last-token prefixes) + exact
+  token-Jaccard within each block. One shuffle on the block key; block
+  size is capped (MAX_BLOCK) so a head-entity hot block can never go
+  quadratic — dropped blocks are observable via ``skew_stats``.
+  Fully SQL-expressible → DuckDB oracle in plans/oracles.py.
+* ``minhash_pairs`` — the 100 TB path: per-mention minhash signature
+  (character 3-shingles, MINHASH_PERM hash slots computed with
+  higher-order array expressions — NO explode, NO shuffle), banded into
+  LSH buckets; the self-join runs on (band_idx, band_hash) buckets
+  whose expected size is tiny and data-independent, then candidates are
+  verified with the same exact Jaccard. Candidate recall vs
+  ``exact_pairs`` is probabilistic (s-curve ≈ (1/B)^(1/R)) — pinned by
+  tests, not an oracle.
+
+Both paths compare only DISTINCT normalized mentions (the vocabulary),
+so pair-generation cost scales with entity vocabulary size, not corpus
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openie_spark.config import (
+    LINK_JACCARD,
+    LSH_BANDS,
+    LSH_ROWS,
+    MAX_BLOCK,
+    MAX_MENTION_TOKENS,
+    MINHASH_PERM,
+)
+
+
+def linkable(vocab: DataFrame) -> DataFrame:
+    """Linkable slice of the vocabulary: short mentions only
+    (MAX_MENTION_TOKENS). Longer spans are clause fragments — they stay
+    singleton entities and never enter pair generation."""
+    return vocab.filter(F.col("n_tokens") <= MAX_MENTION_TOKENS)
+
+BLOCK_PREFIX = 4
+
+
+def _block_keys(norm: Column) -> Column:
+    """Two blocking keys per mention: first-token and last-token
+    4-char prefixes (tagged to avoid cross-key collisions). Derived
+    from the raw norm string — the distinct token list has no stable
+    order across engines."""
+    words = F.split(norm, " ")
+    first = F.substring(F.element_at(words, 1), 1, BLOCK_PREFIX)
+    last = F.substring(F.element_at(words, -1), 1, BLOCK_PREFIX)
+    return F.array_distinct(F.array(F.concat(F.lit("f|"), first), F.concat(F.lit("l|"), last)))
+
+
+def token_jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def blocked_vocab(vocab: DataFrame, max_block: int = MAX_BLOCK) -> DataFrame:
+    """vocab → (bkey, norm, tokens), hot blocks removed."""
+    exploded = vocab.select(
+        F.explode(_block_keys(F.col("norm"))).alias("bkey"), "norm", "tokens"
+    )
+    # AQE-friendly: count per key once, anti-join the hot keys away.
+    hot = (
+        exploded.groupBy("bkey").count()
+        .filter(F.col("count") > max_block)
+        .select("bkey")
+    )
+    return exploded.join(F.broadcast(hot), "bkey", "left_anti")
+
+
+def skew_stats(vocab: DataFrame, max_block: int = MAX_BLOCK) -> DataFrame:
+    """Lineage observability: how many blocks/mentions the skew cap drops."""
+    exploded = vocab.select(F.explode(_block_keys(F.col("norm"))).alias("bkey"))
+    per_key = exploded.groupBy("bkey").count()
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("count") > max_block, 1).otherwise(0)).alias("n_hot_blocks"),
+        F.sum(F.when(F.col("count") > max_block, F.col("count")).otherwise(0)).alias("n_dropped_mentions"),
+    )
+
+
+def exact_pairs(vocab: DataFrame, threshold: float = LINK_JACCARD,
+                max_block: int = MAX_BLOCK) -> DataFrame:
+    b = blocked_vocab(linkable(vocab), max_block)
+    left = b.select("bkey", F.col("norm").alias("a"), F.col("tokens").alias("ta"))
+    right = b.select("bkey", F.col("norm").alias("b"), F.col("tokens").alias("tb"))
+    pairs = (
+        left.join(right, "bkey")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("jaccard", token_jaccard(F.col("ta"), F.col("tb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+        .distinct()
+    )
+    return pairs
+
+
+# ----------------------------------------------------------- minhash
+
+def char_shingles(norm: Column, k: int = 3) -> Column:
+    """Distinct character k-shingles; short strings fall back to the
+    whole string (so single-token short names still hash)."""
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+
+def minhash_signature(norm: Column, num_perm: int = MINHASH_PERM) -> Column:
+    """array<long> of length num_perm: slot k = min over shingles of
+    xxhash64(shingle ⊕ k). Pure column expressions — computed in one
+    codegen'd projection per row, no explode/shuffle."""
+    sh = char_shingles(norm)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.concat(s, F.lit(f"#{k}")))))
+        for k in range(num_perm)
+    ])
+
+
+def lsh_buckets(vocab: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """vocab → (band_idx, band_hash, norm, tokens): one row per band."""
+    sig = minhash_signature(F.col("norm"))
+    banded = vocab.select(
+        "norm", "tokens",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
+                for b in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    return banded
+
+
+def minhash_pairs(vocab: DataFrame, threshold: float = LINK_JACCARD,
+                  bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """LSH candidates verified with exact token-Jaccard. The self-join
+    key (band_idx, band_hash) is uniform by construction — no skew cap
+    needed; AQE still coalesces small buckets."""
+    b = lsh_buckets(linkable(vocab), bands, rows)
+    left = b.select("band_idx", "band_hash", F.col("norm").alias("a"), F.col("tokens").alias("ta"))
+    right = b.select("band_idx", "band_hash", F.col("norm").alias("b"), F.col("tokens").alias("tb"))
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ta", "tb").distinct()
+        .withColumn("jaccard", token_jaccard(F.col("ta"), F.col("tb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

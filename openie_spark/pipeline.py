@@ -1,0 +1,221 @@
+"""Checkpoint-resumable KG-construction pipeline (stages A→H) with
+per-stage lineage manifests (north_rule: 'checkpoint-resumable with
+per-partition lineage + metrics').
+
+Each stage materializes one table under <output>/<stage>/ plus a
+``_manifest.json`` recording:
+
+    stage, status, rows, per-bucket row counts (bucket = conv_id /
+    entity hash bucket — the 'per-partition lineage'), conv_id range,
+    model version (tagger weights content-hash or 'rule-v1'), engine
+    config fingerprint, upstream stage fingerprints, wall seconds.
+
+Resume semantics: a stage re-runs iff its manifest is missing,
+incomplete, or its recorded upstream fingerprint differs (so resuming
+after a config/model change invalidates exactly the dirty suffix of
+the DAG). Writes are atomic-per-stage: data lands under the stage dir
+first, the manifest is written LAST — a job killed mid-stage leaves no
+manifest and the stage re-runs cleanly (idempotent overwrite).
+
+Storage: Parquet with a persisted ``bucket`` column (hash of conv_id /
+entity id). On a real deployment swap TableIO for Iceberg
+``writeTo(...).createOrReplace()`` — the manifest/resume contract is
+unchanged (SURVEY.md §7: no Iceberg jar in this sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openie_spark import config as C
+
+ENGINE_VERSION = "openie-spark-0.1"
+N_BUCKETS = 32
+
+
+def _fingerprint() -> dict:
+    return {
+        "engine": ENGINE_VERSION,
+        "link_jaccard": C.LINK_JACCARD,
+        "max_block": C.MAX_BLOCK,
+        "max_mention_tokens": C.MAX_MENTION_TOKENS,
+        "pred_lexicon_n": len(C.PRED_LEXICON),
+    }
+
+
+def model_version(backend: str) -> str:
+    if backend == "neural":
+        from openie_spark.model.weights import ARG_SEED, PRED_SEED, get_tagger
+
+        return f"{get_tagger(PRED_SEED).version}+{get_tagger(ARG_SEED).version}"
+    return "rule-v1"
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    rows: int
+    seconds: float
+    resumed: bool
+    manifest: dict = field(default_factory=dict)
+
+
+class KGPipeline:
+    """Orchestrates: triples → mentions → vocab → pairs → components →
+    nodes + edges, each stage a Parquet table + manifest."""
+
+    def __init__(self, spark: SparkSession, input_dir: str, output_dir: str,
+                 backend: str = "rule", pair_mode: str = "exact"):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.output_dir = output_dir
+        self.backend = backend
+        self.pair_mode = pair_mode
+        self.results: list[StageResult] = []
+
+    # ------------------------------------------------------------ io
+
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.output_dir, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._stage_dir(name), "_manifest.json")
+
+    def _read_manifest(self, name: str) -> dict | None:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _stage_fingerprint(self, name: str, upstream: list[str]) -> dict:
+        return {
+            "config": _fingerprint(),
+            "backend": self.backend,
+            "pair_mode": self.pair_mode,
+            "model_version": model_version(self.backend),
+            "input_dir": self.input_dir,
+            "upstream": {
+                u: (self._read_manifest(u) or {}).get("rows") for u in upstream
+            },
+        }
+
+    def _run_stage(self, name: str, build, bucket_col: str | None,
+                   upstream: list[str], resume: bool,
+                   extra_metrics=None) -> DataFrame:
+        fp = self._stage_fingerprint(name, upstream)
+        man = self._read_manifest(name)
+        sd = self._stage_dir(name)
+        if resume and man and man.get("status") == "complete" and man.get("fingerprint") == fp:
+            self.results.append(StageResult(name, sd, man["rows"], 0.0, True, man))
+            return self.spark.read.parquet(sd)
+
+        t0 = time.time()
+        df = build()
+        if bucket_col is not None:
+            df = df.withColumn(
+                "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(N_BUCKETS)).cast("int")
+            ).repartition("bucket")
+        df.write.mode("overwrite").parquet(sd)
+        out = self.spark.read.parquet(sd)
+
+        rows = out.count()
+        per_bucket = {}
+        conv_range = None
+        if bucket_col is not None:
+            per_bucket = {
+                int(r.bucket): r.n
+                for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+        if "conv_id" in out.columns:
+            rng = out.agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi")).collect()[0]
+            conv_range = [rng.lo, rng.hi]
+        manifest = {
+            "stage": name,
+            "status": "complete",
+            "rows": rows,
+            "per_bucket_rows": per_bucket,
+            "conv_id_range": conv_range,
+            "fingerprint": fp,
+            "seconds": round(time.time() - t0, 3),
+        }
+        if extra_metrics:
+            manifest["metrics"] = extra_metrics(out)
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        self.results.append(StageResult(name, sd, rows, manifest["seconds"], False, manifest))
+        return out
+
+    # -------------------------------------------------------- stages
+
+    def run(self, resume: bool = True) -> dict:
+        from openie_spark.kg.canon import canonical_map, connected_components
+        from openie_spark.kg.graph import build_edges, build_nodes
+        from openie_spark.kg.linking import exact_pairs, minhash_pairs, skew_stats
+        from openie_spark.kg.mentions import extract_mentions, mention_vocab
+        from openie_spark.operators.extract import extract_triples
+        from openie_spark.sources.transcripts import read_transcripts
+
+        t_total = time.time()
+        spark = self.spark
+
+        triples = self._run_stage(
+            "triples",
+            lambda: extract_triples(read_transcripts(spark, self.input_dir), backend=self.backend),
+            "conv_id", [], resume,
+        )
+        vocab = self._run_stage(
+            "vocab",
+            lambda: mention_vocab(extract_mentions(triples)),
+            "norm", ["triples"], resume,
+            extra_metrics=lambda out: {
+                "skew": skew_stats(out.drop("bucket")).collect()[0].asDict()
+            },
+        )
+        pair_fn = exact_pairs if self.pair_mode == "exact" else minhash_pairs
+        pairs = self._run_stage(
+            "pairs",
+            lambda: pair_fn(vocab.drop("bucket")),
+            "a", ["vocab"], resume,
+        )
+        components = self._run_stage(
+            "components",
+            lambda: canonical_map(vocab.drop("bucket"), connected_components(pairs.drop("bucket"))),
+            "component", ["vocab", "pairs"], resume,
+        )
+        nodes = self._run_stage(
+            "nodes",
+            lambda: build_nodes(components.drop("bucket")),
+            "entity_id", ["components"], resume,
+        )
+        edges = self._run_stage(
+            "edges",
+            lambda: build_edges(
+                triples.drop("bucket"), components.drop("bucket"),
+                strategy="salted" if self.pair_mode == "minhash" else "broadcast",
+            ),
+            "src_id", ["triples", "components"], resume,
+        )
+
+        total = round(time.time() - t_total, 3)
+        n_triples = next(r.rows for r in self.results if r.name == "triples")
+        summary = {
+            "stages": {r.name: {"rows": r.rows, "seconds": r.seconds, "resumed": r.resumed}
+                       for r in self.results},
+            "total_seconds": total,
+            "triples": n_triples,
+            "nodes": nodes.count(),
+            "edges": edges.count(),
+            "triples_per_sec": round(n_triples / max(total, 1e-9), 1),
+            "model_version": model_version(self.backend),
+        }
+        with open(os.path.join(self.output_dir, "_pipeline_summary.json"), "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        return summary

@@ -129,6 +129,140 @@ def spans_sql() -> str:
     )
 
 
+# ------------------------------------------------------------- KG (F-H)
+
+def _kg_ctes() -> str:
+    """Mentions → vocab → blocked exact-Jaccard pairs → recursive-CTE
+    connected components → nodes/edges — the independent SQL
+    re-implementation of openie_spark.kg.*."""
+    from openie_spark.config import (
+        LINK_JACCARD,
+        MAX_BLOCK,
+        MAX_MENTION_TOKENS,
+        STOP_MENTIONS,
+    )
+    from openie_spark.kg.linking import BLOCK_PREFIX
+
+    stops = ", ".join(f"'{s}'" for s in STOP_MENTIONS)
+    norm = ("trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', '', 'g'),"
+            " '\\s+', ' ', 'g'))")
+    return f"""
+mentions_all AS (
+  SELECT conv_id, turn_idx, sent_idx, ext_idx, side, mention,
+         {norm.format(c='mention')} AS norm
+  FROM (
+    SELECT conv_id, turn_idx, sent_idx, ext_idx, 'subj' AS side, subj AS mention FROM triples
+    UNION ALL
+    SELECT conv_id, turn_idx, sent_idx, ext_idx, 'obj' AS side, obj AS mention FROM triples
+  )
+),
+mentions AS MATERIALIZED (
+  SELECT * FROM mentions_all WHERE norm <> '' AND norm NOT IN ({stops})
+),
+vocab AS MATERIALIZED (
+  SELECT norm, count(*) AS freq,
+         list_distinct(string_split(norm, ' ')) AS tokens
+  FROM mentions GROUP BY norm
+),
+exploded AS (
+  SELECT u.bk AS bkey, norm, tokens
+  FROM (SELECT * FROM vocab WHERE len(tokens) <= {MAX_MENTION_TOKENS}) vocab,
+       unnest(list_distinct([
+      'f|' || substr(string_split(norm, ' ')[1], 1, {BLOCK_PREFIX}),
+      'l|' || substr(string_split(norm, ' ')[-1], 1, {BLOCK_PREFIX})])) AS u(bk)
+),
+blocked AS (
+  SELECT * FROM exploded
+  WHERE bkey NOT IN (SELECT bkey FROM exploded GROUP BY bkey HAVING count(*) > {MAX_BLOCK})
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT l.norm AS a, r.norm AS b,
+         CAST(len(list_intersect(l.tokens, r.tokens)) AS DOUBLE)
+           / (len(l.tokens) + len(r.tokens) - len(list_intersect(l.tokens, r.tokens))) AS jaccard
+  FROM blocked l JOIN blocked r ON l.bkey = r.bkey AND l.norm < r.norm
+  WHERE CAST(len(list_intersect(l.tokens, r.tokens)) AS DOUBLE)
+          / (len(l.tokens) + len(r.tokens) - len(list_intersect(l.tokens, r.tokens))) >= {LINK_JACCARD}
+),
+edges_u AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+),
+closure AS (
+  SELECT src, dst FROM edges_u
+  UNION SELECT src, src FROM edges_u
+  UNION SELECT c.src, e.dst FROM closure c JOIN edges_u e ON c.dst = e.src
+),
+components AS MATERIALIZED (
+  SELECT src AS norm, min(dst) AS component FROM closure GROUP BY src
+),
+canonmap AS MATERIALIZED (
+  SELECT v.norm, v.freq, COALESCE(c.component, v.norm) AS component
+  FROM vocab v LEFT JOIN components c USING (norm)
+),
+nodes AS (
+  SELECT md5(component) AS entity_id, component AS canonical,
+         count(*) AS n_aliases, CAST(sum(freq) AS BIGINT) AS freq
+  FROM canonmap GROUP BY component
+),
+tr_norm AS (
+  SELECT conv_id, turn_idx, sent_idx, ext_idx, pred,
+         {norm.format(c='subj')} AS subj_norm, {norm.format(c='obj')} AS obj_norm
+  FROM triples
+),
+kg_edges AS (
+  SELECT md5(m1.component) AS src_id, md5(m2.component) AS dst_id, t.pred,
+         t.conv_id, t.turn_idx, t.sent_idx, t.ext_idx
+  FROM tr_norm t
+  JOIN canonmap m1 ON t.subj_norm = m1.norm
+  JOIN canonmap m2 ON t.obj_norm = m2.norm
+  WHERE t.subj_norm <> '' AND t.subj_norm NOT IN ({stops})
+    AND t.obj_norm <> '' AND t.obj_norm NOT IN ({stops})
+)"""
+
+
+_KG_RECURSIVE_PREFIX = "WITH RECURSIVE "
+
+
+def _with_kg(select: str) -> str:
+    body = ",".join([
+        TRANSCRIPTS_CTE_DUCKDB, _SENT_IDS_CTES, _SENTENCES_CTE,
+        _SPANS_CTES, _TRIPLES_CTES, _kg_ctes(),
+    ])
+    return _KG_RECURSIVE_PREFIX + body + "\n" + select
+
+
+def kg_mentions_sql() -> str:
+    return _with_kg(
+        "SELECT conv_id, turn_idx, sent_idx, ext_idx, side, mention, norm FROM mentions")
+
+
+def kg_pairs_sql() -> str:
+    return _with_kg("SELECT a, b, round(jaccard, 6) AS jaccard FROM pairs")
+
+
+def kg_components_sql() -> str:
+    return _with_kg("SELECT norm, CAST(freq AS BIGINT) AS freq, component FROM canonmap")
+
+
+def kg_nodes_sql() -> str:
+    return _with_kg(
+        "SELECT entity_id, canonical, n_aliases, freq FROM nodes")
+
+
+def kg_edges_sql() -> str:
+    return _with_kg(
+        "SELECT src_id, dst_id, pred, conv_id, turn_idx, sent_idx, ext_idx FROM kg_edges")
+
+
+def kg_degree_sql() -> str:
+    return _with_kg("""
+SELECT entity_id,
+       CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+FROM (SELECT src_id AS entity_id, count(*) AS out_deg FROM kg_edges GROUP BY 1) o
+FULL JOIN (SELECT dst_id AS entity_id, count(*) AS in_deg FROM kg_edges GROUP BY 1) i
+USING (entity_id)""")
+
+
 def carb_self_sql() -> str:
     """CaRB self-comparison oracle. Scoring a triples table against
     itself yields P=R=F1=1 exactly: the greedy precision matcher always

@@ -1,0 +1,147 @@
+"""Entity linking + canonicalization + graph tests (stages F-H)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vocab(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "norm string")
+    return (
+        df.groupBy("norm").agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("tokens", F.array_distinct(F.split("norm", " ")))
+        .withColumn("n_tokens", F.size("tokens"))
+    )
+
+
+def test_mentions_extract_and_stopwords(spark):
+    from openie_spark.kg.mentions import extract_mentions
+
+    triples = spark.createDataFrame(
+        [("c0", 0, 0, 0, "John Smith", "a teacher"),
+         ("c0", 0, 0, 1, "He", "it"),           # stop mentions → dropped
+         ("c0", 0, 1, 0, "", "London")],        # empty subj → dropped
+        "conv_id string, turn_idx int, sent_idx int, ext_idx int, subj string, obj string")
+    m = extract_mentions(triples)
+    got = {(r.side, r.norm) for r in m.collect()}
+    assert got == {("subj", "john smith"), ("obj", "a teacher"), ("obj", "london")}
+
+
+def test_exact_pairs_blocking_and_threshold(spark):
+    from openie_spark.kg.linking import exact_pairs
+
+    v = _vocab(spark, [
+        "barack obama", "barack h obama",   # share first+last prefixes, high jaccard
+        "barack obonga xyz qq ww",          # same block, low jaccard
+        "zzz unrelated",
+    ])
+    got = {(r.a, r.b) for r in exact_pairs(v, threshold=0.5).collect()}
+    assert ("barack h obama", "barack obama") in got
+    assert all("zzz" not in a and "zzz" not in b for a, b in got)
+
+
+def test_exact_pairs_skew_cap(spark):
+    from openie_spark.kg.linking import exact_pairs, skew_stats
+
+    # 30 mentions all sharing the block key 'f|user' → hot block dropped
+    v = _vocab(spark, [f"userx thing{i}" for i in range(30)])
+    assert exact_pairs(v, threshold=0.1, max_block=10).count() == 0
+    stats = skew_stats(v, max_block=10).collect()[0]
+    assert stats.n_hot_blocks >= 1
+    assert stats.n_dropped_mentions >= 30
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates (jaccard-verified) must recover the clear
+    duplicate pairs the exact path finds on near-duplicate names."""
+    from openie_spark.kg.linking import exact_pairs, minhash_pairs
+
+    names = []
+    for i in range(20):
+        names.append(f"entity number {i} incorporated")
+        names.append(f"entity number {i} inc")  # near-dup alias
+    v = _vocab(spark, names)
+    exact = {(r.a, r.b) for r in exact_pairs(v, threshold=0.5).collect()}
+    mh = {(r.a, r.b) for r in minhash_pairs(v, threshold=0.5).collect()}
+    dup_pairs = {p for p in exact if p[0].rsplit(" ", 1)[0] == p[1].rsplit(" ", 1)[0]}
+    assert dup_pairs, "fixture must produce exact duplicate pairs"
+    recall = len(mh & dup_pairs) / len(dup_pairs)
+    assert recall >= 0.8, f"LSH recall {recall} too low: {dup_pairs - mh}"
+    # verified candidates are never below threshold → precision vs exact = 1
+    assert mh <= exact
+
+
+def test_connected_components_chain_and_fixpoint(spark):
+    from openie_spark.kg.canon import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("x", "y", 1.0), ("c", "d", 1.0)],
+        "a string, b string, jaccard double")
+    comp = {r.norm: r.component for r in connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from openie_spark.functions.joins import salted_equi_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(["hot"] * 50 + ["cold", "warm"] * 5)],
+        "k string, v int")
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("missing", 9)], "k string, w int")
+    plain = {(r.k, r.v, r.w) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.w) for r in salted_equi_join(big, small, "k").collect()}
+    assert salted == plain and len(plain) == 55
+
+
+def test_graph_end_to_end(spark):
+    """triples → mentions → pairs → components → nodes/edges, with
+    alias merge collapsing near-duplicate entities into one node."""
+    from openie_spark.kg.canon import canonical_map, connected_components
+    from openie_spark.kg.graph import build_edges, build_nodes, degree_stats
+    from openie_spark.kg.linking import exact_pairs
+    from openie_spark.kg.mentions import extract_mentions, mention_vocab
+
+    triples = spark.createDataFrame(
+        [("c0", 0, 0, 0, "Barack Obama", "was", "president"),
+         ("c0", 1, 0, 0, "Barack H Obama", "visited", "London"),
+         ("c1", 0, 0, 0, "London", "is", "a city")],
+        "conv_id string, turn_idx int, sent_idx int, ext_idx int, subj string, pred string, obj string")
+    vocab = mention_vocab(extract_mentions(triples))
+    pairs = exact_pairs(vocab, threshold=0.5)
+    canon = canonical_map(vocab, connected_components(pairs))
+    nodes = build_nodes(canon)
+    edges = build_edges(triples, canon, strategy="broadcast")
+
+    by_canon = {r.canonical: r for r in nodes.collect()}
+    assert "barack h obama" in by_canon
+    assert set(by_canon["barack h obama"].aliases) == {"barack obama", "barack h obama"}
+
+    e = edges.collect()
+    assert len(e) == 3
+    # the two obama triples share one src entity id
+    srcs = {r.conv_id: r.src_id for r in e}
+    assert srcs["c0"] is not None
+    obama_edges = [r for r in e if r.conv_id == "c0"]
+    assert len({r.src_id for r in obama_edges}) == 1
+
+    # salted strategy produces identical edges
+    salted = build_edges(triples, canon, strategy="salted")
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in e}
+
+    deg = {r.entity_id: (r.out_deg, r.in_deg) for r in degree_stats(edges).collect()}
+    london_id = [r.entity_id for r in nodes.collect() if r.canonical == "london"][0]
+    assert deg[london_id] == (1, 1)
+
+
+def test_component_determinism(spark):
+    from openie_spark.kg.canon import connected_components
+
+    pairs = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 1.0) for i in range(0, 40, 2)] +
+        [(f"n{i}", f"n{i+2}", 1.0) for i in range(0, 38, 2)],
+        "a string, b string, jaccard double")
+    c1 = sorted(map(tuple, connected_components(pairs).collect()))
+    c2 = sorted(map(tuple, connected_components(pairs).collect()))
+    assert c1 == c2

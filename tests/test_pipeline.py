@@ -1,0 +1,88 @@
+"""Pipeline checkpoint/lineage/resume tests (M6, north_rule:
+'checkpoint-resumable with per-partition lineage + metrics')."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    from openie_spark.pipeline import KGPipeline
+
+    out = str(tmp_path_factory.mktemp("kg"))
+    pipe = KGPipeline(spark, SF, out)
+    summary = pipe.run(resume=True)
+    return out, summary
+
+
+def test_pipeline_summary_counts(pipeline_out):
+    out, summary = pipeline_out
+    assert summary["triples"] > 0
+    assert summary["nodes"] > 0
+    assert summary["edges"] > 0
+    assert summary["triples_per_sec"] > 0
+    assert set(summary["stages"]) == {"triples", "vocab", "pairs", "components", "nodes", "edges"}
+
+
+def test_manifests_lineage(pipeline_out):
+    out, summary = pipeline_out
+    for stage in ("triples", "vocab", "components", "nodes", "edges"):
+        with open(os.path.join(out, stage, "_manifest.json")) as f:
+            man = json.load(f)
+        assert man["status"] == "complete"
+        assert man["rows"] == summary["stages"][stage]["rows"]
+        # per-partition lineage: bucket counts sum to total rows
+        assert sum(man["per_bucket_rows"].values()) == man["rows"]
+        assert man["fingerprint"]["model_version"] == "rule-v1"
+    with open(os.path.join(out, "triples", "_manifest.json")) as f:
+        tman = json.load(f)
+    lo, hi = tman["conv_id_range"]
+    assert lo.startswith("conv-") and hi >= lo
+    with open(os.path.join(out, "vocab", "_manifest.json")) as f:
+        vman = json.load(f)
+    assert "skew" in vman["metrics"]
+
+
+def test_full_resume_skips_everything(spark, pipeline_out):
+    from openie_spark.pipeline import KGPipeline
+
+    out, summary = pipeline_out
+    pipe = KGPipeline(spark, SF, out)
+    s2 = pipe.run(resume=True)
+    assert all(st["resumed"] for st in s2["stages"].values())
+    assert s2["triples"] == summary["triples"]
+    assert s2["edges"] == summary["edges"]
+
+
+def test_partial_resume_rebuilds_dirty_suffix(spark, pipeline_out):
+    """Simulate a kill between stages: drop the nodes/edges manifests;
+    resume must skip the completed prefix and rebuild only the suffix,
+    reproducing identical outputs (idempotent overwrite)."""
+    from openie_spark.pipeline import KGPipeline
+
+    out, summary = pipeline_out
+    os.remove(os.path.join(out, "nodes", "_manifest.json"))
+    os.remove(os.path.join(out, "edges", "_manifest.json"))
+    pipe = KGPipeline(spark, SF, out)
+    s2 = pipe.run(resume=True)
+    st = s2["stages"]
+    assert st["triples"]["resumed"] and st["components"]["resumed"]
+    assert not st["nodes"]["resumed"] and not st["edges"]["resumed"]
+    assert st["nodes"]["rows"] == summary["stages"]["nodes"]["rows"]
+    assert st["edges"]["rows"] == summary["stages"]["edges"]["rows"]
+
+
+def test_no_resume_rebuilds_all(spark, pipeline_out):
+    from openie_spark.pipeline import KGPipeline
+
+    out, summary = pipeline_out
+    pipe = KGPipeline(spark, SF, out)
+    s2 = pipe.run(resume=False)
+    assert not any(st["resumed"] for st in s2["stages"].values())
+    assert s2["edges"] == summary["edges"]

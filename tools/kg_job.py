@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the KG-construction pipeline.
+
+Cluster usage (north_rule contract):
+
+    zip -r kgpipe.zip openie_spark
+    spark-submit --py-files kgpipe.zip tools/kg_job.py \
+        --input  <transcripts dir / Iceberg table path> \
+        --output <warehouse dir> [--backend rule|neural] \
+        [--pair-mode exact|minhash] [--no-resume]
+
+Local usage (also how the scaling bench invokes it):
+
+    python tools/kg_job.py --input /root/testdata/sf0.01 --output /tmp/kg \
+        --master "local[8]"
+
+Prints the pipeline summary (stage rows/seconds, triples/sec) as one
+JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--backend", default="rule", choices=["rule", "neural"])
+    ap.add_argument("--pair-mode", default="exact", choices=["exact", "minhash"])
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--master", default=None,
+                    help="Override master (local runs). Under spark-submit leave unset.")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("openie-kg-job")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }.items():
+        spark.conf.set(k, v)
+    if args.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from openie_spark.pipeline import KGPipeline
+
+    os.makedirs(args.output, exist_ok=True)
+    pipe = KGPipeline(spark, args.input, args.output,
+                      backend=args.backend, pair_mode=args.pair_mode)
+    summary = pipe.run(resume=not args.no_resume)
+    print(json.dumps(summary, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
