@@ -203,6 +203,112 @@ def _q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_stats(build_edges(triples, canon, strategy="broadcast"))
 
 
+# ------------------------------------------------- datapipe (documents)
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tune(spark).read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tune(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_dp_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.dedup import ngram_jaccard_pairs, planted_docs
+
+    return ngram_jaccard_pairs(planted_docs(_docs(spark, sf_dir)))
+
+
+def _q_dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.dedup import minhash_pairs_docs, planted_docs
+
+    return minhash_pairs_docs(planted_docs(_docs(spark, sf_dir)))
+
+
+def _q_dp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.dedup import planted_docs, simhash_docs
+
+    return simhash_docs(planted_docs(_docs(spark, sf_dir)))
+
+
+def _q_dp_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.dedup import planted_docs, simhash_pairs
+
+    return simhash_pairs(planted_docs(_docs(spark, sf_dir)))
+
+
+def _q_dp_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.textstats import doc_stats
+
+    return doc_stats(_docs(spark, sf_dir))
+
+
+def _q_dp_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_dp_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.textstats import token_count_bpe
+
+    return token_count_bpe(_docs(spark, sf_dir))
+
+
+def _q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_dp_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.similarity import brute_topk_sql
+
+    return brute_topk_sql(_emb(spark, sf_dir))
+
+
+def _q_dp_embedding_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numpy-GEMM top-k (mapInPandas over broadcast corpus) — same
+    result as dp_embedding_topk, pinned by tests; rows-only check."""
+    from openie_spark.datapipe.similarity import brute_topk_np
+
+    return brute_topk_np(_emb(spark, sf_dir))
+
+
+def _q_dp_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN over planted twins — candidate set is
+    sketch-dependent; recall pinned in tests; rows-only check."""
+    from openie_spark.datapipe.similarity import lsh_topk, planted_embeddings
+
+    return lsh_topk(planted_embeddings(_emb(spark, sf_dir)), k=1, query_mod=10)
+
+
+def _q_dp_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.similarity import embedding_pairs, planted_embeddings
+
+    return embedding_pairs(planted_embeddings(_emb(spark, sf_dir)))
+
+
+def _q_dp_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram featurizer over opaque media blobs (mapInPandas)
+    — the feature vector is computed in Python; rows-only check."""
+    from openie_spark.datapipe.multimodal import derive_media, media_features
+
+    return media_features(derive_media(_docs(spark, sf_dir)))
+
+
+def _q_dp_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openie_spark.datapipe.multimodal import derive_media, frame_sample
+
+    return frame_sample(derive_media(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_derive": _q_transcripts,
@@ -220,10 +326,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_degree": _q_kg_degree,
         "turn_text_invariant": _q_turn_invariant,
+        "dp_exact_dedup": _q_dp_exact_dedup,
+        "dp_ngram_pairs": _q_dp_ngram_pairs,
+        "dp_minhash_pairs": _q_dp_minhash_pairs,
+        "dp_simhash": _q_dp_simhash,
+        "dp_simhash_pairs": _q_dp_simhash_pairs,
+        "dp_doc_stats": _q_dp_doc_stats,
+        "dp_lang_id": _q_dp_lang_id,
+        "dp_token_count": _q_dp_token_count,
+        "dp_fingerprint": _q_dp_fingerprint,
+        "dp_embedding_topk": _q_dp_embedding_topk,
+        "dp_embedding_topk_np": _q_dp_embedding_topk_np,
+        "dp_embedding_lsh": _q_dp_embedding_lsh,
+        "dp_embedding_pairs": _q_dp_embedding_pairs,
+        "dp_media_features": _q_dp_media_features,
+        "dp_media_frames": _q_dp_media_frames,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from openie_spark.plans import datapipe_oracles as dp
     from openie_spark.plans import oracles as o
 
     return {
@@ -239,4 +361,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": o.kg_edges_sql(),
         "kg_degree": o.kg_degree_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
+        "dp_exact_dedup": dp.exact_dedup_sql(),
+        "dp_ngram_pairs": dp.ngram_pairs_sql(),
+        "dp_minhash_pairs": dp.minhash_pairs_sql(),
+        "dp_simhash": dp.simhash_sql(),
+        "dp_simhash_pairs": dp.simhash_pairs_sql(),
+        "dp_doc_stats": dp.doc_stats_sql(),
+        "dp_lang_id": dp.lang_id_sql(),
+        "dp_token_count": dp.token_count_sql(),
+        "dp_fingerprint": dp.fingerprint_sql(),
+        "dp_embedding_topk": dp.brute_topk_sql_oracle(),
+        "dp_embedding_pairs": dp.embedding_pairs_sql(),
+        "dp_media_frames": dp.media_frames_sql(),
     }

@@ -33,6 +33,7 @@ QUERY_MOD = 50          # query sample: vec_id % QUERY_MOD == 0
 NEAR_DUP_COSINE = 0.95
 LSH_PLANES = 12
 LSH_PLANE_BANDS = 3     # 3 bands x 4 bits, multi-probe over bands
+PLANT_VEC_OFFSET = 100_000
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -173,6 +174,18 @@ def lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cos")
     )
+
+
+def planted_embeddings(emb: DataFrame) -> DataFrame:
+    """emb ∪ near-identical twins (dim 0 scaled by 1.05; vec_id +=
+    PLANT_VEC_OFFSET) — deterministic cos≈0.999 ground truth for the
+    near-dup / ANN paths, mirrored in DuckDB by the oracle."""
+    base = emb.select("vec_id", "embedding")
+    noised = base.select(
+        (F.col("vec_id") + PLANT_VEC_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)).alias("embedding"),
+    )
+    return base.unionByName(noised, allowMissingColumns=False)
 
 
 def embedding_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COSINE) -> DataFrame:

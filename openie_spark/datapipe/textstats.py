@@ -25,21 +25,32 @@ FP_MULT = 31
 TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
+def _ppm(num, den):
+    """round-half-up(num/den * 1e6) in exact integer arithmetic —
+    engine-portable (double rounding of x.xxxxxx5 values differs
+    between Spark and DuckDB; integer floor((2a+b)/2b) does not)."""
+    return F.floor((2 * num.cast("long") * 1_000_000 + den) / (2 * den)).cast("long")
+
+
 def doc_stats(docs: DataFrame) -> DataFrame:
     """Per-doc counts + quality score in [0,1]: penalizes extreme
-    length, low alpha ratio, and stopword-free (unnatural) text."""
+    length, low alpha ratio, and stopword-free (unnatural) text.
+    All ratios are exact ppm integers scaled to double."""
     toks = tokens_of(F.col("text"))
     n_tok = F.size(toks)
     n_chars = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
     stop_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS_EN)))
-    mean_len = F.round((n_chars - (n_tok - 1)) / n_tok, 6)
-    alpha_ratio = F.round(alpha / F.greatest(n_chars, F.lit(1)), 6)
-    stop_ratio = F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6)
-    len_score = F.when((n_tok >= 10) & (n_tok <= 5000), 1.0).otherwise(0.5)
-    quality = F.round(
-        0.4 * len_score + 0.3 * alpha_ratio
-        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)), 6)
+    mean_len = _ppm(n_chars - (n_tok - 1), F.greatest(n_tok, F.lit(1))) / 1e6
+    alpha_ppm = _ppm(alpha, F.greatest(n_chars, F.lit(1)))
+    stop_ppm = _ppm(stop_hits, F.greatest(n_tok, F.lit(1)))
+    alpha_ratio = alpha_ppm / 1e6
+    stop_ratio = stop_ppm / 1e6
+    len_ppm = F.when((n_tok >= 10) & (n_tok <= 5000), 1_000_000).otherwise(500_000)
+    quality = (
+        4 * len_ppm + 3 * alpha_ppm
+        + 3 * F.least(5 * stop_ppm, F.lit(1_000_000).cast("long"))
+    ).cast("double") / 1e7
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),

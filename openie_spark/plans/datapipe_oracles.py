@@ -1,0 +1,304 @@
+"""DuckDB oracle SQL for the training-data pipeline operators
+(openie_spark.datapipe.*) over the driver's ``documents`` /
+``embeddings`` parquet views.
+
+Every hash in the engine (minhash slots, band hashes, simhash token
+hashes, fingerprints) is md5-derived exactly so these oracles can
+recompute the full LSH / sketch structures independently — see
+openie_spark/datapipe/hashing.py (md5h60). Numeric literals are cast
+to DOUBLE explicitly: DuckDB parses ``1.05`` as DECIMAL and would
+otherwise do float32/decimal math where Spark does float64. DuckDB
+lambda indices are 1-based where Spark's are 0-based.
+"""
+
+from __future__ import annotations
+
+from openie_spark.datapipe.dedup import (
+    DOC_BANDS,
+    DOC_JACCARD,
+    DOC_ROWS,
+    PERTURB_DROP,
+    PLANT_OFFSET,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+)
+from openie_spark.datapipe.multimodal import FRAME_BYTES, FRAME_STRIDE, KINDS
+from openie_spark.datapipe.similarity import (
+    NEAR_DUP_COSINE,
+    PLANT_VEC_OFFSET,
+    QUERY_MOD,
+    TOPK,
+)
+from openie_spark.datapipe.textstats import (
+    FP_MULT,
+    FP_PRIME,
+    LANG_PROFILES,
+    STOPWORDS_EN,
+    TOKEN_RE,
+)
+
+
+def _md5h60(x: str) -> str:
+    return f"CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+_TOKS = "list_filter(string_split({c}, ' '), x -> x <> '')"
+
+# documents ∪ perturbed twins (drop every PERTURB_DROPth token) — the
+# deterministic near-dup ground truth, mirroring dedup.planted_docs.
+_PLANTED_CTE = f"""
+planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+         array_to_string(list_filter({_TOKS.format(c='text')},
+                                     (x, i) -> i % {PERTURB_DROP} <> 0), ' ') AS text
+  FROM documents
+)"""
+
+# word-3-gram shingles (distinct; whole-token-list fallback for short docs)
+_SHINGLES_CTE = f"""
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+  FROM (SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM planted)
+)"""
+
+_JACCARD = ("CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+            " / (len({a}) + len({b}) - len(list_intersect({a}, {b})))")
+
+
+# ------------------------------------------------------------- dedup
+
+def exact_dedup_sql() -> str:
+    return ("SELECT md5(text) AS text_hash, count(*) AS n_docs,"
+            " min(doc_id) AS keep_doc_id FROM documents GROUP BY 1")
+
+
+def ngram_pairs_sql() -> str:
+    j = _JACCARD.format(a="l.shingles", b="r.shingles")
+    return f"""WITH {_PLANTED_CTE}, {_SHINGLES_CTE}
+SELECT l.doc_id AS a, r.doc_id AS b, round({j}, 6) AS jaccard
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE {j} >= {DOC_JACCARD}"""
+
+
+def minhash_pairs_sql() -> str:
+    """Full minhash-LSH recomputation: signature slots → band hashes →
+    band-bucket self-join → exact-Jaccard verification."""
+    perm = DOC_BANDS * DOC_ROWS
+    slot_list = []
+    for k in range(perm):
+        h = _md5h60("s || '#%d'" % k)
+        slot_list.append(f"list_min(list_transform(shingles, s -> {h}))")
+    slots = ", ".join(slot_list)
+    band_exprs = ", ".join(
+        _md5h60(
+            "concat_ws(','," + ", ".join(
+                f"CAST(sig[{b * DOC_ROWS + r + 1}] AS VARCHAR)" for r in range(DOC_ROWS)
+            ) + ")"
+        )
+        for b in range(DOC_BANDS)
+    )
+    j = _JACCARD.format(a="sa", b="sb")
+    return f"""WITH {_PLANTED_CTE}, {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id, shingles, [{slots}] AS sig FROM sh
+),
+banded AS MATERIALIZED (
+  SELECT doc_id, shingles, b AS band_idx, list_extract([{band_exprs}], b + 1) AS band_hash
+  FROM sigs, range(0, {DOC_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         l.shingles AS sa, r.shingles AS sb
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)
+SELECT a, b, round({j}, 6) AS jaccard FROM cand WHERE {j} >= {DOC_JACCARD}"""
+
+
+def _simhash_ctes() -> str:
+    """planted → per-doc 60-bit simhash via per-bit majority vote."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN COALESCE(v{b}, 0) >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""{_PLANTED_CTE},
+tokh AS (
+  SELECT doc_id, {_md5h60('u.w')} AS hv
+  FROM (SELECT doc_id, unnest({_TOKS.format(c='text')}) AS w FROM planted) u(doc_id, w)
+),
+votes AS (SELECT doc_id, {votes} FROM tokh GROUP BY doc_id),
+sim AS MATERIALIZED (
+  SELECT p.doc_id, {combine} AS simhash
+  FROM (SELECT DISTINCT doc_id FROM planted) p LEFT JOIN votes v USING (doc_id)
+)"""
+
+
+def simhash_sql() -> str:
+    return f"WITH {_simhash_ctes()}\nSELECT doc_id, simhash FROM sim"
+
+
+def simhash_pairs_sql() -> str:
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""WITH {_simhash_ctes()},
+banded AS (
+  SELECT doc_id, simhash, b AS band_idx,
+         (simhash >> (b * {SIMHASH_BAND_BITS})) & {mask} AS band_val
+  FROM sim, range(0, {n_bands}) t(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS ha, r.simhash AS hb
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}"""
+
+
+# --------------------------------------------------------- textstats
+
+def _ppm_sql(num: str, den: str) -> str:
+    """Integer round-half-up ppm — mirrors textstats._ppm exactly."""
+    return f"(2 * CAST({num} AS BIGINT) * 1000000 + {den}) // (2 * {den})"
+
+
+def doc_stats_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    alpha_ppm = _ppm_sql("alpha", "greatest(n_chars, 1)")
+    stop_ppm = _ppm_sql("stop_hits", "greatest(n_tokens, 1)")
+    mean_ppm = _ppm_sql("n_chars - (n_tokens - 1)", "greatest(n_tokens, 1)")
+    return f"""WITH b AS (
+  SELECT doc_id, text, {_TOKS.format(c='text')} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT) AS alpha,
+         len(list_filter(toks, x -> lower(x) IN ({stops}))) AS stop_hits
+  FROM b
+),
+p AS (
+  SELECT doc_id, n_tokens, n_chars,
+         {alpha_ppm} AS alpha_ppm, {stop_ppm} AS stop_ppm, {mean_ppm} AS mean_ppm,
+         CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1000000 ELSE 500000 END AS len_ppm
+  FROM c
+)
+SELECT doc_id, n_tokens, n_chars,
+       CAST(mean_ppm AS DOUBLE) / 1e6 AS mean_word_len,
+       CAST(alpha_ppm AS DOUBLE) / 1e6 AS alpha_ratio,
+       CAST(stop_ppm AS DOUBLE) / 1e6 AS stopword_ratio,
+       CAST(4 * len_ppm + 3 * alpha_ppm
+            + 3 * least(5 * stop_ppm, 1000000) AS DOUBLE) / 1e7 AS quality
+FROM p"""
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    scores = ", ".join(
+        "CAST(len(list_filter(toks, x -> x IN ({w}))) AS INT) AS s_{l}".format(
+            w=", ".join(f"'{x}'" for x in LANG_PROFILES[lang]), l=lang)
+        for lang in langs
+    )
+    # argmax with alphabetically-first tie-break (matches the struct-max
+    # in textstats.lang_id)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:]) or "TRUE"
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = " ".join(branches[:-1]) + f" ELSE '{langs[-1]}'"
+    gmax = ", ".join(f"s_{lang}" for lang in langs)
+    sel = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""WITH t AS (
+  SELECT doc_id, lang, {_TOKS.format(c='lower(text)')} AS toks FROM documents
+),
+scored AS (SELECT doc_id, lang, {scores} FROM t)
+SELECT doc_id, lang, {sel},
+       CASE WHEN greatest({gmax}) = 0 THEN 'und' {case} END AS lang_pred
+FROM scored"""
+
+
+def token_count_sql() -> str:
+    return f"""SELECT doc_id,
+       CAST(len({_TOKS.format(c='text')}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS re_units
+FROM documents"""
+
+
+def fingerprint_sql() -> str:
+    return f"""WITH t AS (
+  SELECT doc_id,
+         list_transform({_TOKS.format(c='text')},
+                        s -> {_md5h60('s')} % {FP_PRIME}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN CAST(0 AS BIGINT)
+            ELSE list_reduce(hs, (a, b) -> (a * {FP_MULT} + b) % {FP_PRIME}) END AS fp
+FROM t"""
+
+
+# -------------------------------------------------------- similarity
+
+_UNIT_CTE = """
+ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM {src}),
+un AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS unit FROM ve
+)"""
+
+
+def brute_topk_sql_oracle() -> str:
+    return f"""WITH {_UNIT_CTE.format(src='embeddings')}
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+  SELECT q.q_id, c.vec_id,
+         round(list_inner_product(q.q_vec, c.unit), 6) AS cos,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY round(list_inner_product(q.q_vec, c.unit), 6) DESC,
+                                     c.vec_id ASC) AS rank
+  FROM (SELECT vec_id AS q_id, unit AS q_vec FROM un WHERE vec_id % {QUERY_MOD} = 0) q
+  CROSS JOIN un c
+  WHERE c.vec_id <> q.q_id
+) WHERE rank <= {TOPK}"""
+
+
+_PLANTED_EMB_CTE = f"""
+pe AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_VEC_OFFSET} AS vec_id,
+         list_transform(embedding,
+           (x, i) -> CASE WHEN i = 1 THEN CAST(x AS DOUBLE) * CAST(1.05 AS DOUBLE)
+                          ELSE CAST(x AS DOUBLE) END) AS embedding
+  FROM embeddings
+)"""
+
+
+def embedding_pairs_sql() -> str:
+    return f"""WITH {_PLANTED_EMB_CTE}, {_UNIT_CTE.format(src='pe')}
+SELECT a, b, cos FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         round(list_inner_product(l.unit, r.unit), 6) AS cos
+  FROM un l JOIN un r ON l.vec_id < r.vec_id
+) WHERE cos >= {NEAR_DUP_COSINE}"""
+
+
+# -------------------------------------------------------- multimodal
+
+def media_frames_sql() -> str:
+    video_mod = KINDS.index("video")
+    return f"""
+SELECT media_id, CAST(f AS INT) AS frame_idx,
+       CAST(least({FRAME_BYTES}, nb - f * {FRAME_BYTES}) AS INT) AS n_bytes
+FROM (SELECT doc_id AS media_id, strlen(text) AS nb
+      FROM documents WHERE doc_id % {len(KINDS)} = {video_mod}) m,
+     unnest(range(0, (nb + {FRAME_BYTES - 1}) // {FRAME_BYTES}, {FRAME_STRIDE})) u(f)"""

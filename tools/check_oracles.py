@@ -1,7 +1,8 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
 the same sf dir; compare row count, column names, and an
-order-insensitive value hash. Usage: python tools/check_oracles.py [sf_dir]
+order-insensitive value hash.
+Usage: python tools/check_oracles.py [sf_dir] [name_prefix]
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ def _norm(v):
     return str(v)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, prefix: str = "") -> int:
     from openie_spark.session import get_spark
 
     import __spark_entry__ as e
@@ -56,6 +57,8 @@ def main(sf_dir: str) -> int:
     qs, os_ = e.queries(), e.oracle_sql()
     fail = 0
     for name, fn in qs.items():
+        if prefix and not name.startswith(prefix):
+            continue
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = sdf.columns
@@ -90,4 +93,5 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  sys.argv[2] if len(sys.argv) > 2 else ""))
