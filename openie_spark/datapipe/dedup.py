@@ -94,21 +94,37 @@ def minhash_pairs_docs(docs: DataFrame,
                        threshold: float = DOC_JACCARD,
                        bands: int = DOC_BANDS, rows: int = DOC_ROWS) -> DataFrame:
     """(a, b, jaccard): LSH candidates verified with exact n-gram
-    Jaccard. a/b are doc_ids, a < b."""
-    sh = _with_shingles(docs)
-    banded = sh.select(
-        "doc_id", "shingles",
-        F.posexplode(
-            band_hashes_md5(minhash_sig_md5(F.col("shingles"), bands * rows), bands, rows)
-        ).alias("band_idx", "band_hash"),
+    Jaccard. a/b are doc_ids, a < b.
+
+    Plan shape (scale-deliberate): the md5-heavy signature projection
+    runs ONCE per doc behind an exchange barrier (spread = full-core
+    parallelism AND no projection collapse into the 8-way band
+    explode); the band self-join carries only (doc_id, band hash) —
+    candidate (a, b) pairs dedup WITHOUT the shingle arrays in the
+    shuffle, and shingles re-attach afterwards by doc_id join for the
+    exact-Jaccard verify."""
+    from openie_spark.functions.partitioning import spread
+
+    sh = _with_shingles(spread(docs, "doc_id"))
+    sig = spread(
+        sh.select("doc_id", minhash_sig_md5(F.col("shingles"), bands * rows).alias("sig")),
+        "doc_id",
     )
-    left = banded.select("band_idx", "band_hash", F.col("doc_id").alias("a"), F.col("shingles").alias("sa"))
-    right = banded.select("band_idx", "band_hash", F.col("doc_id").alias("b"), F.col("shingles").alias("sb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    return (
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(band_hashes_md5(F.col("sig"), bands, rows)).alias("band_idx", "band_hash"),
+    )
+    left = banded.select("band_idx", "band_hash", F.col("doc_id").alias("a"))
+    right = banded.select("band_idx", "band_hash", F.col("doc_id").alias("b"))
+    cand = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sa", "sb").distinct()
+        .select("a", "b").distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb")), "b")
         .withColumn("jaccard", inter / (F.size("sa") + F.size("sb") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
@@ -118,7 +134,9 @@ def minhash_pairs_docs(docs: DataFrame,
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = DOC_JACCARD) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (cross join) — the small-scale
     ground truth; quadratic by construction, use the LSH path at scale."""
-    sh = _with_shingles(docs)
+    from openie_spark.functions.partitioning import spread
+
+    sh = _with_shingles(spread(docs, "doc_id"))
     left = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa"))
     right = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
@@ -158,7 +176,10 @@ def simhash_col(tokens: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 def simhash_docs(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", simhash_col(tokens_of(F.col("text"))).alias("simhash"))
+    from openie_spark.functions.partitioning import spread
+
+    return spread(docs, "doc_id").select(
+        "doc_id", simhash_col(tokens_of(F.col("text"))).alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:

@@ -146,8 +146,10 @@ def lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
              planes: int = LSH_PLANES, bands: int = LSH_PLANE_BANDS) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing ≥1 sketch band
     with the query; exact rescoring within candidates."""
+    from openie_spark.functions.partitioning import spread
+
     dim = len(emb.select("embedding").first()[0])
-    e = lsh_sketch(with_unit(emb), dim, planes)
+    e = lsh_sketch(with_unit(spread(emb, "vec_id")), dim, planes)
     band_bits = planes // bands
     mask = (1 << band_bits) - 1
 
@@ -191,7 +193,9 @@ def planted_embeddings(emb: DataFrame) -> DataFrame:
 def embedding_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COSINE) -> DataFrame:
     """Cosine near-duplicate pairs (a < b) — exact all-pairs variant
     (DuckDB-checked); at scale reuse lsh_topk's bucket join instead."""
-    e = with_unit(emb)
+    from openie_spark.functions.partitioning import spread
+
+    e = with_unit(spread(emb, "vec_id"))
     left = e.select(F.col("vec_id").alias("a"), F.col("unit").alias("ua"))
     right = e.select(F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
     return (

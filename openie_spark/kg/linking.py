@@ -125,9 +125,15 @@ def minhash_signature(norm: Column, num_perm: int = MINHASH_PERM) -> Column:
 
 
 def lsh_buckets(vocab: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
-    """vocab → (band_idx, band_hash, norm, tokens): one row per band."""
-    sig = minhash_signature(F.col("norm"))
-    banded = vocab.select(
+    """vocab → (band_idx, band_hash, norm, tokens): one row per band.
+
+    The signature is materialized as its own column BEFORE the band
+    explode (the Generate node references the attribute, so the
+    num_perm × per-shingle hashing runs once per mention, not once per
+    band element)."""
+    sigd = vocab.select("norm", "tokens", minhash_signature(F.col("norm")).alias("sig"))
+    sig = F.col("sig")
+    return sigd.select(
         "norm", "tokens",
         F.posexplode(
             F.array(*[
@@ -136,7 +142,6 @@ def lsh_buckets(vocab: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) 
             ])
         ).alias("band_idx", "band_hash"),
     )
-    return banded
 
 
 def minhash_pairs(vocab: DataFrame, threshold: float = LINK_JACCARD,
