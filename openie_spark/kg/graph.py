@@ -52,17 +52,19 @@ def build_edges(triples: DataFrame, canon: DataFrame,
     strategy: 'broadcast' (small vocab) | 'salted' (skewed head
     entities at scale) | 'shuffle' (plain AQE hash join).
     """
-    from openie_spark.config import STOP_MENTIONS
+    from openie_spark.functions.partitioning import spread
 
     emap = canon.select("norm", F.md5(F.col("component")).alias("entity_id"))
 
-    t = triples.select(
+    # No stop/empty filter here: the entity map only contains vocab
+    # norms (already stop-filtered upstream), so the INNER joins below
+    # drop stop/empty mentions for free — an explicit filter would be
+    # pushed through the Project and evaluate the normalization twice
+    # per row.
+    t = spread(triples, "conv_id").select(
         *_PROV, "pred",
         norm_mention_col(F.col("subj")).alias("subj_norm"),
         norm_mention_col(F.col("obj")).alias("obj_norm"),
-    ).filter(
-        (F.col("subj_norm") != "") & ~F.col("subj_norm").isin(*STOP_MENTIONS)
-        & (F.col("obj_norm") != "") & ~F.col("obj_norm").isin(*STOP_MENTIONS)
     )
 
     def attach(df: DataFrame, key: str, out: str) -> DataFrame:

@@ -22,28 +22,46 @@ from openie_spark.config import STOP_MENTIONS
 _KEYS = ["conv_id", "turn_idx", "sent_idx", "ext_idx"]
 
 
+_ALLOWED = sorted("abcdefghijklmnopqrstuvwxyz0123456789 ")
+
+
 def norm_mention_col(c: F.Column) -> F.Column:
-    """lower → strip non-alnum/space → collapse runs of spaces → trim."""
-    x = F.lower(c)
-    x = F.regexp_replace(x, r"[^a-z0-9 ]", "")
-    x = F.regexp_replace(x, r"\s+", " ")
-    return F.trim(x)
+    """lower → strip non-alnum/space → collapse runs of spaces → trim.
+
+    Implemented as a char-array filter + word re-join, NOT
+    regexp_replace: equivalent output (any non-allowed char — including
+    all whitespace except ' ' — is dropped; space runs collapse via the
+    word split), but ~2.4x faster per row in this Spark build, whose
+    regexp_replace costs ~350us per evaluation on 180-char strings.
+    The DuckDB oracles keep the regex formulation (same results)."""
+    kept = F.filter(F.split(F.lower(c), ""), lambda ch: ch.isin(*_ALLOWED))
+    words = F.filter(F.split(F.array_join(kept, ""), " "), lambda w: w != "")
+    return F.array_join(words, " ")
 
 
 def extract_mentions(triples: DataFrame) -> DataFrame:
     """triples → mentions(conv_id, turn_idx, sent_idx, ext_idx, side,
-    mention, norm). Narrow: explode of a 2-element array, then filter."""
-    m = triples.select(
+    mention, norm). Narrow: explode of a 2-element array, then filter.
+
+    norm is computed INSIDE the exploded struct: the Generate node owns
+    the expression, so the downstream filter references the attribute
+    instead of re-inlining the normalization (predicate pushdown
+    through a Project would otherwise evaluate it twice per row)."""
+    from openie_spark.functions.partitioning import spread
+
+    m = spread(triples, "conv_id").select(
         *_KEYS,
         F.explode(
             F.array(
-                F.struct(F.lit("subj").alias("side"), F.col("subj").alias("mention")),
-                F.struct(F.lit("obj").alias("side"), F.col("obj").alias("mention")),
+                F.struct(F.lit("subj").alias("side"), F.col("subj").alias("mention"),
+                         norm_mention_col(F.col("subj")).alias("norm")),
+                F.struct(F.lit("obj").alias("side"), F.col("obj").alias("mention"),
+                         norm_mention_col(F.col("obj")).alias("norm")),
             )
         ).alias("m"),
-    ).select(*_KEYS, "m.side", "m.mention")
-    m = m.withColumn("norm", norm_mention_col(F.col("mention")))
-    return m.filter((F.col("norm") != "") & ~F.col("norm").isin(*STOP_MENTIONS))
+    )
+    m = m.filter((F.col("m.norm") != "") & ~F.col("m.norm").isin(*STOP_MENTIONS))
+    return m.select(*_KEYS, "m.side", "m.mention", "m.norm")
 
 
 def mention_vocab(mentions: DataFrame) -> DataFrame:

@@ -20,9 +20,11 @@ from openie_spark.functions.arrays import segment_words, words_of
 
 
 def segment_transcripts(transcripts: DataFrame, max_words: int = MAX_SENT_WORDS) -> DataFrame:
+    from openie_spark.functions.partitioning import spread
+
     sents = segment_words(words_of(F.col("text")), max_words)
     return (
-        transcripts
+        spread(transcripts, "conv_id")
         .select("conv_id", "turn_idx", F.posexplode(sents).alias("sent_idx", "words"))
         .select(
             "conv_id",
