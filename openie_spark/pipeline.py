@@ -126,17 +126,19 @@ class KGPipeline:
         df.write.mode("overwrite").parquet(sd)
         out = self.spark.read.parquet(sd)
 
-        rows = out.count()
-        per_bucket = {}
+        # ONE scan for all lineage stats: per-bucket counts + conv range
+        # come from a single grouped aggregate (rows = their sum).
+        aggs = [F.count(F.lit(1)).alias("n")]
+        has_conv = "conv_id" in out.columns
+        if has_conv:
+            aggs += [F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi")]
+        group = ["bucket"] if bucket_col is not None else []
+        stats = out.groupBy(*group).agg(*aggs).collect()
+        rows = sum(r.n for r in stats)
+        per_bucket = {int(r.bucket): r.n for r in stats} if bucket_col is not None else {}
         conv_range = None
-        if bucket_col is not None:
-            per_bucket = {
-                int(r.bucket): r.n
-                for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
-        if "conv_id" in out.columns:
-            rng = out.agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi")).collect()[0]
-            conv_range = [rng.lo, rng.hi]
+        if has_conv and stats:
+            conv_range = [min(r.lo for r in stats), max(r.hi for r in stats)]
         manifest = {
             "stage": name,
             "status": "complete",
