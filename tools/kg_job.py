@@ -38,11 +38,16 @@ def main() -> None:
     ap.add_argument("--master", default=None,
                     help="Override master (local runs). Under spark-submit leave unset.")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--driver-memory",
+                    default=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+                    help="Heap for local-mode runs (local = all tasks share "
+                         "the driver JVM). Ignored under spark-submit --deploy-mode cluster.")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    builder = SparkSession.builder.appName("openie-kg-job")
+    builder = (SparkSession.builder.appName("openie-kg-job")
+               .config("spark.driver.memory", args.driver_memory))
     if args.master:
         builder = builder.master(args.master)
     spark = builder.getOrCreate()
