@@ -220,9 +220,13 @@ def _q_dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dp_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openie_spark.datapipe.dedup import ngram_jaccard_pairs, planted_docs
+    """Exact all-pairs ground truth — quadratic by design, so the query
+    caps the corpus at a deterministic doc_id slice (the LSH paths
+    below run uncapped; this one exists to verify them)."""
+    from openie_spark.datapipe.dedup import NGRAM_CAP, ngram_jaccard_pairs, planted_docs
 
-    return ngram_jaccard_pairs(planted_docs(_docs(spark, sf_dir)))
+    return ngram_jaccard_pairs(
+        planted_docs(_docs(spark, sf_dir).filter(F.col("doc_id") < NGRAM_CAP)))
 
 
 def _q_dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

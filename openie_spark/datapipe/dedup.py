@@ -46,6 +46,7 @@ SIMHASH_BAND_BITS = 15
 SIMHASH_MAX_HAMMING = 6
 PLANT_OFFSET = 10_000_000
 PERTURB_DROP = 15
+NGRAM_CAP = 1000      # doc_id cap for the quadratic exact-pairs oracle
 
 
 # ------------------------------------------------------------ exact

@@ -45,27 +45,34 @@ def build_nodes(canon: DataFrame) -> DataFrame:
     )
 
 
-def build_edges(triples: DataFrame, canon: DataFrame,
-                strategy: str = "broadcast") -> DataFrame:
-    """triples ⋈ entity map (subj side, obj side) → edges.
-
-    strategy: 'broadcast' (small vocab) | 'salted' (skewed head
-    entities at scale) | 'shuffle' (plain AQE hash join).
-    """
+def norm_triples(triples: DataFrame) -> DataFrame:
+    """triples → (prov keys, pred, subj_norm, obj_norm): mention
+    normalization evaluated EXACTLY ONCE per triple. The pipeline
+    materializes this table so both the vocabulary aggregation and the
+    edge joins consume pre-normalized strings — normalization is the
+    single most expensive per-row operation at occurrence scale and
+    must never run twice."""
     from openie_spark.functions.partitioning import spread
 
-    emap = canon.select("norm", F.md5(F.col("component")).alias("entity_id"))
-
-    # No stop/empty filter here: the entity map only contains vocab
-    # norms (already stop-filtered upstream), so the INNER joins below
-    # drop stop/empty mentions for free — an explicit filter would be
-    # pushed through the Project and evaluate the normalization twice
-    # per row.
-    t = spread(triples, "conv_id").select(
+    return spread(triples, "conv_id").select(
         *_PROV, "pred",
         norm_mention_col(F.col("subj")).alias("subj_norm"),
         norm_mention_col(F.col("obj")).alias("obj_norm"),
     )
+
+
+def build_edges_from_norm(tn: DataFrame, canon: DataFrame,
+                          strategy: str = "broadcast") -> DataFrame:
+    """pre-normalized triples ⋈ entity map (subj side, obj side) →
+    edges. Pure joins — no string work.
+
+    strategy: 'broadcast' (small vocab) | 'salted' (skewed head
+    entities at scale) | 'shuffle' (plain AQE hash join).
+
+    No stop/empty filter: the entity map only contains vocab norms
+    (already stop-filtered upstream), so the INNER joins drop
+    stop/empty mentions for free."""
+    emap = canon.select("norm", F.md5(F.col("component")).alias("entity_id"))
 
     def attach(df: DataFrame, key: str, out: str) -> DataFrame:
         m = emap.withColumnsRenamed({"norm": key, "entity_id": out})
@@ -75,8 +82,16 @@ def build_edges(triples: DataFrame, canon: DataFrame,
             return salted_equi_join(df, m, key)
         return df.join(m, key)
 
-    edges = attach(attach(t, "subj_norm", "src_id"), "obj_norm", "dst_id")
+    edges = attach(attach(tn, "subj_norm", "src_id"), "obj_norm", "dst_id")
     return edges.select("src_id", "dst_id", "pred", *_PROV)
+
+
+def build_edges(triples: DataFrame, canon: DataFrame,
+                strategy: str = "broadcast") -> DataFrame:
+    """Convenience composition for one-shot queries: normalize + join.
+    The batch pipeline uses norm_triples / build_edges_from_norm with
+    the normalized table materialized between them."""
+    return build_edges_from_norm(norm_triples(triples), canon, strategy)
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:

@@ -64,6 +64,23 @@ def extract_mentions(triples: DataFrame) -> DataFrame:
     return m.select(*_KEYS, "m.side", "m.mention", "m.norm")
 
 
+def mentions_from_norm(tn: DataFrame) -> DataFrame:
+    """Pre-normalized triples (graph.norm_triples output) → mention
+    occurrences. Same rows as extract_mentions(triples) minus the raw
+    surface form — zero string work (norm already computed)."""
+    m = tn.select(
+        *_KEYS,
+        F.explode(
+            F.array(
+                F.struct(F.lit("subj").alias("side"), F.col("subj_norm").alias("norm")),
+                F.struct(F.lit("obj").alias("side"), F.col("obj_norm").alias("norm")),
+            )
+        ).alias("m"),
+    )
+    m = m.filter((F.col("m.norm") != "") & ~F.col("m.norm").isin(*STOP_MENTIONS))
+    return m.select(*_KEYS, "m.side", "m.norm")
+
+
 def mention_vocab(mentions: DataFrame) -> DataFrame:
     """Distinct normalized mentions with occurrence counts — the
     linking working set. One hash-agg shuffle on norm."""

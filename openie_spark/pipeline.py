@@ -159,9 +159,9 @@ class KGPipeline:
 
     def run(self, resume: bool = True) -> dict:
         from openie_spark.kg.canon import canonical_map, connected_components
-        from openie_spark.kg.graph import build_edges, build_nodes
+        from openie_spark.kg.graph import build_edges_from_norm, build_nodes, norm_triples
         from openie_spark.kg.linking import exact_pairs, minhash_pairs, skew_stats
-        from openie_spark.kg.mentions import extract_mentions, mention_vocab
+        from openie_spark.kg.mentions import mention_vocab, mentions_from_norm
         from openie_spark.operators.extract import extract_triples
         from openie_spark.sources.transcripts import read_transcripts
 
@@ -173,10 +173,16 @@ class KGPipeline:
             lambda: extract_triples(read_transcripts(spark, self.input_dir), backend=self.backend),
             "conv_id", [], resume,
         )
+        # normalization materialized ONCE; vocab and edges reuse it
+        tnorm = self._run_stage(
+            "triples_norm",
+            lambda: norm_triples(triples.drop("bucket")),
+            "conv_id", ["triples"], resume,
+        )
         vocab = self._run_stage(
             "vocab",
-            lambda: mention_vocab(extract_mentions(triples)),
-            "norm", ["triples"], resume,
+            lambda: mention_vocab(mentions_from_norm(tnorm.drop("bucket"))),
+            "norm", ["triples_norm"], resume,
             extra_metrics=lambda out: {
                 "skew": skew_stats(out.drop("bucket")).collect()[0].asDict()
             },
@@ -199,11 +205,11 @@ class KGPipeline:
         )
         edges = self._run_stage(
             "edges",
-            lambda: build_edges(
-                triples.drop("bucket"), components.drop("bucket"),
+            lambda: build_edges_from_norm(
+                tnorm.drop("bucket"), components.drop("bucket"),
                 strategy="salted" if self.pair_mode == "minhash" else "broadcast",
             ),
-            "src_id", ["triples", "components"], resume,
+            "src_id", ["triples_norm", "components"], resume,
         )
 
         total = round(time.time() - t_total, 3)

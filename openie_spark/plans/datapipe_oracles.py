@@ -79,8 +79,12 @@ def exact_dedup_sql() -> str:
 
 
 def ngram_pairs_sql() -> str:
+    from openie_spark.datapipe.dedup import NGRAM_CAP
+
     j = _JACCARD.format(a="l.shingles", b="r.shingles")
-    return f"""WITH {_PLANTED_CTE}, {_SHINGLES_CTE}
+    planted_capped = _PLANTED_CTE.replace(
+        "FROM documents", f"FROM documents WHERE doc_id < {NGRAM_CAP}")
+    return f"""WITH {planted_capped}, {_SHINGLES_CTE}
 SELECT l.doc_id AS a, r.doc_id AS b, round({j}, 6) AS jaccard
 FROM sh l JOIN sh r ON l.doc_id < r.doc_id
 WHERE {j} >= {DOC_JACCARD}"""

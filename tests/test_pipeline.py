@@ -27,7 +27,8 @@ def test_pipeline_summary_counts(pipeline_out):
     assert summary["nodes"] > 0
     assert summary["edges"] > 0
     assert summary["triples_per_sec"] > 0
-    assert set(summary["stages"]) == {"triples", "vocab", "pairs", "components", "nodes", "edges"}
+    assert set(summary["stages"]) == {
+        "triples", "triples_norm", "vocab", "pairs", "components", "nodes", "edges"}
 
 
 def test_manifests_lineage(pipeline_out):
