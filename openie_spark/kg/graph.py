@@ -51,13 +51,16 @@ def norm_triples(triples: DataFrame) -> DataFrame:
     materializes this table so both the vocabulary aggregation and the
     edge joins consume pre-normalized strings — normalization is the
     single most expensive per-row operation at occurrence scale and
-    must never run twice."""
+    must never run twice. Uses the Arrow pandas normalizer (see
+    mentions.norm_mention_udf for the measurement-backed choice)."""
     from openie_spark.functions.partitioning import spread
+    from openie_spark.kg.mentions import norm_mention_udf
 
+    norm = norm_mention_udf()
     return spread(triples, "conv_id").select(
         *_PROV, "pred",
-        norm_mention_col(F.col("subj")).alias("subj_norm"),
-        norm_mention_col(F.col("obj")).alias("obj_norm"),
+        norm(F.col("subj")).alias("subj_norm"),
+        norm(F.col("obj")).alias("obj_norm"),
     )
 
 

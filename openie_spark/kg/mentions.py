@@ -25,6 +25,35 @@ _KEYS = ["conv_id", "turn_idx", "sent_idx", "ext_idx"]
 _ALLOWED = sorted("abcdefghijklmnopqrstuvwxyz0123456789 ")
 
 
+def norm_mention_udf():
+    """Arrow-batched pandas normalizer — identical output to
+    norm_mention_col (tests pin equality). Used on the occurrence-scale
+    hot path (kg.graph.norm_triples): Python workers are separate
+    processes, so at high thread counts this sidesteps the single-JVM
+    GC wall the char-array expression hits in local mode (measured:
+    chars 65s@8 -> 31s@32 on 10.6M norms — GC-bound 2.1x; pandas
+    27s@8 -> 20s@32 with ~8s fixed startup, marginal cost ~4x).
+    On a real multi-executor cluster both scale; pandas is also ~2x
+    cheaper per row."""
+    import re
+
+    import pandas as pd
+
+    rx = re.compile(r"[^a-z0-9 ]")
+    ws = re.compile(r" +")
+
+    def norm(s: "pd.Series") -> "pd.Series":
+        return (
+            s.str.lower().str.replace(rx, "", regex=True)
+            .str.replace(ws, " ", regex=True).str.strip()
+        )
+
+    # explicit returnType; annotation-based inference would need pd in
+    # the module namespace (PEP 563 string hints)
+    norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(norm, "string")
+
+
 def norm_mention_col(c: F.Column) -> F.Column:
     """lower → strip non-alnum/space → collapse runs of spaces → trim.
 

@@ -145,3 +145,26 @@ def test_component_determinism(spark):
     c1 = sorted(map(tuple, connected_components(pairs).collect()))
     c2 = sorted(map(tuple, connected_components(pairs).collect()))
     assert c1 == c2
+
+
+def test_norm_impls_agree(spark):
+    """The codegen char-filter normalizer (query path) and the Arrow
+    pandas normalizer (pipeline hot path) must be interchangeable."""
+    from pyspark.sql import functions as F
+
+    from openie_spark.kg.mentions import norm_mention_col, norm_mention_udf
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import read_transcripts
+
+    t = extract_triples(read_transcripts(spark, "/root/testdata/sf0.001"))
+    hostile = spark.createDataFrame(
+        [("", ""), ("  ", "\t"), ("!!!", "a  b   c"), ("MiXeD CaSe!", "x-y_z.9"),
+         ("tab\tand\nnewline", " lead and trail ")],
+        "subj string, obj string")
+    probe = t.select("subj", "obj").unionByName(hostile)
+    udf = norm_mention_udf()
+    diff = probe.select(
+        F.when(norm_mention_col(F.col("subj")) != udf("subj"), 1).otherwise(0).alias("d1"),
+        F.when(norm_mention_col(F.col("obj")) != udf("obj"), 1).otherwise(0).alias("d2"),
+    ).agg(F.sum("d1").alias("a"), F.sum("d2").alias("b")).collect()[0]
+    assert (diff.a, diff.b) == (0, 0)

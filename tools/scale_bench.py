@@ -72,7 +72,7 @@ def run_job(input_dir: str, output_dir: str, cpus: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--copies", type=int, default=20)
+    ap.add_argument("--copies", type=int, default=250)
     ap.add_argument("--cpus", default="8,32")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--workdir", default="/tmp/openie_scale")
