@@ -168,3 +168,19 @@ def test_norm_impls_agree(spark):
         F.when(norm_mention_col(F.col("obj")) != udf("obj"), 1).otherwise(0).alias("d2"),
     ).agg(F.sum("d1").alias("a"), F.sum("d2").alias("b")).collect()[0]
     assert (diff.a, diff.b) == (0, 0)
+
+
+def test_cc_driver_and_distributed_agree(spark):
+    """The scale-adaptive union-find and the iterative min-label joins
+    must produce the identical (norm, component) labeling."""
+    from openie_spark.kg.canon import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("q", "q2"), ("y", "z"), ("m", "n"), ("n", "a")],
+        "a string, b string")
+    fast = {(r.norm, r.component) for r in connected_components(pairs).collect()}
+    slow = {(r.norm, r.component)
+            for r in connected_components(pairs, driver_threshold=0).collect()}
+    assert fast == slow
+    comp = dict(fast)
+    assert comp["c"] == "a" and comp["m"] == "a" and comp["z"] == "x" and comp["q2"] == "q"

@@ -42,12 +42,23 @@ def main() -> None:
                     default=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
                     help="Heap for local-mode runs (local = all tasks share "
                          "the driver JVM). Ignored under spark-submit --deploy-mode cluster.")
+    ap.add_argument("--max-cores", type=int, default=None,
+                    help="spark.cores.max — with a standalone master and "
+                         "--executor-cores C this fixes the executor count at "
+                         "max_cores/C (the N vs 4N lever).")
+    ap.add_argument("--executor-cores", type=int, default=8)
+    ap.add_argument("--executor-memory", default="16g")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     builder = (SparkSession.builder.appName("openie-kg-job")
                .config("spark.driver.memory", args.driver_memory))
+    if args.max_cores:
+        builder = (builder
+                   .config("spark.cores.max", str(args.max_cores))
+                   .config("spark.executor.cores", str(args.executor_cores))
+                   .config("spark.executor.memory", args.executor_memory))
     if args.master:
         builder = builder.master(args.master)
     spark = builder.getOrCreate()

@@ -72,8 +72,12 @@ def run_job(input_dir: str, output_dir: str, cpus: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--copies", type=int, default=250)
-    ap.add_argument("--cpus", default="8,32")
+    ap.add_argument("--copies", type=int, default=100)
+    # Default N=2 vs 4N=8 cores: above ~8 threads this box saturates
+    # DRAM bandwidth in one JVM (local[32] work inflates ~2x, CPU busy
+    # but not faster) — see BENCH/BASELINE.md for the three-experiment
+    # decomposition (2->8 cores, 8->32 threads, 1->4 executor JVMs).
+    ap.add_argument("--cpus", default="2,8")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--workdir", default="/tmp/openie_scale")
     args = ap.parse_args()
