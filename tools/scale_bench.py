@@ -157,7 +157,9 @@ Notes
 * Generated by `python tools/scale_bench.py --copies {args.copies} --cpus {lo},{hi}`.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BENCH/BASELINE.md is the curated multi-methodology report; a
+    # fresh run records its raw result next to it.
+    with open(os.path.join(REPO, "BENCH", "scale_bench_last_run.md"), "w") as f:
         f.write(md)
     print(json.dumps(report, sort_keys=True))
 
