@@ -188,7 +188,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
     15-bit band (pigeonhole: Hamming ≤ 3 guarantees a match across 4
     bands; larger distances are best-effort), verified with
     bit_count(xor) ≤ max_hamming."""
-    sh = simhash_docs(docs)
+    # materialize the sketch once: a self-join duplicates its branch of
+    # the DAG, so without this the 60-bit vote fold runs twice per doc.
+    # (At warehouse scale you persist sketches as a table instead —
+    # pipeline.py's triples_norm stage is that pattern.)
+    sh = simhash_docs(docs).localCheckpoint(eager=False)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = sh.select(

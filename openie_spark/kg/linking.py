@@ -149,7 +149,9 @@ def minhash_pairs(vocab: DataFrame, threshold: float = LINK_JACCARD,
     """LSH candidates verified with exact token-Jaccard. The self-join
     key (band_idx, band_hash) is uniform by construction — no skew cap
     needed; AQE still coalesces small buckets."""
-    b = lsh_buckets(linkable(vocab), bands, rows)
+    # materialized once: the self-join would otherwise evaluate the
+    # minhash-signature subtree on both sides
+    b = lsh_buckets(linkable(vocab), bands, rows).localCheckpoint(eager=False)
     left = b.select("band_idx", "band_hash", F.col("norm").alias("a"), F.col("tokens").alias("ta"))
     right = b.select("band_idx", "band_hash", F.col("norm").alias("b"), F.col("tokens").alias("tb"))
     return (
