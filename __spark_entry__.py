@@ -14,6 +14,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_PKG_ZIP: str | None = None
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make openie_spark importable on executor Python workers
+    regardless of the driver's cwd/PYTHONPATH: pandas-UDF closures
+    reference the module by name, and a vanilla session launched from
+    another directory has no way to import it. addPyFile distributes a
+    zip and prepends it to every worker's sys.path."""
+    global _PKG_ZIP
+    import os
+    import tempfile
+    import zipfile
+
+    if _PKG_ZIP is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+        zp = os.path.join(tempfile.mkdtemp(prefix="openie_spark_pkg"), "openie_spark.zip")
+        with zipfile.ZipFile(zp, "w") as z:
+            for dirpath, _, files in os.walk(os.path.join(root, "openie_spark")):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        _PKG_ZIP = zp
+    app = spark.sparkContext.applicationId
+    if app not in _SHIPPED:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+        _SHIPPED.add(app)
+
+
 def _tune(spark: SparkSession) -> SparkSession:
     """Driver may hand us a vanilla session; apply runtime-settable conf."""
     for k, v in {
@@ -22,6 +53,7 @@ def _tune(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
     }.items():
         spark.conf.set(k, v)
+    _ship_package(spark)
     return spark
 
 
