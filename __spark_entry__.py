@@ -126,6 +126,20 @@ def _q_turn_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triples_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused Arrow extraction backend — row-identical to
+    triples_extract (same DuckDB oracle), several times faster in this
+    Spark build (see operators/fast_extract.py)."""
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return extract_triples(
+        read_transcripts(_tune(spark), sf_dir), backend="rule_arrow"
+    ).select(
+        "conv_id", "turn_idx", "sent_idx", "ext_idx", "sent", "pred", "subj", "obj", "confidence"
+    )
+
+
 def _q_triples_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neural (numpy BiLSTM+CRF mapInPandas) extraction path — not
     SQL-expressible, driver records the weaker rows-only check."""
@@ -351,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_segment": _q_sentences,
         "predicate_spans": _q_spans,
         "triples_extract": _q_triples,
+        "triples_extract_arrow": _q_triples_arrow,
         "triples_extract_neural": _q_triples_neural,
         "carb_score_self": _q_carb_self,
         "carb_score_degraded": _q_carb_degraded,
@@ -389,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_segment": o.sentences_sql(),
         "predicate_spans": o.spans_sql(),
         "triples_extract": o.triples_sql(),
+        "triples_extract_arrow": o.triples_sql(),
         "carb_score_self": o.carb_self_sql(),
         "kg_mentions": o.kg_mentions_sql(),
         "kg_pairs_exact": o.kg_pairs_sql(),

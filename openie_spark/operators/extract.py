@@ -156,9 +156,20 @@ def assemble_triples_fast(fanned: DataFrame) -> DataFrame:
 
 
 def extract_triples(transcripts: DataFrame, backend: str = "rule", limit: int | None = None) -> DataFrame:
-    """transcripts → triples: the full extraction pipeline A→E."""
+    """transcripts → triples: the full extraction pipeline A→E.
+
+    backend: 'rule' (pure codegen column expressions) |
+    'rule_arrow' (same semantics fused into one mapInPandas — faster
+    in this Spark build, row-identical by tests/test_fast_extract.py) |
+    'neural' (numpy BiLSTM+CRF)."""
     from openie_spark.operators.sentences import segment_transcripts
 
+    if backend == "rule_arrow":
+        if limit is not None:
+            raise ValueError("rule_arrow implements the joint path (no span cap)")
+        from openie_spark.operators.fast_extract import extract_triples_arrow
+
+        return extract_triples_arrow(transcripts)
     sentences = segment_transcripts(transcripts)
     tagged = tag_predicates(sentences, backend=backend)
     if backend == "rule":

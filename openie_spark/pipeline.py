@@ -54,6 +54,7 @@ def model_version(backend: str) -> str:
         from openie_spark.model.weights import ARG_SEED, PRED_SEED, get_tagger
 
         return f"{get_tagger(PRED_SEED).version}+{get_tagger(ARG_SEED).version}"
+    # rule and rule_arrow are the same model (row-identical outputs)
     return "rule-v1"
 
 

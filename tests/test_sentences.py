@@ -72,3 +72,29 @@ def test_max_len_respected(spark):
     )
     out = segment_transcripts(t).collect()
     assert [r["n_words"] for r in sorted(out, key=lambda r: r["sent_idx"])] == [98, 98, 54]
+
+
+def test_hostile_turns_do_not_crash_pipeline(spark):
+    """Verify-skill probe set: null / empty / whitespace / punct-only /
+    all-predicate / >98-word turns must flow through the full
+    extraction without raising and without emitting phantom rows."""
+    from pyspark.sql import functions as F
+
+    from openie_spark.operators.extract import extract_triples
+
+    t = spark.createDataFrame(
+        [("c0", 0, "user", None, None, None),
+         ("c0", 1, "user", "", None, None),
+         ("c0", 2, "user", "   ", None, None),
+         ("c0", 3, "user", ". ! ?", None, None),
+         ("c0", 4, "user", "is was are", None, None),
+         ("c0", 5, "user", " ".join(["word"] * 150) + " .", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    rows = extract_triples(t).collect()
+    # null/empty/whitespace turns contribute nothing
+    assert all(r.turn_idx in (3, 4, 5) for r in rows)
+    for r in rows:
+        assert r.pred is not None and r.confidence == 1.0
+    # the all-predicate sentence yields one span covering everything
+    allp = [r for r in rows if r.turn_idx == 4]
+    assert len(allp) == 1 and allp[0].pred == "is was are" and allp[0].subj == ""

@@ -32,7 +32,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--backend", default="rule", choices=["rule", "neural"])
+    ap.add_argument("--backend", default="rule_arrow",
+                    choices=["rule", "rule_arrow", "neural"])
     ap.add_argument("--pair-mode", default="exact", choices=["exact", "minhash"])
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None,
