@@ -71,9 +71,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
     joins run as before. Both produce the identical min-member
     labeling."""
     edge_pairs = pairs.select("a", "b")
-    if driver_threshold and edge_pairs.limit(driver_threshold + 1).count() <= driver_threshold:
-        return _cc_driver(pairs.sparkSession,
-                          [(r.a, r.b) for r in edge_pairs.collect()])
+    if driver_threshold:
+        # ONE action: take() both decides the route and, when the edge
+        # set fits, IS the complete edge list (limit+count+collect ran
+        # the upstream plan twice).
+        head = edge_pairs.take(driver_threshold + 1)
+        if len(head) <= driver_threshold:
+            return _cc_driver(pairs.sparkSession, [(r.a, r.b) for r in head])
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -91,19 +95,42 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.norm == neighbor_min.src, "left")
             .select(
                 "norm",
-                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("changed"),
+                F.col("component").alias("old"),
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("c1"),
             )
+        )
+        # Pointer jumping (the large-star shortcut): component ←
+        # label(component). Labels are min-monotone and every label is
+        # itself a vertex, so one extra join per round compresses chains
+        # and convergence drops from O(diameter) to O(log diameter) —
+        # a 25-round budget then covers diameters up to ~2^25.
+        jump = stepped.select(F.col("norm").alias("jn"), F.col("c1").alias("jc"))
+        new_labels = (
+            stepped.join(jump, stepped.c1 == jump.jn, "left")
+            .select(
+                "norm",
+                F.least(F.col("c1"), F.coalesce(F.col("jc"), F.col("c1"))).alias("component"),
+                "old",
+            )
+            .withColumn("changed", F.col("component") < F.col("old"))
+            .drop("old")
             .localCheckpoint(eager=True)
         )
         n_changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # Silently-split components would mean wrong canonical entity
+        # ids with no signal; fail loudly instead (never reachable with
+        # pointer jumping for any graph below ~2^25 diameter).
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds; "
+            "raise max_iter")
     return labels
 
 

@@ -89,7 +89,10 @@ def skew_stats(vocab: DataFrame, max_block: int = MAX_BLOCK) -> DataFrame:
 
 def exact_pairs(vocab: DataFrame, threshold: float = LINK_JACCARD,
                 max_block: int = MAX_BLOCK) -> DataFrame:
-    b = blocked_vocab(linkable(vocab), max_block)
+    # materialized once: the self-join would otherwise recompute the
+    # explode + hot-block anti-join branch on both sides (same fix as
+    # minhash_pairs / simhash_pairs).
+    b = blocked_vocab(linkable(vocab), max_block).localCheckpoint(eager=False)
     left = b.select("bkey", F.col("norm").alias("a"), F.col("tokens").alias("ta"))
     right = b.select("bkey", F.col("norm").alias("b"), F.col("tokens").alias("tb"))
     pairs = (
@@ -115,13 +118,13 @@ def char_shingles(norm: Column, k: int = 3) -> Column:
 
 def minhash_signature(norm: Column, num_perm: int = MINHASH_PERM) -> Column:
     """array<long> of length num_perm: slot k = min over shingles of
-    xxhash64(shingle ⊕ k). Pure column expressions — computed in one
-    codegen'd projection per row, no explode/shuffle."""
-    sh = char_shingles(norm)
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.concat(s, F.lit(f"#{k}")))))
-        for k in range(num_perm)
-    ])
+    md5h60(shingle ⊕ '#k'). Pure column expressions — computed in one
+    codegen'd projection per row, no explode/shuffle. md5-derived (not
+    xxhash64) so the DuckDB oracle can recompute the full LSH structure
+    (plans/oracles.kg_pairs_minhash_sql)."""
+    from openie_spark.datapipe.hashing import minhash_sig_md5
+
+    return minhash_sig_md5(char_shingles(norm), num_perm)
 
 
 def lsh_buckets(vocab: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
@@ -131,16 +134,13 @@ def lsh_buckets(vocab: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) 
     explode (the Generate node references the attribute, so the
     num_perm × per-shingle hashing runs once per mention, not once per
     band element)."""
-    sigd = vocab.select("norm", "tokens", minhash_signature(F.col("norm")).alias("sig"))
-    sig = F.col("sig")
+    from openie_spark.datapipe.hashing import band_hashes_md5
+
+    sigd = vocab.select(
+        "norm", "tokens", minhash_signature(F.col("norm"), bands * rows).alias("sig"))
     return sigd.select(
         "norm", "tokens",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
-                for b in range(bands)
-            ])
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(band_hashes_md5(F.col("sig"), bands, rows)).alias("band_idx", "band_hash"),
     )
 
 

@@ -37,6 +37,10 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     yields thousands of splits and this is a no-op; locally it round-
     robins rows across all cores. Round-robin (not hash) — no key skew,
     and sentence order is immaterial to tagging."""
+    if df.isStreaming:
+        # streaming plans have no rdd; micro-batch parallelism comes
+        # from the source's maxFilesPerTrigger / file splits instead
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

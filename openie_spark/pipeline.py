@@ -89,14 +89,53 @@ class KGPipeline:
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self._stage_dir(name), "_manifest.json")
 
-    def _read_manifest(self, name: str) -> dict | None:
-        p = self._manifest_path(name)
-        if not os.path.exists(p):
+    # Manifests go through the Hadoop FileSystem API, not driver-local
+    # open(): tools/kg_job.py advertises spark-submit with a warehouse
+    # output path, and an hdfs:///s3a:// output_dir must carry the
+    # checkpoint-resume contract too (stage data already does via the
+    # Spark writers).
+
+    def _jpath(self, path: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self):
+        return self._jpath(self.output_dir).getFileSystem(
+            self.spark._jsc.hadoopConfiguration())
+
+    def _write_text(self, path: str, content: str) -> None:
+        out = self._fs().create(self._jpath(path), True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_text(self, path: str) -> str | None:
+        fs = self._fs()
+        p = self._jpath(path)
+        if not fs.exists(p):
             return None
-        with open(p) as f:
-            return json.load(f)
+        jvm = self.spark._jvm
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(p), "UTF-8"))
+        try:
+            lines = []
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                lines.append(line)
+        finally:
+            reader.close()
+        return "\n".join(lines)
+
+    def _read_manifest(self, name: str) -> dict | None:
+        raw = self._read_text(self._manifest_path(name))
+        return None if raw is None else json.loads(raw)
 
     def _stage_fingerprint(self, name: str, upstream: list[str]) -> dict:
+        # Upstream identity = rows + order-insensitive content hash (an
+        # upstream rebuilt from changed input with a coincidentally-equal
+        # row count must still invalidate this stage).
         return {
             "config": _fingerprint(),
             "backend": self.backend,
@@ -104,7 +143,9 @@ class KGPipeline:
             "model_version": model_version(self.backend),
             "input_dir": self.input_dir,
             "upstream": {
-                u: (self._read_manifest(u) or {}).get("rows") for u in upstream
+                u: {k: (self._read_manifest(u) or {}).get(k)
+                    for k in ("rows", "content_sig")}
+                for u in upstream
             },
         }
 
@@ -127,15 +168,21 @@ class KGPipeline:
         df.write.mode("overwrite").parquet(sd)
         out = self.spark.read.parquet(sd)
 
-        # ONE scan for all lineage stats: per-bucket counts + conv range
+        # ONE scan for all lineage stats: per-bucket counts, conv range,
+        # and an order-insensitive value hash (bit_xor of per-row
+        # xxhash64 — the content signature downstream fingerprints pin)
         # come from a single grouped aggregate (rows = their sum).
-        aggs = [F.count(F.lit(1)).alias("n")]
+        aggs = [F.count(F.lit(1)).alias("n"),
+                F.expr(f"bit_xor(xxhash64({', '.join(out.columns)}))").alias("sig")]
         has_conv = "conv_id" in out.columns
         if has_conv:
             aggs += [F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi")]
         group = ["bucket"] if bucket_col is not None else []
         stats = out.groupBy(*group).agg(*aggs).collect()
         rows = sum(r.n for r in stats)
+        content_sig = 0
+        for r in stats:
+            content_sig ^= (r.sig or 0) & 0xFFFFFFFFFFFFFFFF
         per_bucket = {int(r.bucket): r.n for r in stats} if bucket_col is not None else {}
         conv_range = None
         if has_conv and stats:
@@ -144,6 +191,7 @@ class KGPipeline:
             "stage": name,
             "status": "complete",
             "rows": rows,
+            "content_sig": f"{content_sig:016x}",
             "per_bucket_rows": per_bucket,
             "conv_id_range": conv_range,
             "fingerprint": fp,
@@ -151,8 +199,8 @@ class KGPipeline:
         }
         if extra_metrics:
             manifest["metrics"] = extra_metrics(out)
-        with open(self._manifest_path(name), "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+        self._write_text(self._manifest_path(name),
+                         json.dumps(manifest, indent=1, sort_keys=True))
         self.results.append(StageResult(name, sd, rows, manifest["seconds"], False, manifest))
         return out
 
@@ -225,6 +273,6 @@ class KGPipeline:
             "triples_per_sec": round(n_triples / max(total, 1e-9), 1),
             "model_version": model_version(self.backend),
         }
-        with open(os.path.join(self.output_dir, "_pipeline_summary.json"), "w") as f:
-            json.dump(summary, f, indent=1, sort_keys=True)
+        self._write_text(os.path.join(self.output_dir, "_pipeline_summary.json"),
+                         json.dumps(summary, indent=1, sort_keys=True))
         return summary

@@ -75,7 +75,8 @@ def main() -> None:
 
     from openie_spark.pipeline import KGPipeline
 
-    os.makedirs(args.output, exist_ok=True)
+    if "://" not in args.output:        # remote warehouse paths are
+        os.makedirs(args.output, exist_ok=True)  # created by the FS writers
     pipe = KGPipeline(spark, args.input, args.output,
                       backend=args.backend, pair_mode=args.pair_mode)
     summary = pipe.run(resume=not args.no_resume)
