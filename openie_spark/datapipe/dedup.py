@@ -106,7 +106,11 @@ def minhash_pairs_docs(docs: DataFrame,
     exact-Jaccard verify."""
     from openie_spark.functions.partitioning import spread
 
-    sh = _with_shingles(spread(docs, "doc_id"))
+    # both tables materialized once: sh feeds the signature AND the two
+    # verify joins; banded feeds both sides of the self-join (without
+    # the checkpoint the 16-slot md5 projection is evaluated twice per
+    # doc — the same fix simhash_pairs / kg exact_pairs carry)
+    sh = _with_shingles(spread(docs, "doc_id")).localCheckpoint(eager=False)
     sig = spread(
         sh.select("doc_id", minhash_sig_md5(F.col("shingles"), bands * rows).alias("sig")),
         "doc_id",
@@ -114,7 +118,7 @@ def minhash_pairs_docs(docs: DataFrame,
     banded = sig.select(
         "doc_id",
         F.posexplode(band_hashes_md5(F.col("sig"), bands, rows)).alias("band_idx", "band_hash"),
-    )
+    ).localCheckpoint(eager=False)
     left = banded.select("band_idx", "band_hash", F.col("doc_id").alias("a"))
     right = banded.select("band_idx", "band_hash", F.col("doc_id").alias("b"))
     cand = (

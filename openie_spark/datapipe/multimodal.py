@@ -62,32 +62,51 @@ def decode_real(payload: bytes, kind: str):
 
 def media_features(media: DataFrame) -> DataFrame:
     """Byte-histogram 'features' per blob: HIST_BINS-dim l1-normalized
-    vector. Batched numpy inside mapInPandas — the identical plumbing a
-    CLIP/wav2vec featurizer would use."""
+    vector plus the raw integer bin counts (``hist``). Batched numpy
+    inside mapInPandas — the identical plumbing a CLIP/wav2vec
+    featurizer would use. The integer counts exist so downstream
+    engines (and the DuckDB oracle) can compare exactly without
+    float-rounding concerns; ``media_features_flat`` is the exploded
+    canonical form."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = []
+            feats, hists = [], []
             for payload in pdf["payload"]:
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if arr.size == 0:
                     feats.append([0.0] * HIST_BINS)
+                    hists.append([0] * HIST_BINS)
                     continue
-                hist = np.bincount(arr >> 4, minlength=HIST_BINS).astype(np.float64)
-                feats.append(list(np.round(hist / hist.sum(), 6)))
+                hist = np.bincount(arr >> 4, minlength=HIST_BINS)
+                hists.append([int(x) for x in hist])
+                feats.append(list(np.round(hist.astype(np.float64) / hist.sum(), 6)))
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
                 "feature": feats,
+                "hist": hists,
             })
             yield out
 
     return media.mapInPandas(
-        run, "media_id long, kind string, n_bytes long, feature array<double>")
+        run,
+        "media_id long, kind string, n_bytes long, "
+        "feature array<double>, hist array<long>")
+
+
+def media_features_flat(media: DataFrame) -> DataFrame:
+    """Exploded histogram rows (media_id, kind, n_bytes, bin_idx, n) —
+    scalar columns only, so any engine (and the driver's canonicalizer)
+    can sort/hash the result."""
+    return media_features(media).select(
+        "media_id", "kind", "n_bytes",
+        F.posexplode("hist").alias("bin_idx", "n"),
+    )
 
 
 def frame_sample(media: DataFrame) -> DataFrame:

@@ -81,13 +81,25 @@ def brute_topk_sql(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) ->
     )
 
 
-def brute_topk_np(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) -> DataFrame:
+BROADCAST_MAX_VECS = 2_000_000
+
+
+def brute_topk_np(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
+                  max_broadcast_vecs: int = BROADCAST_MAX_VECS) -> DataFrame:
     """Same result as brute_topk_sql via one numpy GEMM per Arrow batch
-    of queries against the broadcast corpus matrix."""
+    of queries against the broadcast corpus matrix.
+
+    Broadcastable-corpus path ONLY: the corpus matrix lives on the
+    driver and every executor. Above ``max_broadcast_vecs`` vectors it
+    falls back to the distributed SQL plan (row-identical by tests)
+    rather than OOM-ing the driver; at 10^9-vector scale use
+    ``lsh_topk``."""
     import numpy as np
     import pandas as pd
 
     e = with_unit(emb)
+    if e.limit(max_broadcast_vecs + 1).count() > max_broadcast_vecs:
+        return brute_topk_sql(emb, k, query_mod)
     corpus_rows = e.select("vec_id", "unit").collect()
     ids = np.array([r.vec_id for r in corpus_rows], dtype=np.int64)
     mat = np.array([r.unit for r in corpus_rows], dtype=np.float64)
@@ -142,6 +154,20 @@ def lsh_sketch(df: DataFrame, dim: int, planes: int = LSH_PLANES) -> DataFrame:
     return df.withColumn("sketch", total)
 
 
+def _banded(df: DataFrame, id_col: str, vec_col: str,
+            planes: int, bands: int) -> DataFrame:
+    """sketched df → one row per band: (band_idx, band_val, id, vec)."""
+    band_bits = planes // bands
+    mask = (1 << band_bits) - 1
+    return df.select(
+        F.col("vec_id").alias(id_col), F.col("unit").alias(vec_col),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sketch"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ])).alias("band_idx", "band_val"),
+    )
+
+
 def lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
              planes: int = LSH_PLANES, bands: int = LSH_PLANE_BANDS) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing ≥1 sketch band
@@ -149,21 +175,12 @@ def lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     from openie_spark.functions.partitioning import spread
 
     dim = len(emb.select("embedding").first()[0])
-    e = lsh_sketch(with_unit(spread(emb, "vec_id")), dim, planes)
-    band_bits = planes // bands
-    mask = (1 << band_bits) - 1
+    # materialized once: query and corpus sides both derive from the
+    # sketch table, which would otherwise be computed twice
+    e = lsh_sketch(with_unit(spread(emb, "vec_id")), dim, planes).localCheckpoint(eager=False)
 
-    def banded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-        return df.select(
-            F.col("vec_id").alias(id_col), F.col("unit").alias(vec_col),
-            F.posexplode(F.array(*[
-                F.shiftright(F.col("sketch"), b * band_bits).bitwiseAND(F.lit(mask))
-                for b in range(bands)
-            ])).alias("band_idx", "band_val"),
-        )
-
-    q = banded(e.filter(F.col("vec_id") % query_mod == 0), "q_id", "q_vec")
-    c = banded(e, "vec_id", "unit")
+    q = _banded(e.filter(F.col("vec_id") % query_mod == 0), "q_id", "q_vec", planes, bands)
+    c = _banded(e, "vec_id", "unit", planes, bands)
     cand = (
         q.join(c, ["band_idx", "band_val"])
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -190,9 +207,44 @@ def planted_embeddings(emb: DataFrame) -> DataFrame:
     return base.unionByName(noised, allowMissingColumns=False)
 
 
-def embedding_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COSINE) -> DataFrame:
-    """Cosine near-duplicate pairs (a < b) — exact all-pairs variant
-    (DuckDB-checked); at scale reuse lsh_topk's bucket join instead."""
+def embedding_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COSINE,
+                    planes: int = LSH_PLANES, bands: int = LSH_PLANE_BANDS) -> DataFrame:
+    """Cosine near-duplicate pairs (a < b): sign-LSH band buckets
+    generate candidates (shuffle is bucket-sized, never the n² cross
+    join), exact cosine rescoring keeps only pairs ≥ threshold.
+
+    Scale shape mirrors minhash_pairs_docs: candidate (a, b) ids dedup
+    WITHOUT the unit vectors in the shuffle; vectors re-attach by id
+    join for rescoring. The md5-deterministic hyperplanes make the
+    candidate set engine-portable — the DuckDB oracle recomputes the
+    identical sketches (plans/datapipe_oracles.embedding_pairs_sql).
+    ``embedding_pairs_exact`` is the quadratic small-scale ground truth
+    used by tests to pin recall."""
+    from openie_spark.functions.partitioning import spread
+
+    dim = len(emb.select("embedding").first()[0])
+    e = lsh_sketch(with_unit(spread(emb, "vec_id")), dim, planes).localCheckpoint(eager=False)
+    left = _banded(e, "a", "ua", planes, bands).select("band_idx", "band_val", "a")
+    right = _banded(e, "b", "ub", planes, bands).select("band_idx", "band_val", "b")
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    ua = e.select(F.col("vec_id").alias("a"), F.col("unit").alias("ua"))
+    ub = e.select(F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
+    return (
+        cand.join(ua, "a").join(ub, "b")
+        .withColumn("cos", F.round(_dot(F.col("ua"), F.col("ub")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def embedding_pairs_exact(emb: DataFrame, threshold: float = NEAR_DUP_COSINE) -> DataFrame:
+    """Exact all-pairs variant — quadratic by construction; the
+    small-scale ground truth that pins embedding_pairs' recall in
+    tests (the planted cos≈0.999 twins must all survive the LSH gate)."""
     from openie_spark.functions.partitioning import spread
 
     e = with_unit(spread(emb, "vec_id"))

@@ -71,7 +71,8 @@ def normalize_key_col(sent: Column) -> Column:
 _SCORE_SCHEMA = "norm_key string, p double, pl long, r double, rl long"
 
 
-def _score_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame) -> pd.DataFrame:
+def _score_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
+                 match_fn=binary_lenient_match) -> pd.DataFrame:
     if len(gold_pdf) == 0:
         # prediction-only sentence: contributes nothing (carb.py:92-97)
         return pd.DataFrame(columns=["norm_key", "p", "pl", "r", "rl"])
@@ -85,7 +86,7 @@ def _score_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame) -> pd.DataFrame
     gold = list(zip(gold_pdf["pred"], gold_pdf["args"]))
     pred = list(zip(pred_pdf["pred"], pred_pdf["args"]))
     scores = [
-        [binary_lenient_match(gp, list(ga), ep, list(ea)) for ep, ea in pred]
+        [match_fn(gp, list(ga), ep, list(ea)) for ep, ea in pred]
         for gp, ga in gold
     ]
 
@@ -129,22 +130,33 @@ def _with_key(df: DataFrame) -> DataFrame:
     )
 
 
-def sentence_scores(gold: DataFrame, pred: DataFrame) -> DataFrame:
+def sentence_scores(gold: DataFrame, pred: DataFrame,
+                    match_fn=binary_lenient_match) -> DataFrame:
     """Per-sentence score components. Input schema for both sides:
-    (sent string, pred string, args array<string>)."""
+    (sent string, pred string, args array<string>). ``match_fn`` is any
+    [precision, recall]-returning matcher from eval.matcher (E4 binary
+    lenient by default — the reference's pinned choice,
+    eval/evaluation.py:36; E7 alternatives: tuple_match,
+    simple_tuple_match, binary_tuple_match)."""
     g = _with_key(gold.select("sent", "pred", "args"))
     p = _with_key(pred.select("sent", "pred", "args"))
     return (
         g.groupBy("norm_key")
         .cogroup(p.groupBy("norm_key"))
-        .applyInPandas(lambda l, r: _score_group(l, r), _SCORE_SCHEMA)
+        .applyInPandas(lambda l, r: _score_group(l, r, match_fn), _SCORE_SCHEMA)
     )
 
 
-def carb_compare(gold: DataFrame, pred: DataFrame) -> DataFrame:
+def carb_compare(gold: DataFrame, pred: DataFrame, binary: bool = False,
+                 match_fn=binary_lenient_match) -> DataFrame:
     """Global single-point CaRB metrics: one row
-    (precision, recall, f1, auc, n_gold_sents)."""
-    sums = sentence_scores(gold, pred).agg(
+    (precision, recall, f1, auc, n_gold_sents). ``binary=True``
+    binarizes BOTH sides first (carb.py:72-74) before the binary
+    lenient match — the reference's ``--binary`` mode."""
+    if binary:
+        gold = binarize_tuples(gold.select("sent", "pred", "args"))
+        pred = binarize_tuples(pred.select("sent", "pred", "args"))
+    sums = sentence_scores(gold, pred, match_fn).agg(
         F.sum("p").alias("p"), F.sum("pl").alias("pl"),
         F.sum("r").alias("r"), F.sum("rl").alias("rl"),
         F.count(F.lit(1)).alias("n_gold_sents"),
@@ -169,3 +181,204 @@ def carb_compare(gold: DataFrame, pred: DataFrame) -> DataFrame:
 def triples_as_tuples(triples: DataFrame) -> DataFrame:
     """Adapt the engine's triples table to the scorer's input shape."""
     return triples.select("sent", "pred", "args")
+
+
+# Prepositions hoisted into the relation during k-ary binarization
+# (/root/reference/eval/oie_eval/carb.py:300).
+PREPS = (
+    "above", "across", "against", "along", "among", "around", "at",
+    "before", "behind", "below", "beneath", "beside", "between", "by",
+    "for", "from", "in", "into", "near", "of", "off", "on", "to",
+    "toward", "under", "upon", "with", "within",
+)
+
+
+def binarize_tuples(df: DataFrame) -> DataFrame:
+    """K-ary → binary tuple projection (``--binary`` mode,
+    /root/reference/eval/oie_eval/carb.py:192-217), quirk-for-quirk.
+
+    The reference copies the extraction ONCE, then mutates and
+    re-appends that same object in the per-extra-arg loop — so for an
+    extraction with k = len(args) > 2, all (k-1) emitted rows alias the
+    LAST loop state: pred' = pred + ' ' + args[1] (+ ' ' + preposition
+    if the last arg starts with one, case-checked lowercase but
+    appended verbatim), args' = [args[0], last-arg-minus-preposition].
+    Extractions with ≤2 args binarize to the plain args[:2] slice.
+    Input/output: (sent, pred, args array<string>[, confidence])."""
+    k = F.size("args")
+    words = F.filter(
+        F.split(F.try_element_at(F.col("args"), F.lit(-1)), " "),
+        lambda w: w != "")
+    prep_w = F.try_element_at(words, F.lit(1))
+    has_prep = F.lower(prep_w).isin(*PREPS)
+    rest = F.when(
+        has_prep, F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    ).otherwise(words)
+    pred_n = F.concat(
+        F.col("pred"), F.lit(" "),
+        F.coalesce(F.try_element_at(F.col("args"), F.lit(2)), F.lit("")))
+    pred_n = F.when(has_prep, F.concat(pred_n, F.lit(" "), prep_w)).otherwise(pred_n)
+    args_n = F.array(F.try_element_at(F.col("args"), F.lit(1)), F.array_join(rest, " "))
+
+    out_pred = F.when(k > 2, pred_n).otherwise(F.col("pred"))
+    out_args = F.when(k > 2, args_n).otherwise(F.slice(F.col("args"), 1, 2))
+    n_copies = F.when(k > 2, k - 1).otherwise(F.lit(1))
+
+    keep = [c for c in df.columns if c not in ("pred", "args")]
+    return (
+        df.withColumn(
+            "_bin",
+            F.explode(F.array_repeat(
+                F.struct(out_pred.alias("pred"), out_args.alias("args")), n_copies)))
+        .select(*keep, F.col("_bin.pred").alias("pred"), F.col("_bin.args").alias("args"))
+        .select(*df.columns)
+    )
+
+
+# ---------------------------------------------------------------- E5
+# Full PR-curve threshold sweep for predictions with non-constant
+# confidences (e.g. the S7 tab reader's). Reference semantics
+# transcribed from /root/reference/eval/oie_eval/carb.py:77-160:
+#   * thresholds = globally sorted distinct prediction confidences
+#     (carb.py:80-86); index t is a slot in the p/pl/r/rl arrays.
+#   * per gold sentence, ascending local confidences carve brackets
+#     [prev_c : c+1]; each bracket gets the greedy-precision match and
+#     row-max recall RECOMPUTED over preds with conf >= that local
+#     confidence (carb.py:113-155); duplicates collapse to empty
+#     slices, so distinct local confs suffice.
+#   * slots beyond the max local confidence still accumulate
+#     rl += len(gold) (carb.py:159-160) — so rl = n_gold at EVERY
+#     threshold, and sentences with no predictions contribute only rl.
+#   * P 0-denominator -> 1, R 0-denominator -> 0 (carb.py:162-163).
+
+_SWEEP_SCHEMA = ("norm_key string, t_lo int, t_hi int, "
+                 "p double, pl long, r double, rl long")
+
+
+def _sweep_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
+                 conf_index: dict[float, int], num_conf: int) -> pd.DataFrame:
+    cols = ["norm_key", "t_lo", "t_hi", "p", "pl", "r", "rl"]
+    if len(gold_pdf) == 0:
+        # prediction-only sentence: ignored entirely (carb.py:92-97)
+        return pd.DataFrame(columns=cols)
+    key = gold_pdf["norm_key"].iloc[0]
+    n_gold = len(gold_pdf)
+    # rl accumulates n_gold at every slot (loop brackets + carb.py:159)
+    rows = [[key, 0, num_conf - 1, 0.0, 0, 0.0, n_gold]]
+    if len(pred_pdf) == 0 or num_conf == 0:
+        return pd.DataFrame(rows, columns=cols)
+
+    gold = list(zip(gold_pdf["pred"], gold_pdf["args"]))
+    pred = list(zip(pred_pdf["pred"], pred_pdf["args"]))
+    confs = list(pred_pdf["confidence"])
+    scores = [
+        [binary_lenient_match(gp, list(ga), ep, list(ea)) for ep, ea in pred]
+        for gp, ga in gold
+    ]
+
+    prev_c = 0
+    for conf in sorted(set(confs)):
+        c = conf_index[conf]
+        ext = [j for j, cf in enumerate(confs) if cf >= conf]
+        r_num = sum(max((row[j][1] for j in ext), default=0) for row in scores)
+        p_num = 0.0
+        used_rows: set[int] = set()
+        used_cols: set[int] = set()
+        for _ in range(min(n_gold, len(ext))):
+            best_p, best_i, best_j = -1.0, -1, -1
+            for i in range(n_gold):
+                if i in used_rows:
+                    continue
+                for j in ext:
+                    if j in used_cols:
+                        continue
+                    if scores[i][j][0] > best_p:
+                        best_p, best_i, best_j = scores[i][j][0], i, j
+            used_rows.add(best_i)
+            used_cols.add(best_j)
+            p_num += best_p
+        rows.append([key, prev_c, c, p_num, len(ext), r_num, 0])
+        prev_c = c + 1
+    return pd.DataFrame(rows, columns=cols)
+
+
+def carb_pr_curve(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """(t, conf, precision, recall, f1) — one row per distinct
+    prediction confidence, ascending. ``pred`` must carry a
+    ``confidence`` column; ``gold`` needs (sent, pred, args).
+
+    Scale shape: the same single cogroup shuffle as the one-point
+    scorer; the threshold list is value-distinct (tiny — bounded by
+    distinct confidence floats, the reference holds it in memory too,
+    carb.py:86) and broadcast back for the bracket → slot expansion."""
+    spark = gold.sparkSession
+    confs = sorted(r[0] for r in pred.select("confidence").distinct().collect())
+    num_conf = len(confs)
+    conf_index = {c: i for i, c in enumerate(confs)}
+
+    g = _with_key(gold.select("sent", "pred", "args"))
+    p = pred.select("sent", "pred", "args", "confidence").select(
+        F.col("sent").alias("sent"),
+        F.col("pred").alias("pred"),
+        F.col("args").alias("args"),
+        F.col("confidence").alias("confidence"),
+        normalize_key_col(F.col("sent")).alias("norm_key"),
+    )
+    brackets = (
+        g.groupBy("norm_key")
+        .cogroup(p.groupBy("norm_key"))
+        .applyInPandas(lambda l, r: _sweep_group(l, r, conf_index, num_conf),
+                       _SWEEP_SCHEMA)
+    )
+    if num_conf == 0:
+        return spark.createDataFrame(
+            [], "t int, conf double, precision double, recall double, f1 double")
+    tdf = spark.createDataFrame(
+        [(i, float(c)) for i, c in enumerate(confs)], "t int, conf double")
+    sums = (
+        brackets.join(F.broadcast(tdf),
+                      (F.col("t") >= F.col("t_lo")) & (F.col("t") <= F.col("t_hi")))
+        .groupBy("t", "conf")
+        .agg(F.sum("p").alias("p"), F.sum("pl").alias("pl"),
+             F.sum("r").alias("r"), F.sum("rl").alias("rl"))
+    )
+    P = F.when(F.col("pl") > 0, F.col("p") / F.col("pl")).otherwise(F.lit(1.0))
+    R = F.when(F.col("rl") > 0, F.col("r") / F.col("rl")).otherwise(F.lit(0.0))
+    return (
+        sums.select("t", "conf", P.alias("precision"), R.alias("recall"))
+        .select(
+            "t", "conf",
+            F.round("precision", 6).alias("precision"),
+            F.round("recall", 6).alias("recall"),
+            F.round(
+                F.when(F.col("precision") + F.col("recall") > 0,
+                       2 * F.col("precision") * F.col("recall")
+                       / (F.col("precision") + F.col("recall"))
+                       ).otherwise(F.lit(0.0)), 6).alias("f1"),
+        )
+        .orderBy("t")
+    )
+
+
+def carb_sweep_summary(curve: DataFrame) -> dict:
+    """AUC + optimal point from a carb_pr_curve result — mirrors the
+    reference's sklearn auc over (recall, precision) with the appended
+    (recall=0, precision=1) point and nanargmax-F1 optimal
+    (carb.py:165-181)."""
+    import numpy as np
+
+    pts = sorted(curve.collect(), key=lambda r: r.t)
+    if not pts:
+        return {"auc": 0.0, "optimal_precision": 0.0,
+                "optimal_recall": 0.0, "optimal_f1": 0.0}
+    f1s = [r.f1 for r in pts]
+    best = max(range(len(pts)), key=lambda i: f1s[i])
+    rec = [r.recall for r in pts] + [0.0]
+    prec = [r.precision for r in pts] + [1.0]
+    auc = float(abs(np.trapz(prec, rec)))
+    return {
+        "auc": round(auc, 6),
+        "optimal_precision": pts[best].precision,
+        "optimal_recall": pts[best].recall,
+        "optimal_f1": pts[best].f1,
+    }

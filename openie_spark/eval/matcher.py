@@ -95,3 +95,141 @@ def binary_lenient_match(gold_pred: str, gold_args: list[str],
     )
     reverse = lenient_match(gold_pred, _binarize(gold_args), ex_pred, reversed_args)
     return max(straight, reverse)
+
+
+# -------------------------------------------------------------- E7
+# Alternative scorers (CLI-flag matchers, matcher.py:10-100,103-157,
+# 228-339). The boolean family (bow/pred/lexical/arg) is usable
+# standalone; only [p, r]-returning matchers plug into the cogrouped
+# scorer (the reference's compare subscripts score[0]/score[1] and
+# would itself crash on the boolean ones). bleuMatch is excluded:
+# nltk is not installed here and it is unreachable from the default
+# path. All quirks preserved — including lexicalMatch's product
+# double-count and argMatch's CHARACTER-pair counting.
+
+MATCH_STOPWORDS = ("of", "is")          # matcher.py:349
+LEXICAL_THRESHOLD = 0.5                 # matcher.py:347
+
+
+def _bow(pred: str, args: list[str]) -> str:
+    # extraction.bow() ≙ ' '.join([pred] + args) (extraction.py:113-114)
+    return " ".join([pred] + list(args))
+
+
+def _words(s: str, ignore_stopwords: bool, ignore_case: bool) -> list[str]:
+    if ignore_case:
+        s = s.lower()
+    ws = s.split(" ")
+    if ignore_stopwords:
+        ws = [w for w in ws if w.lower() not in MATCH_STOPWORDS]
+    return ws
+
+
+def bow_match(gold_pred: str, gold_args: list[str],
+              ex_pred: str, ex_args: list[str],
+              ignore_stopwords: bool = True, ignore_case: bool = True) -> bool:
+    """Exact lexical bag-of-words match, order-ignored (matcher.py:10-28)."""
+    s1 = _words(_bow(gold_pred, gold_args), ignore_stopwords, ignore_case)
+    s2 = _words(_bow(ex_pred, ex_args), ignore_stopwords, ignore_case)
+    return sorted(s1) == sorted(s2)
+
+
+def pred_match(gold_pred: str, gold_args: list[str],
+               ex_pred: str, ex_args: list[str],
+               ignore_stopwords: bool = True, ignore_case: bool = True) -> bool:
+    """Predicate token-sequence equality (matcher.py:31-48)."""
+    return (_words(gold_pred, ignore_stopwords, ignore_case)
+            == _words(ex_pred, ignore_stopwords, ignore_case))
+
+
+def lexical_match(gold_pred: str, gold_args: list[str],
+                  ex_pred: str, ex_args: list[str],
+                  ignore_stopwords: bool = True, ignore_case: bool = True) -> bool:
+    """Lexical coverage > 0.5 (matcher.py:82-100). Quirk preserved: the
+    nested loop counts every (ref word, ex word) EQUAL PAIR, so a word
+    appearing m times in ref and n times in ex contributes m*n."""
+    s_ref = _bow(gold_pred, gold_args).split(" ")
+    s_ex = _bow(ex_pred, ex_args).split(" ")
+    count = sum(1 for w1 in s_ref for w2 in s_ex if w1 == w2)
+    return count / len(s_ref) > LEXICAL_THRESHOLD
+
+
+def arg_match(gold_pred: str, gold_args: list[str],
+              ex_pred: str, ex_args: list[str],
+              ignore_stopwords: bool = True, ignore_case: bool = True) -> bool:
+    """Argument coverage > 0.5 (matcher.py:51-72). Quirk preserved: the
+    reference iterates the joined arg STRINGS character by character —
+    coverage is a character-pair product count, not word overlap."""
+    s_ref = " ".join(gold_args)
+    s_ex = " ".join(ex_args)
+    count = sum(1 for c1 in s_ref for c2 in s_ex if c1 == c2)
+    return count / len(s_ref) > LEXICAL_THRESHOLD
+
+
+def tuple_match(gold_pred: str, gold_args: list[str],
+                ex_pred: str, ex_args: list[str]) -> Score:
+    """linient_tuple_match minus the be-form rule, with gates returning
+    [0,0] where the reference returns False (matcher.py:103-157; the
+    reference's compare would crash subscripting False — normalized
+    here so this matcher is usable in the cogrouped scorer)."""
+    p_num = p_den = r_num = r_den = 0
+    pred_toks = ex_pred.split()
+    gold_toks = gold_pred.split()
+    p_den += len(pred_toks)
+    r_den += len(gold_toks)
+    matched = _consume_overlap(gold_toks, pred_toks)
+    if matched == 0:
+        return [0.0, 0.0]
+    p_num += matched
+    r_num += matched
+    for i, garg in enumerate(gold_args):
+        g = garg.split()
+        r_den += len(g)
+        if len(ex_args) <= i:
+            if i < 2:
+                return [0.0, 0.0]
+            continue
+        e = ex_args[i].split()
+        p_den += len(e)
+        m = _consume_overlap(g, e)
+        if m == 0 and i < 2:
+            return [0.0, 0.0]
+        p_num += m
+        r_num += m
+    return [p_num / p_den if p_den else 0.0, r_num / r_den if r_den else 0.0]
+
+
+def simple_tuple_match(gold_pred: str, gold_args: list[str],
+                       ex_pred: str, ex_args: list[str]) -> Score:
+    """Span-wise overlap with args pre-binarized and NO zero-match
+    gates; missing predicted args stop the arg loop (matcher.py:228-271).
+    The reference mutates its inputs' arg lists in place — side-effect
+    dropped, computation identical."""
+    ga = [gold_args[0], " ".join(gold_args[1:])] if gold_args else []
+    ea = [ex_args[0], " ".join(ex_args[1:])] if ex_args else []
+    p_num = p_den = r_num = r_den = 0
+    pred_toks = ex_pred.split()
+    gold_toks = gold_pred.split()
+    p_den += len(pred_toks)
+    r_den += len(gold_toks)
+    m = _consume_overlap(gold_toks, pred_toks)
+    p_num += m
+    r_num += m
+    for i, garg in enumerate(ga):
+        g = garg.split()
+        r_den += len(g)
+        if len(ea) <= i:
+            break
+        e = ea[i].split()
+        p_den += len(e)
+        m = _consume_overlap(g, e)
+        p_num += m
+        r_num += m
+    return [p_num / p_den if p_den else 0.0, r_num / r_den if r_den else 0.0]
+
+
+def binary_tuple_match(gold_pred: str, gold_args: list[str],
+                       ex_pred: str, ex_args: list[str]) -> Score:
+    """tuple_match over binarized args (matcher.py:326-339) — no
+    said-reversal, unlike binary_lenient_match."""
+    return tuple_match(gold_pred, _binarize(gold_args), ex_pred, _binarize(ex_args))

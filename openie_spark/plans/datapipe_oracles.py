@@ -23,7 +23,7 @@ from openie_spark.datapipe.dedup import (
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
 )
-from openie_spark.datapipe.multimodal import FRAME_BYTES, FRAME_STRIDE, KINDS
+from openie_spark.datapipe.multimodal import FRAME_BYTES, FRAME_STRIDE, HIST_BINS, KINDS
 from openie_spark.datapipe.similarity import (
     NEAR_DUP_COSINE,
     PLANT_VEC_OFFSET,
@@ -287,16 +287,75 @@ pe AS (
 )"""
 
 
+_EMB_DIM = 64   # embeddings table dim (all sf dirs; asserted by tests)
+
+
+def _sketch_expr(unit_col: str, dim: int = _EMB_DIM) -> str:
+    """Sign-LSH sketch: bit p = sign(unit · plane_p), planes being the
+    same md5-derived literals similarity._plane computes — full
+    precision repr round-trips Python float → SQL DOUBLE exactly."""
+    from openie_spark.datapipe.similarity import LSH_PLANES, _plane
+
+    terms = []
+    for p in range(LSH_PLANES):
+        lits = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in _plane(dim, p))
+        terms.append(
+            f"CASE WHEN list_inner_product({unit_col}, [{lits}]) >= 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return " + ".join(terms)
+
+
 def embedding_pairs_sql() -> str:
-    return f"""WITH {_PLANTED_EMB_CTE}, {_UNIT_CTE.format(src='pe')}
+    """Mirrors the LSH-gated near-dup path: identical sketches → band
+    buckets → candidate ids → exact rescoring."""
+    from openie_spark.datapipe.similarity import LSH_PLANE_BANDS, LSH_PLANES
+
+    band_bits = LSH_PLANES // LSH_PLANE_BANDS
+    mask = (1 << band_bits) - 1
+    return f"""WITH {_PLANTED_EMB_CTE}, {_UNIT_CTE.format(src='pe')},
+sk AS MATERIALIZED (
+  SELECT vec_id, unit, {_sketch_expr('unit')} AS sketch FROM un
+),
+banded AS MATERIALIZED (
+  SELECT vec_id, b AS band_idx, (sketch >> (b * {band_bits})) & {mask} AS band_val
+  FROM sk, range(0, {LSH_PLANE_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_val = r.band_val AND l.vec_id < r.vec_id
+)
 SELECT a, b, cos FROM (
-  SELECT l.vec_id AS a, r.vec_id AS b,
-         round(list_inner_product(l.unit, r.unit), 6) AS cos
-  FROM un l JOIN un r ON l.vec_id < r.vec_id
+  SELECT c.a, c.b, round(list_inner_product(ua.unit, ub.unit), 6) AS cos
+  FROM cand c JOIN sk ua ON c.a = ua.vec_id JOIN sk ub ON c.b = ub.vec_id
 ) WHERE cos >= {NEAR_DUP_COSINE}"""
 
 
 # -------------------------------------------------------- multimodal
+
+def media_features_sql() -> str:
+    """Byte histogram (16 bins of byte >> 4) over the utf-8 payload.
+    The documents text is printable ASCII (verified per sf), so byte
+    values equal code points and ``unicode(substr(...))`` recomputes
+    the numpy ``frombuffer`` histogram exactly. All HIST_BINS bins are
+    emitted (including zeros), mirroring bincount(minlength=16)."""
+    kinds = ", ".join(f"'{k}'" for k in KINDS)
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id, ([{kinds}])[(doc_id % {len(KINDS)}) + 1] AS kind,
+         text, strlen(text) AS nb
+  FROM documents
+),
+pos AS (
+  SELECT media_id, unicode(substr(text, CAST(u.i AS INT), 1)) // 16 AS bin
+  FROM m, unnest(range(1, nb + 1)) u(i)
+),
+cnt AS (SELECT media_id, bin, count(*) AS c FROM pos GROUP BY 1, 2)
+SELECT m.media_id, m.kind, CAST(m.nb AS BIGINT) AS n_bytes,
+       CAST(t.bin AS INT) AS bin_idx, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n
+FROM m
+CROSS JOIN (SELECT unnest(range(0, {HIST_BINS})) AS bin) t
+LEFT JOIN cnt ON cnt.media_id = m.media_id AND cnt.bin = t.bin"""
+
 
 def media_frames_sql() -> str:
     video_mod = KINDS.index("video")

@@ -222,11 +222,11 @@ kg_edges AS (
 _KG_RECURSIVE_PREFIX = "WITH RECURSIVE "
 
 
-def _with_kg(select: str) -> str:
+def _with_kg(select: str, extra_ctes: str = "") -> str:
     body = ",".join([
         TRANSCRIPTS_CTE_DUCKDB, _SENT_IDS_CTES, _SENTENCES_CTE,
         _SPANS_CTES, _TRIPLES_CTES, _kg_ctes(),
-    ])
+    ] + ([extra_ctes] if extra_ctes else []))
     return _KG_RECURSIVE_PREFIX + body + "\n" + select
 
 
@@ -237,6 +237,58 @@ def kg_mentions_sql() -> str:
 
 def kg_pairs_sql() -> str:
     return _with_kg("SELECT a, b, round(jaccard, 6) AS jaccard FROM pairs")
+
+
+def kg_pairs_minhash_sql() -> str:
+    """Minhash-LSH pair path, fully recomputed: char-3-shingles of each
+    linkable vocab norm → md5h60 minhash slots → md5h60 band hashes →
+    band-bucket self-join → exact token-Jaccard verification. Mirrors
+    kg/linking.py minhash_pairs (md5-derived hashes exist exactly so
+    this oracle is possible)."""
+    from openie_spark.config import (
+        LINK_JACCARD,
+        LSH_BANDS,
+        LSH_ROWS,
+        MAX_MENTION_TOKENS,
+    )
+
+    md5h60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+    shingles = ("list_distinct(list_transform("
+                "range(1, greatest(length(norm) - 2, 1) + 1),"
+                " i -> substr(norm, CAST(i AS INT), 3)))")
+    slots = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        + md5h60.format(x=f"s || '#{k}'") + "))"
+        for k in range(LSH_BANDS * LSH_ROWS)
+    )
+    band_exprs = ", ".join(
+        md5h60.format(x="concat_ws(','," + ", ".join(
+            f"CAST(sig[{b * LSH_ROWS + r + 1}] AS VARCHAR)" for r in range(LSH_ROWS)
+        ) + ")")
+        for b in range(LSH_BANDS)
+    )
+    jac = ("CAST(len(list_intersect(va.tokens, vb.tokens)) AS DOUBLE)"
+           " / (len(va.tokens) + len(vb.tokens)"
+           " - len(list_intersect(va.tokens, vb.tokens)))")
+    extra = f"""
+mh_sigs AS (
+  SELECT norm, [{slots}] AS sig
+  FROM (SELECT norm, {shingles} AS shingles
+        FROM vocab WHERE len(tokens) <= {MAX_MENTION_TOKENS})
+),
+mh_banded AS MATERIALIZED (
+  SELECT norm, b AS band_idx, list_extract([{band_exprs}], b + 1) AS band_hash
+  FROM mh_sigs, range(0, {LSH_BANDS}) t(b)
+)"""
+    return _with_kg(f"""
+SELECT a, b, round(jaccard, 6) AS jaccard FROM (
+  SELECT c.a, c.b, {jac} AS jaccard
+  FROM (
+    SELECT DISTINCT l.norm AS a, r.norm AS b
+    FROM mh_banded l JOIN mh_banded r
+      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.norm < r.norm
+  ) c JOIN vocab va ON c.a = va.norm JOIN vocab vb ON c.b = vb.norm
+) WHERE jaccard >= {LINK_JACCARD}""", extra_ctes=extra)
 
 
 def kg_components_sql() -> str:

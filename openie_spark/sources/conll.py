@@ -11,8 +11,11 @@ parsing is narrow.
 Reference parity (file:line):
   * read_column_file  ≙ utils/dataset.py:28-53 (S1; 01-col / 02-np)
   * read_tuple_file   ≙ eval/oie_eval/oie_readers/goldReader.py:14-39
-    ('gold'), carbReader.py:14-40 ('carb'), tabReader.py:20-46 ('tab')
+    ('gold'), carbReader.py:14-40 ('carb'), tabReader.py:20-46 ('tab'),
+    benchmarkGoldReader.py:19-45 ('benchmark')
   * read_seq_file     ≙ eval/oie_eval/oie_readers/seqReader.py:24-89
+  * read_oie16_file   ≙ eval/oie_eval/oie_readers/oie16Reader.py:14-54
+  * read_unire_file   ≙ eval/oie_eval/oie_readers/unireReader.py:22-43
   * raw2col           ≙ data/corups/oie2016/00-raw/raw2col.py:16-77
   * write_tuple_lines ≙ run.py:148-178 tuple TSV shape (K1 sink)
 """
@@ -70,14 +73,21 @@ def read_column_file(spark: SparkSession, path: str, np_col: bool = False) -> Da
 
 
 def read_tuple_file(spark: SparkSession, path: str, style: str = "gold") -> DataFrame:
-    """S4/S5/S7: tuple TSV → (sent, pred, args, confidence, idx).
+    """S4/S5/S7/S8: tuple TSV → (sent, pred, args, confidence, idx).
 
-    style='gold': drop empty fields, skip lines with <=2 fields, drop
-    args containing 'C: ', strip fields, confidence=1.
-    style='carb': same minus the empty-field drop and short-line skip.
-    style='tab' : sent \t confidence \t pred \t args... (no C-filter).
+    style='gold'     : drop empty fields, skip lines with <=2 fields,
+                       drop args containing 'C: ', strip fields,
+                       confidence=1 (goldReader.py).
+    style='carb'     : same minus the empty-field drop and short-line
+                       skip.
+    style='tab'      : sent \t confidence \t pred \t args...
+                       (tabReader.py — no C-filter).
+    style='benchmark': sent \t pred \t args..., blank lines skipped,
+                       fields stripped, confidence=1, NO C-filter
+                       (benchmarkGoldReader.py:28-42 — its docstring
+                       claims a prob column; the code reads none).
     """
-    if style not in ("gold", "carb", "tab"):
+    if style not in ("gold", "carb", "tab", "benchmark"):
         raise ValueError(style)
     raw = spark.read.text(path, wholetext=True).select(
         F.posexplode(F.split(F.trim(F.col("value")), "\n")).alias("idx", "line"))
@@ -87,15 +97,18 @@ def read_tuple_file(spark: SparkSession, path: str, style: str = "gold") -> Data
     df = raw.select(F.col("idx").cast("long").alias("idx"), fields.alias("f"))
     if style == "gold":
         df = df.filter(F.size("f") > 2)
+    elif style in ("tab", "benchmark"):
+        df = df.filter(F.trim(F.col("line")) != "")
     else:
-        df = df.filter(F.trim(F.col("line")) != "") if style == "tab" else df.filter(F.size("f") >= 2)
+        df = df.filter(F.size("f") >= 2)
     if style == "tab":
         sent, conf, pred = F.col("f")[0], F.col("f")[1].cast("double"), F.col("f")[2]
         args = F.slice("f", 4, F.greatest(F.size("f") - 3, F.lit(0)))
     else:
         sent, conf, pred = F.trim(F.col("f")[0]), F.lit(1.0), F.trim(F.col("f")[1])
         args = F.slice("f", 3, F.greatest(F.size("f") - 2, F.lit(0)))
-        args = F.filter(args, lambda a: ~a.contains("C: "))
+        if style != "benchmark":
+            args = F.filter(args, lambda a: ~a.contains("C: "))
     return df.select(
         sent.alias("sent"), pred.alias("pred"),
         # explicit unary lambda: F.trim has an optional 2nd parameter in
@@ -172,6 +185,80 @@ def read_seq_file(spark: SparkSession, path: str) -> DataFrame:
     return folded.select(
         "file", "block_idx", "sent",
         F.col("ext.pred").alias("pred"), F.col("ext.args").alias("args"),
+        F.lit(1.0).alias("confidence"),
+    )
+
+
+def read_oie16_file(spark: SparkSession, path: str) -> DataFrame:
+    """S8: oie16 gold format (oie16Reader.py:14-54) — a header line
+    names the tab-separated fields (must include ``word`` and
+    ``label``); blank-line-separated blocks of per-word rows. Each
+    word's span label is ``label[:2].strip('-')`` ('A0-B' → 'A0',
+    'P-B' → 'P', 'O' stays); words group into spans by label in
+    first-appearance order; span 'P' is the predicate, the rest are
+    args. One extraction per block, confidence 1.
+
+    Deviation: a block with no P-labeled word yields pred='' (the
+    reference raises KeyError on its own malformed data)."""
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value")
+    all_lines = F.split(F.col("value"), "\n")
+    header_fields = F.split(F.element_at(all_lines, 1), "\t")
+    body = F.array_join(
+        F.slice(all_lines, 2, F.greatest(F.size(all_lines) - 1, F.lit(0))), "\n")
+    with_ids = raw.select(
+        "file",
+        F.array_position(header_fields, "word").cast("int").alias("w_id"),
+        F.array_position(header_fields, "label").cast("int").alias("l_id"),
+        F.posexplode(F.split(body, "\n\n+")).alias("block_idx", "block"),
+    ).select(
+        "file", "block_idx", "w_id", "l_id",
+        F.filter(F.split("block", "\n"), lambda l: F.trim(l) != "").alias("lines"),
+    ).filter(F.size("lines") > 0)
+
+    words = F.transform(
+        "lines", lambda l: F.try_element_at(F.split(l, "\t"), F.col("w_id")))
+    labs = F.transform(
+        "lines",
+        lambda l: F.btrim(
+            F.substring(F.try_element_at(F.split(l, "\t"), F.col("l_id")), 1, 2),
+            F.lit("-")))
+    df = with_ids.select(
+        "file", "block_idx", words.alias("words"), labs.alias("labs"))
+
+    def span(label) -> Column:
+        return F.array_join(
+            F.zip_with("words", "labs", lambda w, lb: F.when(lb == label, w)), " ")
+
+    lab_order = F.filter(F.array_distinct(F.col("labs")), lambda x: x != "O")
+    return df.select(
+        "file", "block_idx",
+        F.array_join("words", " ").alias("sent"),
+        span(F.lit("P")).alias("pred"),
+        F.transform(
+            F.filter(lab_order, lambda x: x != "P"), span).alias("args"),
+        F.lit(1.0).alias("confidence"),
+    )
+
+
+def read_unire_file(spark: SparkSession, path: str) -> DataFrame:
+    """S8: unire system output, JSON-lines (unireReader.py:22-43):
+    {Sentence, Predicate: {text}, Arguments: [{text}, ...]} →
+    (sent, pred, args, confidence=1). Exactly-repeated raw lines are
+    dropped, keeping one (unireReader.py:36-41)."""
+    lines = (
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .dropDuplicates(["value"])
+    )
+    j = F.from_json(
+        "value",
+        "Sentence string, Predicate struct<text:string>, "
+        "Arguments array<struct<text:string>>")
+    return lines.select(j.alias("j")).select(
+        F.col("j.Sentence").alias("sent"),
+        F.col("j.Predicate.text").alias("pred"),
+        F.transform("j.Arguments", lambda a: a["text"]).alias("args"),
         F.lit(1.0).alias("confidence"),
     )
 

@@ -72,6 +72,41 @@ def test_normalize_key():
     assert normalize_key("don 't stop") == "dontstop"
 
 
+# -------------------------------------------------------- binarize
+
+def test_binarize_quirks(spark):
+    """K-ary binarize (carb.py:192-217) including the aliasing quirk:
+    one mutated object re-appended means every row of a >2-ary
+    extraction reflects the LAST extra arg."""
+    from openie_spark.eval.carb import binarize_tuples
+
+    rows = [
+        ("s1", "rel", ["a0", "a1"]),                      # ≤2-ary: unchanged
+        ("s2", "rel", ["a0"]),
+        ("s3", "rel", ["a0", "a1", "in paris"]),          # prep hoisted
+        ("s4", "rel", ["a0", "a1", "x y", "of z"]),       # 3 aliased copies
+    ]
+    df = spark.createDataFrame(rows, "sent string, pred string, args array<string>")
+    got = {}
+    for r in binarize_tuples(df).collect():
+        got.setdefault(r.sent, []).append((r.pred, tuple(r.args)))
+    assert got["s1"] == [("rel", ("a0", "a1"))]
+    assert got["s2"] == [("rel", ("a0",))]
+    assert sorted(got["s3"]) == [("rel a1 in", ("a0", "paris"))] * 2
+    assert sorted(got["s4"]) == [("rel a1 of", ("a0", "z"))] * 3
+
+
+def test_binary_compare_self_is_perfect(spark):
+    from openie_spark.eval.carb import carb_compare
+
+    g = spark.createDataFrame(
+        [("A is B in C .", "is", ["A", "B", "in C"]),
+         ("D said E .", "said", ["D", "E"])],
+        "sent string, pred string, args array<string>")
+    row = carb_compare(g, g, binary=True).collect()[0]
+    assert row.precision == 1.0 and row.recall == 1.0
+
+
 # ------------------------------------------------- reference parity
 
 def _load_reference_matcher():
@@ -98,6 +133,12 @@ class _Ex:
         self.pred = pred
         self.args = list(args)
 
+    def elementToStr(self, elem):
+        return str(elem)
+
+    def bow(self):
+        return " ".join([self.elementToStr(x) for x in [self.pred] + self.args])
+
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
 def test_matcher_parity_randomized():
@@ -123,6 +164,73 @@ def test_matcher_parity_randomized():
             f"gold=({gp!r},{ga!r}) pred=({ep!r},{ea!r})")
         n_diff += got != [0.0, 0.0]
     assert n_diff > 20  # the sweep must exercise non-trivial matches
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_alt_matchers_parity_randomized():
+    """E7 alternative scorers vs the reference Matcher (bleuMatch
+    excluded — nltk absent and unreachable from the default path).
+    Gate-returns normalized: the reference's False ≡ [0, 0] here."""
+    from openie_spark.eval.matcher import (
+        arg_match,
+        binary_tuple_match,
+        bow_match,
+        lexical_match,
+        pred_match,
+        simple_tuple_match,
+        tuple_match,
+    )
+
+    Matcher = _load_reference_matcher()
+    rng = random.Random(7)
+    vocab = ["John", "Mary", "the", "of", "is", "ran", "said", "be", "was",
+             "tall", "baker", "hello", "to", "London", "x"]
+
+    def rand_tuple():
+        pred = " ".join(rng.choices(vocab, k=rng.randint(0, 3)))
+        args = [" ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+                for _ in range(rng.randint(0, 4))]
+        return pred, args
+
+    pairs = [
+        ("bowMatch", bow_match), ("predMatch", pred_match),
+        ("lexicalMatch", lexical_match), ("argMatch", arg_match),
+        ("tuple_match", tuple_match), ("simple_tuple_match", simple_tuple_match),
+        ("binary_tuple_match", binary_tuple_match),
+    ]
+    n_checked = {name: 0 for name, _ in pairs}
+    for _ in range(400):
+        gp, ga = rand_tuple()
+        ep, ea = rand_tuple()
+        for name, ours in pairs:
+            ref_fn = getattr(Matcher, name)
+            try:
+                want = ref_fn(_Ex(gp, ga), _Ex(ep, ea),
+                              ignoreStopwords=True, ignoreCase=True)
+            except (ZeroDivisionError, IndexError):
+                continue    # reference crashes on empty spans; skip case
+            got = ours(gp, ga, ep, ea)
+            if isinstance(got, bool):
+                assert got == want, (name, gp, ga, ep, ea)
+            else:
+                if want is False:       # tuple_match-family gate returns
+                    want = [0, 0]       # False; ours normalizes to [0,0]
+                assert [round(x, 9) for x in got] == [round(x, 9) for x in list(want)], (
+                    name, gp, ga, ep, ea)
+            n_checked[name] += 1
+    assert all(v > 100 for v in n_checked.values()), n_checked
+
+
+def test_alt_matcher_in_scorer(spark):
+    """E7 matchers plug into the cogrouped scorer via match_fn."""
+    from openie_spark.eval.carb import carb_compare
+    from openie_spark.eval.matcher import tuple_match
+
+    g = spark.createDataFrame(
+        [("A is B .", "is", ["A", "B"]), ("C ran fast .", "ran", ["C", "fast"])],
+        "sent string, pred string, args array<string>")
+    row = carb_compare(g, g, match_fn=tuple_match).collect()[0]
+    assert row.precision == 1.0 and row.recall == 1.0
 
 
 # ------------------------------------------------------------- Spark
@@ -168,6 +276,171 @@ def test_carb_degraded_predictions(spark):
     assert row.precision == 1.0
     assert 0 < row.recall < 1
     assert row.f1 <= 1.0
+
+    # value-assert against the transcribed reference loop (the driver's
+    # carb_score_degraded row has no SQL oracle — this is its pin)
+    g_rows = [(r.sent, r.pred, list(r.args)) for r in gold.collect()]
+    p_rows = [(r.sent, r.pred, list(r.args)) for r in pred.collect()]
+    g_dict, p_dict = {}, {}
+    for s, pr, ar in g_rows:
+        g_dict.setdefault(normalize_key(s), []).append((pr, ar, 1.0))
+    for s, pr, ar in p_rows:
+        p_dict.setdefault(normalize_key(s), []).append((pr, ar, 1.0))
+    _, want_p, want_r = _reference_sweep(g_dict, p_dict)
+    assert row.precision == round(want_p[0], 6)
+    assert row.recall == pytest.approx(want_r[0], abs=1e-6)
+
+
+def _reference_sweep(gold, pred):
+    """Direct transcription of the reference PR sweep
+    (/root/reference/eval/oie_eval/carb.py:77-163) over in-memory
+    dicts: key -> [(pred, args, confidence)]. Used as the independent
+    golden for carb_pr_curve (duplicate confidences iterated exactly as
+    the reference does — they fall into empty slices)."""
+    conf_thresholds = sorted({c for exts in pred.values() for (_, _, c) in exts})
+    num = len(conf_thresholds)
+    p = [0.0] * num
+    pl = [0] * num
+    r = [0.0] * num
+    rl = [0] * num
+    for sent, gold_ex in gold.items():
+        pred_ex = pred.get(sent, [])
+        scores = [
+            [binary_lenient_match(gp, list(ga), ep, list(ea)) for ep, ea, _ in pred_ex]
+            for gp, ga, _ in gold_ex
+        ]
+        sent_confs = sorted(c for _, _, c in pred_ex)
+        prev_c = 0
+        for conf in sent_confs:
+            c = conf_thresholds.index(conf)
+            ext = [j for j, (_, _, cf) in enumerate(pred_ex) if cf >= conf]
+            rec_num = sum(max([row[j][1] for j in ext], default=0) for row in scores)
+            prec_num = 0.0
+            sel_rows, sel_cols = [], []
+            for _ in range(min(len(scores), len(ext))):
+                m_p, m_i, m_j = -1.0, -1, -1
+                for i in range(len(scores)):
+                    if i in sel_rows:
+                        continue
+                    for j in ext:
+                        if j in sel_cols:
+                            continue
+                        if scores[i][j][0] > m_p:
+                            m_p, m_i, m_j = scores[i][j][0], i, j
+                sel_rows.append(m_i)
+                sel_cols.append(m_j)
+                prec_num += m_p
+            for t in range(prev_c, c + 1):
+                p[t] += prec_num
+                pl[t] += len(ext)
+                r[t] += rec_num
+                rl[t] += len(scores)
+            prev_c = c + 1
+        for t in range(prev_c, num):
+            rl[t] += len(scores)
+    prec = [a / b if b > 0 else 1 for a, b in zip(p, pl)]
+    rec = [a / b if b > 0 else 0 for a, b in zip(r, rl)]
+    return conf_thresholds, prec, rec
+
+
+def test_pr_curve_matches_reference_sweep(spark):
+    """E5 full threshold sweep vs the transcribed reference loop on
+    varied-confidence predictions with partial matches, a gold-only
+    sentence, and a pred-only sentence."""
+    from openie_spark.eval.carb import carb_pr_curve, carb_sweep_summary
+
+    gold_rows = [
+        ("A is B .", "is", ["A", "B"]),
+        ("A is B .", "is", ["A", "B C"]),
+        ("C was D .", "was", ["C", "D"]),
+        ("E is F .", "is", ["E", "F"]),          # gold-only sentence
+        ("G said H .", "said", ["G", "H"]),
+    ]
+    pred_rows = [
+        ("A is B .", "is", ["A", "B"], 0.9),
+        ("A is B .", "is", ["A", "wrong"], 0.3),
+        ("C was D .", "was", ["C", "D extra"], 0.6),
+        ("G said H .", "said", ["H", "G"], 0.3),  # reversed, said-rule
+        ("Z is Q .", "is", ["Z", "Q"], 0.9),      # pred-only sentence
+    ]
+    gold = spark.createDataFrame(gold_rows, "sent string, pred string, args array<string>")
+    pred = spark.createDataFrame(pred_rows, "sent string, pred string, args array<string>, confidence double")
+
+    g_dict, p_dict = {}, {}
+    for s, pr, ar in gold_rows:
+        g_dict.setdefault(normalize_key(s), []).append((pr, ar, 1.0))
+    for s, pr, ar, cf in pred_rows:
+        p_dict.setdefault(normalize_key(s), []).append((pr, ar, cf))
+    confs, want_p, want_r = _reference_sweep(g_dict, p_dict)
+
+    got = sorted(carb_pr_curve(gold, pred).collect(), key=lambda r: r.t)
+    assert [r.conf for r in got] == confs
+    assert [r.precision for r in got] == [round(x, 6) for x in want_p]
+    assert [r.recall for r in got] == [round(x, 6) for x in want_r]
+    # curve must be non-trivial: recall strictly drops at the top
+    # threshold, precision varies across thresholds
+    assert got[0].recall > got[-1].recall
+    summary = carb_sweep_summary(carb_pr_curve(gold, pred))
+    assert 0 < summary["auc"] <= 1
+    assert summary["optimal_f1"] == max(r.f1 for r in got)
+
+
+def test_tab_reader_feeds_pr_sweep(spark, tmp_path):
+    """End-to-end user path: a tab-format system output (S7 reader,
+    real confidences) scored against a gold-format file through the
+    full E5 sweep — the round-1 gap (scorer could only do conf≡1)."""
+    from openie_spark.eval.carb import carb_pr_curve
+    from openie_spark.sources.conll import read_tuple_file
+
+    gold_path = tmp_path / "gold.tsv"
+    gold_path.write_text(
+        "A is B .\tis\tA\tB\n"
+        "A is B .\tis\tA\tB C\n"
+        "C was D .\twas\tC\tD\n"
+        "E is F .\tis\tE\tF\n")
+    tab_path = tmp_path / "sys.tsv"
+    tab_path.write_text(
+        "A is B .\t0.9\tis\tA\tB\n"
+        "A is B .\t0.3\tis\tA\twrong\n"
+        "C was D .\t0.6\twas\tC\tD extra\n")
+    gold = read_tuple_file(spark, str(gold_path), style="gold")
+    pred = read_tuple_file(spark, str(tab_path), style="tab")
+    curve = sorted(
+        carb_pr_curve(gold.select("sent", "pred", "args"),
+                      pred.select("sent", "pred", "args", "confidence")).collect(),
+        key=lambda r: r.t)
+
+    g_dict, p_dict = {}, {}
+    for r in gold.collect():
+        g_dict.setdefault(normalize_key(r.sent), []).append((r.pred, list(r.args), 1.0))
+    for r in pred.collect():
+        p_dict.setdefault(normalize_key(r.sent), []).append(
+            (r.pred, list(r.args), r.confidence))
+    confs, want_p, want_r = _reference_sweep(g_dict, p_dict)
+    assert [r.conf for r in curve] == confs == [0.3, 0.6, 0.9]
+    assert [r.precision for r in curve] == [round(x, 6) for x in want_p]
+    assert [r.recall for r in curve] == [round(x, 6) for x in want_r]
+
+
+def test_pr_curve_single_confidence_degenerates_to_point(spark):
+    """conf≡1 predictions: the sweep's one point must equal the
+    single-point scorer (the reference-parity path)."""
+    from pyspark.sql import functions as F
+
+    from openie_spark.eval.carb import carb_compare, carb_pr_curve
+
+    gold = spark.createDataFrame(
+        [("A is B .", "is", ["A", "B"]), ("C is D .", "is", ["C", "D"])],
+        "sent string, pred string, args array<string>")
+    pred = spark.createDataFrame(
+        [("A is B .", "is", ["A", "B"])],
+        "sent string, pred string, args array<string>")
+    curve = carb_pr_curve(gold, pred.withColumn("confidence", F.lit(1.0))).collect()
+    point = carb_compare(gold, pred).collect()[0]
+    assert len(curve) == 1
+    assert curve[0].precision == point.precision
+    assert curve[0].recall == point.recall
+    assert curve[0].f1 == point.f1
 
 
 def test_carb_gold_only_and_pred_only_sentences(spark):

@@ -84,6 +84,65 @@ def test_tuple_tab(spark, tdir):
     assert rows[1].pred == "runs" and rows[1].args == []
 
 
+def test_tuple_benchmark_gold(spark, tdir):
+    """S8 benchmarkGoldReader: sent \t pred \t args..., stripped, no
+    C-filter, confidence=1 (the reader's docstring claims a prob
+    column; its code reads none — benchmarkGoldReader.py:28-42)."""
+    from openie_spark.sources.conll import read_tuple_file
+
+    p = _write(tdir, "bmk", (
+        "S one\tloves\t John \tMary\n"
+        "\n"
+        "S two\truns\tC: kept here\n"))
+    rows = sorted(read_tuple_file(spark, p, "benchmark").collect(), key=lambda r: r.idx)
+    assert len(rows) == 2
+    assert rows[0].pred == "loves" and rows[0].args == ["John", "Mary"]
+    assert rows[0].confidence == 1.0
+    assert rows[1].args == ["C: kept here"]      # no C-filter in this reader
+
+
+def test_oie16_reader(spark, tdir):
+    """S8 oie16: header-driven field lookup, label[:2].strip('-') span
+    grouping in first-appearance order, P span = predicate."""
+    from openie_spark.sources.conll import read_oie16_file
+
+    p = _write(tdir, "oie16", (
+        "word_id\tword\tlabel\n"
+        "0\tthe\tA0-B\n"
+        "1\tcat\tA0-I\n"
+        "2\tsat\tP-B\n"
+        "3\ton\tO\n"
+        "4\tmat\tA1-B\n"
+        "\n"
+        "0\tx\tA1-B\n"
+        "1\truns\tP-B\n"))
+    rows = sorted(read_oie16_file(spark, p).collect(), key=lambda r: r.block_idx)
+    assert len(rows) == 2
+    assert rows[0].sent == "the cat sat on mat"
+    assert rows[0].pred == "sat"
+    assert rows[0].args == ["the cat", "mat"]     # A0 before A1 (appearance order)
+    assert rows[0].confidence == 1.0
+    assert rows[1].pred == "runs" and rows[1].args == ["x"]
+
+
+def test_unire_reader(spark, tdir):
+    """S8 unire: JSONL with exact-duplicate lines dropped."""
+    import json
+
+    from openie_spark.sources.conll import read_unire_file
+
+    line = json.dumps({"Sentence": "A loves B", "Predicate": {"text": "loves"},
+                       "Arguments": [{"text": "A"}, {"text": "B"}]})
+    other = json.dumps({"Sentence": "C runs", "Predicate": {"text": "runs"},
+                        "Arguments": [{"text": "C"}]})
+    p = _write(tdir, "unire", line + "\n" + line + "\n" + other + "\n")
+    rows = sorted(read_unire_file(spark, p).collect(), key=lambda r: r.sent)
+    assert len(rows) == 2                          # duplicate line dropped
+    assert rows[0].sent == "A loves B" and rows[0].pred == "loves"
+    assert rows[0].args == ["A", "B"] and rows[0].confidence == 1.0
+    assert rows[1].args == ["C"]
+
+
 def test_seq_file(spark, tdir):
     from openie_spark.sources.conll import read_seq_file
 

@@ -104,7 +104,7 @@ def test_lsh_topk_finds_planted_neighbors(emb):
 
 
 def test_embedding_pairs_planted(emb):
-    from openie_spark.datapipe.similarity import embedding_pairs
+    from openie_spark.datapipe.similarity import embedding_pairs, embedding_pairs_exact
 
     base = emb.select("vec_id", "embedding")
     noised = base.select(
@@ -112,12 +112,18 @@ def test_embedding_pairs_planted(emb):
         F.transform("embedding", lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)).alias("embedding"),
     )
     planted = base.unionByName(noised)
-    pairs = embedding_pairs(planted, threshold=0.95)
-    got = {(r.a, r.b) for r in pairs.collect()}
     want = {(r.vec_id, r.vec_id + 100000) for r in base.collect()}
-    assert want <= got  # every planted twin found
-    # and nothing except twins (random 64-dim vectors never hit 0.95)
-    assert got == want
+
+    # exact all-pairs ground truth: exactly the planted twins and
+    # nothing else (random 64-dim vectors never hit 0.95)
+    exact = {(r.a, r.b) for r in embedding_pairs_exact(planted, threshold=0.95).collect()}
+    assert exact == want
+
+    # LSH-gated path: verified subset of exact with near-total recall
+    # on the cos≈0.999 twins (the regime the sketch is built for)
+    got = {(r.a, r.b) for r in embedding_pairs(planted, threshold=0.95).collect()}
+    assert got <= exact
+    assert len(got) >= 0.98 * len(exact), f"LSH recall {len(got)}/{len(exact)}"
 
 
 # --------------------------------------------------------- textstats
@@ -173,6 +179,8 @@ def test_media_features_and_frames(docs):
         assert len(r.feature) == 16
         assert abs(sum(r.feature) - 1.0) < 1e-4
         assert r.n_bytes > 0
+        # integer counts are the exact histogram behind the feature
+        assert len(r.hist) == 16 and sum(r.hist) == r.n_bytes
     frames = frame_sample(media).collect()
     n_video = media.filter(F.col("kind") == "video").count()
     assert n_video > 0 and len(frames) > 0
