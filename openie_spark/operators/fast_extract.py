@@ -2,13 +2,17 @@
 
 Same semantics as the codegen path (segment_transcripts ->
 tag_predicates -> fan_out_spans -> assemble_triples_fast), pinned
-row-identical by tests/test_fast_extract.py. Exists because the
-measured cost of the fold-lambda expressions in this Spark build is
-~845us core-time per turn, while the identical logic in batched Python
-is several times cheaper AND runs in separate worker processes
-(sidestepping the single-JVM allocation/GC ceiling measured in
-BENCH/BASELINE.md). The plan is still narrow: scan -> mapInPandas,
-no shuffle.
+row-identical by tests/test_fast_extract.py. The plan is still narrow:
+scan -> mapInPandas, no shuffle.
+
+Measured honestly (round 2): per-turn CORE time of the fused kernel is
+cheaper than the fold-lambda expressions (~845us/turn), but END-TO-END
+the codegen `rule` path wins at every parallelism level tried
+(local[2]/[8]/[32]) — Arrow serialization of the wide triple rows plus
+python-worker contention eats the kernel win. `rule` is therefore the
+default backend; this path remains useful where JVM heap pressure, not
+CPU, is the binding constraint, and as the process-parallel reference
+the neural backend shares its batch plumbing with.
 
 Reference parity is inherited from the codegen path's own parity
 anchors: segmentation ≙ utils/dataset.py:28-53 block reading with

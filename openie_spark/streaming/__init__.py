@@ -1,3 +1,7 @@
+from openie_spark.streaming.dedup import (  # noqa: F401
+    stream_exact_dedup,
+    write_dedup_stream,
+)
 from openie_spark.streaming.ingest import (  # noqa: F401
     TRANSCRIPT_SCHEMA,
     stream_transcripts,

@@ -101,6 +101,33 @@ def test_tuple_benchmark_gold(spark, tdir):
     assert rows[1].args == ["C: kept here"]      # no C-filter in this reader
 
 
+def test_np_annotate_roundtrip(spark, tdir):
+    """S3: NP annotation (deterministic heuristic chunker — spaCy
+    absent in this container) round-trips through the 02-np dev line
+    shape into read_column_file(np_col=True)."""
+    from openie_spark.sources.conll import read_column_file
+    from openie_spark.sources.npchunk import annotate_np, heuristic_chunks, np_lines
+
+    words = ["the", "big", "cat", "is", "on", "the", "mat", "."]
+    assert heuristic_chunks(words) == [(0, 3), (5, 7)]
+
+    blocks = spark.createDataFrame(
+        [("f", 0, words), ("f", 1, ["it", "is", "."])],
+        "file string, block_idx int, words array<string>")
+    ann = sorted(annotate_np(blocks).collect(), key=lambda r: r.block_idx)
+    assert ann[0].np_tags == ["NP", "NP", "NP", "O", "O", "NP", "NP", "O"]
+    assert ann[1].np_tags == ["NP", "O", "O"]
+
+    txt = "\n\n".join(
+        r.block_text for r in sorted(np_lines(annotate_np(blocks)).collect(),
+                                     key=lambda r: r.block_idx)) + "\n"
+    p = _write(tdir, "npdev", txt)
+    back = sorted(read_column_file(spark, p, np_col=True).collect(),
+                  key=lambda r: r.block_idx)
+    assert back[0].words == words and back[0].np_tags == ann[0].np_tags
+    assert back[1].np_tags == ann[1].np_tags
+
+
 def test_oie16_reader(spark, tdir):
     """S8 oie16: header-driven field lookup, label[:2].strip('-') span
     grouping in first-appearance order, P span = predicate."""

@@ -102,3 +102,36 @@ def test_windowed_triple_counts_stream_static(spark, landing):
 
     total = got.agg(F.sum("n_triples")).collect()[0][0]
     assert total == extract_triples(static).count()
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: a hash first seen in batch 1 must
+    suppress duplicates arriving in batch 2; keeper = min doc_id."""
+    from openie_spark.streaming import stream_exact_dedup, write_dedup_stream
+
+    landing = str(tmp_path / "docs")
+    out = str(tmp_path / "keep")
+    ckpt = str(tmp_path / "ckpt")
+    drop1 = spark.createDataFrame(
+        [(3, "alpha text"), (1, "alpha text"), (5, "beta text")],
+        "doc_id long, text string")
+    drop1.repartition(1).write.mode("overwrite").parquet(landing)
+
+    def drain():
+        s = spark.readStream.schema("doc_id long, text string").parquet(landing)
+        q = write_dedup_stream(stream_exact_dedup(s), out, ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    first = {r.text_hash: r.doc_id for r in spark.read.parquet(out).collect()}
+    assert len(first) == 2
+    assert set(first.values()) == {1, 5}        # min doc_id kept
+
+    # second drop: one duplicate of 'alpha text', one new doc
+    spark.createDataFrame(
+        [(9, "alpha text"), (7, "gamma text")], "doc_id long, text string"
+    ).repartition(1).write.mode("append").parquet(landing)
+    drain()
+    final = {r.text_hash: r.doc_id for r in spark.read.parquet(out).collect()}
+    assert len(final) == 3                      # duplicate suppressed
+    assert set(final.values()) == {1, 5, 7}

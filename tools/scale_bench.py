@@ -54,16 +54,26 @@ def gen_input(sf_dir: str, copies: int, out_dir: str) -> int:
     return n
 
 
-def run_job(input_dir: str, output_dir: str, cpus: int) -> dict:
+def run_job(input_dir: str, output_dir: str, cpus: int,
+            backend: str = "rule", driver_memory: str = "32g") -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "tools", "kg_job.py"),
         "--input", input_dir, "--output", output_dir,
         "--master", f"local[{cpus}]",
         "--shuffle-partitions", str(2 * cpus),
+        "--backend", backend,
+        "--driver-memory", driver_memory,
         "--no-resume",
     ]
+    # Pin BLAS to one thread per python worker (both legs): otherwise
+    # each numpy-backed worker can grab extra cores (OpenBLAS
+    # MAX_THREADS=2 in this build), silently inflating the
+    # low-parallelism leg's effective core count.
+    env = dict(os.environ,
+               OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
     t0 = time.perf_counter()
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, env=env)
     wall = time.perf_counter() - t0
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     summary["wall_with_startup"] = round(wall, 1)
@@ -78,6 +88,12 @@ def main() -> None:
     # but not faster) — see BENCH/BASELINE.md for the three-experiment
     # decomposition (2->8 cores, 8->32 threads, 1->4 executor JVMs).
     ap.add_argument("--cpus", default="2,8")
+    ap.add_argument("--backend", default="rule",
+                    choices=["rule", "rule_arrow", "neural"],
+                    help="extraction backend for both legs (the neural "
+                         "path is the north-star-shaped one: batched "
+                         "pandas UDFs calling the sequence model)")
+    ap.add_argument("--driver-memory", default="32g")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--workdir", default="/tmp/openie_scale")
     args = ap.parse_args()
@@ -96,7 +112,9 @@ def main() -> None:
     for cpus in (lo, hi):
         out_dir = os.path.join(args.workdir, f"kg_local{cpus}")
         subprocess.run(["rm", "-rf", out_dir], check=True)
-        results[cpus] = run_job(input_dir, out_dir, cpus)
+        results[cpus] = run_job(input_dir, out_dir, cpus,
+                                backend=args.backend,
+                                driver_memory=args.driver_memory)
 
     thr_lo = results[lo]["triples_per_sec"]
     thr_hi = results[hi]["triples_per_sec"]
