@@ -335,12 +335,18 @@ def carb_pr_curve(gold: DataFrame, pred: DataFrame) -> DataFrame:
             [], "t int, conf double, precision double, recall double, f1 double")
     tdf = spark.createDataFrame(
         [(i, float(c)) for i, c in enumerate(confs)], "t int, conf double")
+    # bracket -> slot expansion: explode the [t_lo, t_hi] range (always
+    # ascending: brackets are emitted with prev_c <= c) and attach conf
+    # AFTER aggregation via a broadcast hash equi-join on the
+    # num_conf-row threshold table — no nested-loop range join.
     sums = (
-        brackets.join(F.broadcast(tdf),
-                      (F.col("t") >= F.col("t_lo")) & (F.col("t") <= F.col("t_hi")))
-        .groupBy("t", "conf")
+        brackets
+        .select(F.explode(F.sequence("t_lo", "t_hi")).alias("t"),
+                "p", "pl", "r", "rl")
+        .groupBy("t")
         .agg(F.sum("p").alias("p"), F.sum("pl").alias("pl"),
              F.sum("r").alias("r"), F.sum("rl").alias("rl"))
+        .join(F.broadcast(tdf), "t")
     )
     P = F.when(F.col("pl") > 0, F.col("p") / F.col("pl")).otherwise(F.lit(1.0))
     R = F.when(F.col("rl") > 0, F.col("r") / F.col("rl")).otherwise(F.lit(0.0))

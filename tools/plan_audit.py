@@ -15,11 +15,17 @@ verdict and flags scale anti-patterns in the FORMATTED physical plan:
 Queries that are DESIGNED quadratic ground truths (doc-capped) are
 exempt from the join check and listed explicitly.
 
+codegen_spans reads 0 for any shuffling query: AdaptiveSparkPlan
+defers codegen until runtime re-planning, so only no-shuffle plans
+report their WholeStageCodegen subtree count pre-execution.
+
 Usage: python tools/plan_audit.py [sf_dir]   (default sf0.01)
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import re
 import sys
@@ -49,7 +55,21 @@ def main() -> None:
     for name, fn in e.queries().items():
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().explainString("formatted")
+            # DataFrame.explain prints from the Python side (the JVM
+            # hands back a string), so stdout capture is the
+            # version-stable way to get the formatted plan text.
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            plan = buf.getvalue()
+            # AQE hides codegen decisions from the pre-execution
+            # formatted plan; codegen mode reports subtree count.
+            cbuf = io.StringIO()
+            with contextlib.redirect_stdout(cbuf):
+                df.explain(mode="codegen")
+            m = re.search(r"Found (\d+) WholeStageCodegen subtrees",
+                          cbuf.getvalue())
+            n_wsc = int(m.group(1)) if m else 0
         except Exception as ex:  # noqa: BLE001
             print(f"{name:28s} ERROR building plan: {ex}")
             bad += 1
@@ -61,7 +81,6 @@ def main() -> None:
         if re.search(r"\bBatchEvalPython\b", plan):
             flags.append("ROW-PYTHON-UDF")
         n_exchanges = len(re.findall(r"\bExchange\b", plan))
-        n_wsc = len(re.findall(r"WholeStageCodegen", plan))
         status = "FLAG " + ",".join(flags) if flags else "ok"
         print(f"{name:28s} {status:24s} exchanges={n_exchanges:2d} codegen_spans={n_wsc}")
         bad += bool(flags)
