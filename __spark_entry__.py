@@ -374,6 +374,17 @@ def _q_dp_embedding_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_topk_np(_emb(spark, sf_dir))
 
 
+def _q_dp_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN top-k (md5-sampled deterministic
+    centroids, argmax cell assignment, nprobe probing, exact
+    rescoring) — the whole structure is DuckDB-recomputable
+    (ivf_topk_sql), so unlike the sign-LSH variant this approximate
+    path gets the full hash check."""
+    from openie_spark.datapipe.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir))
+
+
 def _q_dp_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN over planted twins — candidate set is
     sketch-dependent; recall pinned in tests; rows-only check."""
@@ -438,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_fingerprint": _q_dp_fingerprint,
         "dp_embedding_topk": _q_dp_embedding_topk,
         "dp_embedding_topk_np": _q_dp_embedding_topk_np,
+        "dp_embedding_ivf": _q_dp_embedding_ivf,
         "dp_embedding_lsh": _q_dp_embedding_lsh,
         "dp_embedding_pairs": _q_dp_embedding_pairs,
         "dp_media_features": _q_dp_media_features,
@@ -475,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_fingerprint": dp.fingerprint_sql(),
         "dp_embedding_topk": dp.brute_topk_sql_oracle(),
         "dp_embedding_topk_np": dp.brute_topk_sql_oracle(),
+        "dp_embedding_ivf": dp.ivf_topk_sql(),
         "dp_embedding_pairs": dp.embedding_pairs_sql(),
         "dp_media_features": dp.media_features_sql(),
         "dp_media_frames": dp.media_frames_sql(),

@@ -15,10 +15,13 @@
   tests (probabilistic, rows-only at the driver).
 * ``embedding_pairs`` — cosine near-duplicate pairs (dedup family).
 
-Scale note: at 10^9+ vectors use IVF-style coarse quantization — the
-bucket join here has the same shape (bucket key = cluster id instead
-of hyperplane signs); the LSH variant is chosen because it needs no
-training step and stays fully deterministic.
+* ``ivf_topk`` — IVF-style coarse quantization: a deterministic
+  training-free quantizer (the ``n_centroids`` corpus vectors with the
+  smallest md5(vec_id) keys act as cell centroids), map-side argmax
+  assignment against the broadcast centroid table, inverted-list
+  candidate join keyed by cell id, exact rescoring. Fully
+  md5-deterministic → DuckDB-checkable end to end
+  (plans/datapipe_oracles.ivf_topk_sql), unlike real kmeans IVF.
 """
 
 from __future__ import annotations
@@ -185,6 +188,77 @@ def lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
         q.join(c, ["band_idx", "band_val"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "q_vec", "vec_id", "unit").distinct()
+        .withColumn("cos", F.round(_dot(F.col("q_vec"), F.col("unit")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos")
+    )
+
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
+             n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Approximate top-k via IVF coarse quantization.
+
+    Quantizer: instead of trained kmeans centroids, the ``n_centroids``
+    corpus vectors with the smallest (md5(vec_id), vec_id) keys — a
+    deterministic uniform sample, so the whole structure (cells,
+    probes, results) is engine-portable and DuckDB-recomputable.
+
+    Scale shape (the 10^9-vector path next to ``lsh_topk``):
+    * centroid selection is TakeOrderedAndProject (per-partition top-n,
+      no global sort shuffle) and the centroid table is broadcast to
+      both the assignment and the probe join;
+    * assignment is a map-side argmax (max_by partial aggregation
+      collapses the n_centroids-wide expansion inside each input
+      partition before the single one-row-per-vector shuffle);
+    * the candidate join is keyed by cell id — an inverted list whose
+      shuffle is cell-sized, never corpus²; cell-count imbalance is
+      IVF's skew axis — raise n_centroids (or cap hot cells like
+      kg/linking.py's hot-block cap) at scale.
+    """
+    from openie_spark.functions.partitioning import spread
+
+    # three consumers (centroids, assignment, queries) — materialize
+    # the normalized corpus once
+    e = with_unit(spread(emb, "vec_id")).localCheckpoint(eager=False)
+    cent = (
+        e.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_vec"))
+        .withColumn("h", md5h60(F.col("c_id").cast("string")))
+        .orderBy("h", "c_id")
+        .limit(n_centroids)
+        .drop("h")
+    )
+    # nearest centroid per vector; round-6 + c_id tiebreak keeps the
+    # argmax bit-identical across engines
+    sim = F.round(_dot(F.col("unit"), F.col("c_vec")), 6)
+    assign = (
+        e.select("vec_id", "unit").crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.first("unit").alias("unit"),
+            F.max_by(
+                "c_id", F.struct(sim.alias("s"), (-F.col("c_id")).alias("t"))
+            ).alias("cell"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("ps"), F.asc("c_id"))
+    probes = (
+        _queries(e, query_mod).crossJoin(F.broadcast(cent))
+        .withColumn("ps", F.round(_dot(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "q_vec", F.col("c_id").alias("cell"))
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
         .withColumn("cos", F.round(_dot(F.col("q_vec"), F.col("unit")), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -25,6 +25,8 @@ from openie_spark.datapipe.dedup import (
 )
 from openie_spark.datapipe.multimodal import FRAME_BYTES, FRAME_STRIDE, HIST_BINS, KINDS
 from openie_spark.datapipe.similarity import (
+    IVF_CENTROIDS,
+    IVF_NPROBE,
     NEAR_DUP_COSINE,
     PLANT_VEC_OFFSET,
     QUERY_MOD,
@@ -272,6 +274,44 @@ SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
   FROM (SELECT vec_id AS q_id, unit AS q_vec FROM un WHERE vec_id % {QUERY_MOD} = 0) q
   CROSS JOIN un c
   WHERE c.vec_id <> q.q_id
+) WHERE rank <= {TOPK}"""
+
+
+def ivf_topk_sql() -> str:
+    """Recomputes the full IVF structure: md5-sampled centroids,
+    argmax cell assignment, nprobe probing, exact rescoring — mirrors
+    similarity.ivf_topk with round-6 + id tiebreaks at every ordering
+    so the two engines agree bit-for-bit."""
+    return f"""WITH {_UNIT_CTE.format(src='embeddings')},
+cent AS MATERIALIZED (
+  SELECT vec_id AS c_id, unit AS c_vec FROM un
+  ORDER BY {_md5h60("CAST(vec_id AS VARCHAR)")}, vec_id
+  LIMIT {IVF_CENTROIDS}
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, unit, c_id AS cell FROM (
+    SELECT u.vec_id, u.unit, c.c_id,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY round(list_inner_product(u.unit, c.c_vec), 6) DESC,
+                      c.c_id ASC) AS rn
+    FROM un u CROSS JOIN cent c) WHERE rn = 1
+),
+probe AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT q.vec_id AS q_id, q.unit AS q_vec, c.c_id AS cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_inner_product(q.unit, c.c_vec), 6) DESC,
+                      c.c_id ASC) AS rn
+    FROM un q CROSS JOIN cent c WHERE q.vec_id % {QUERY_MOD} = 0) WHERE rn <= {IVF_NPROBE}
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+  SELECT p.q_id, a.vec_id,
+         round(list_inner_product(p.q_vec, a.unit), 6) AS cos,
+         row_number() OVER (PARTITION BY p.q_id
+           ORDER BY round(list_inner_product(p.q_vec, a.unit), 6) DESC,
+                    a.vec_id ASC) AS rank
+  FROM probe p JOIN assign a ON p.cell = a.cell
+  WHERE a.vec_id <> p.q_id
 ) WHERE rank <= {TOPK}"""
 
 

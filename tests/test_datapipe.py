@@ -199,3 +199,25 @@ def test_decode_real_is_gated():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"xx", "image")
+
+
+def test_ivf_topk_finds_planted_neighbors(emb):
+    """IVF coarse quantization recovers cos ≈ 0.999 planted twins: a
+    twin's direction is nearly identical to its original's, so both
+    argmax to the same centroid cell and the twin survives the nprobe
+    gate. (Weak cos ≈ 0.3 neighbors are brute force's regime, same
+    caveat as sign-LSH above.)"""
+    from openie_spark.datapipe.similarity import ivf_topk
+
+    base = emb.select("vec_id", "embedding")
+    noised = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)).alias("embedding"),
+    )
+    planted = base.unionByName(noised)
+    got = ivf_topk(planted, k=1, query_mod=10).collect()
+    orig_queries = [r for r in got if r.q_id < 100000]
+    assert orig_queries, "query sample empty"
+    assert all(r.rank == 1 for r in got)
+    hits = sum(1 for r in orig_queries if r.vec_id == r.q_id + 100000)
+    assert hits / len(orig_queries) >= 0.9, f"planted-twin recall {hits}/{len(orig_queries)}"
