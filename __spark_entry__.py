@@ -301,6 +301,34 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tune(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tune(spark).read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_dp_ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream table —
+    lag-flag + running-sum over one user_id window; integer-microsecond
+    time arithmetic keeps it engine-portable."""
+    from openie_spark.datapipe.events import session_stats
+
+    return session_stats(_events(spark, sf_dir))
+
+
+def _q_dp_ev_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts/value sums per event_type (F.window) —
+    same expression runs under Structured Streaming with a watermark."""
+    from openie_spark.datapipe.events import windowed_counts
+
+    return windowed_counts(_events(spark, sf_dir))
+
+
+def _q_dp_ev_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from the semi-structured props column."""
+    from openie_spark.datapipe.events import props_k
+
+    return props_k(_events(spark, sf_dir))
+
+
 def _q_dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.dedup import exact_dedup_groups
 
@@ -454,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_embedding_pairs": _q_dp_embedding_pairs,
         "dp_media_features": _q_dp_media_features,
         "dp_media_frames": _q_dp_media_frames,
+        "dp_ev_sessions": _q_dp_ev_sessions,
+        "dp_ev_windowed": _q_dp_ev_windowed,
+        "dp_ev_props": _q_dp_ev_props,
     }
 
 
@@ -491,4 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_embedding_pairs": dp.embedding_pairs_sql(),
         "dp_media_features": dp.media_features_sql(),
         "dp_media_frames": dp.media_frames_sql(),
+        "dp_ev_sessions": dp.session_stats_sql(),
+        "dp_ev_windowed": dp.windowed_counts_sql(),
+        "dp_ev_props": dp.props_k_sql(),
     }

@@ -1,0 +1,128 @@
+"""Temporal operators over the ``events`` stream table
+(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type VARCHAR,
+value DOUBLE, props VARCHAR-JSON).
+
+* ``sessionize`` — gap-based sessionization: per user, a new session
+  starts when the gap to the previous event exceeds ``gap_minutes``.
+  The classic lag-flag + running-sum formulation: one shuffle on
+  user_id (the window partition key), everything else linear scans.
+* ``session_stats`` — one row per session with count/bounds/duration
+  and the value sum.
+* ``windowed_counts`` — tumbling-window counts + value sums per
+  event_type via ``F.window``; the identical expression runs under
+  Structured Streaming with a watermark (see streaming/ingest.py's
+  windowed triple counts for the streaming twin of this shape).
+* ``props_k`` — typed extraction from the JSON props column
+  (``get_json_object``), the schema-on-read path for semi-structured
+  payload columns.
+
+Engine-portability conventions (same rationale as textstats' integer
+ppm ratios): all time arithmetic is integer microseconds
+(``unix_micros`` ≙ DuckDB ``epoch_us``) — no float timestamp math —
+and value sums are summed as integer cents, so the DuckDB oracles
+(plans/datapipe_oracles.py) reproduce every output bit-for-bit.
+
+Scale notes: sessionization's only shuffle is the hash partition on
+user_id; a power-law user is a straggler, not a correctness problem —
+AQE splits oversized partitions, and the window functions stream
+within a partition (no per-user materialization). Tumbling-window
+aggregation is a plain partial-aggregated groupBy — the map-side
+combine means the shuffle carries one row per (window, type, input
+partition), never one per event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MINUTES = 30
+WINDOW_MINUTES = 5
+
+_US_PER_SEC = 1_000_000
+
+
+def _cents(col: Column) -> Column:
+    return F.round(col * 100).cast("long")
+
+
+def _with_tz(events: DataFrame) -> DataFrame:
+    """The parquet ts is TIMESTAMP_NTZ; unix_micros/F.window need
+    TIMESTAMP. The session timezone is pinned to UTC (session factory
+    and driver _tune both set it), so the cast is the identity on the
+    underlying micros — the same naive-as-UTC reading DuckDB's
+    epoch_us applies."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """+ session_idx (0-based per user, chronological): a session break
+    is a gap > gap_minutes since the user's previous event. Ordering is
+    (ts, event_id) — event_id breaks exact-timestamp ties
+    deterministically."""
+    events = _with_tz(events)
+    gap_us = gap_minutes * 60 * _US_PER_SEC
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    # two steps — a window expression cannot be the argument of another
+    # window aggregate (both run over the SAME user_id partition, so
+    # this is still a single shuffle)
+    brk = F.when(
+        us - F.lag(us).over(w) > F.lit(gap_us), F.lit(1)
+    ).otherwise(F.lit(0))  # first row per user: lag NULL -> otherwise(0)
+    return (
+        events.withColumn("brk", brk)
+        .withColumn(
+            "session_idx",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+        )
+        .drop("brk")
+    )
+
+
+def session_stats(events: DataFrame,
+                  gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """(user_id, session_idx, n_events, t_start, t_end, duration_sec,
+    sum_value_cents) — one row per session; times are epoch seconds."""
+    s = sessionize(events, gap_minutes)
+    us = F.unix_micros("ts")
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min(us) / _US_PER_SEC).cast("long").alias("t_start"),
+            (F.max(us) / _US_PER_SEC).cast("long").alias("t_end"),
+            ((F.max(us) - F.min(us)) / _US_PER_SEC).cast("long").alias("duration_sec"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+def windowed_counts(events: DataFrame,
+                    window_minutes: int = WINDOW_MINUTES) -> DataFrame:
+    """(bucket_start, event_type, n, sum_value_cents) per tumbling
+    window; bucket_start is the window's epoch second. Streaming-ready:
+    the same expression under readStream + withWatermark('ts', ...)
+    yields the incremental version."""
+    win = F.window("ts", f"{window_minutes} minutes")
+    return (
+        _with_tz(events).groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) / _US_PER_SEC).cast("long").alias("bucket_start"),
+            "event_type", "n", "sum_value_cents",
+        )
+    )
+
+
+def props_k(events: DataFrame) -> DataFrame:
+    """(event_id, event_type, k) — typed JSON field extraction from the
+    props column."""
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )

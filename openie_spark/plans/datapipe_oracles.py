@@ -405,3 +405,50 @@ SELECT media_id, CAST(f AS INT) AS frame_idx,
 FROM (SELECT doc_id AS media_id, strlen(text) AS nb
       FROM documents WHERE doc_id % {len(KINDS)} = {video_mod}) m,
      unnest(range(0, (nb + {FRAME_BYTES - 1}) // {FRAME_BYTES}, {FRAME_STRIDE})) u(f)"""
+
+
+# ------------------------------------------------------------ events
+
+def session_stats_sql() -> str:
+    """Mirrors events.session_stats: integer-microsecond gap rule,
+    (ts, event_id) tie order, cents-integer value sums."""
+    from openie_spark.datapipe.events import SESSION_GAP_MINUTES
+
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    return f"""WITH e AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events
+),
+b AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+  FROM b
+)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       CAST(min(us) // 1000000 AS BIGINT) AS t_start,
+       CAST(max(us) // 1000000 AS BIGINT) AS t_end,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY user_id, session_idx"""
+
+
+def windowed_counts_sql() -> str:
+    from openie_spark.datapipe.events import WINDOW_MINUTES
+
+    bucket_s = WINDOW_MINUTES * 60
+    return f"""SELECT
+  CAST((epoch_us(ts) // 1000000 // {bucket_s}) * {bucket_s} AS BIGINT) AS bucket_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2"""
+
+
+def props_k_sql() -> str:
+    return """SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events"""

@@ -38,6 +38,10 @@ ALLOWED_QUADRATIC = {
     "dp_ngram_pairs",           # NGRAM_CAP doc_id slice
     "dp_embedding_topk",        # brute-force oracle baseline
     "dp_embedding_topk_np",     # same result, gated broadcast
+    "dp_embedding_ivf",         # corpus x broadcast-centroids assignment:
+                                # linear in corpus (n_centroids-wide), the
+                                # standard IVF quantization cost — candidates
+                                # themselves join by cell id, never all-pairs
 }
 
 
