@@ -314,6 +314,15 @@ def _q_dp_ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_events(spark, sf_dir))
 
 
+def _q_dp_ev_sessions_sw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gap sessions via Spark's NATIVE session_window merge —
+    the exact aggregation that runs incrementally under Structured
+    Streaming (streaming/ingest.streaming_session_stats)."""
+    from openie_spark.datapipe.events import session_window_stats
+
+    return session_window_stats(_events(spark, sf_dir))
+
+
 def _q_dp_ev_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts/value sums per event_type (F.window) —
     same expression runs under Structured Streaming with a watermark."""
@@ -483,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_media_features": _q_dp_media_features,
         "dp_media_frames": _q_dp_media_frames,
         "dp_ev_sessions": _q_dp_ev_sessions,
+        "dp_ev_sessions_sw": _q_dp_ev_sessions_sw,
         "dp_ev_windowed": _q_dp_ev_windowed,
         "dp_ev_props": _q_dp_ev_props,
     }
@@ -523,6 +533,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_media_features": dp.media_features_sql(),
         "dp_media_frames": dp.media_frames_sql(),
         "dp_ev_sessions": dp.session_stats_sql(),
+        "dp_ev_sessions_sw": dp.session_window_stats_sql(),
         "dp_ev_windowed": dp.windowed_counts_sql(),
         "dp_ev_props": dp.props_k_sql(),
     }

@@ -98,6 +98,43 @@ def session_stats(events: DataFrame,
     )
 
 
+def session_window_stats(events: DataFrame,
+                         gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``F.session_window``
+    (the engine merges per-event [ts, ts+gap] windows; a break happens
+    only at gap > gap — verified empirically to match ``sessionize``'s
+    strict-> boundary, an exact-gap event still merges).  Output is
+    keyed by (user_id, t_start) instead of a per-user ordinal: the session's
+    own start second is the stable identifier the merge produces, and —
+    unlike a running-count ordinal — it stays stable under streaming
+    incremental emission.
+
+    The groupBy below is EXACTLY what runs under Structured Streaming —
+    streaming/ingest.streaming_session_stats wraps this same function
+    around a watermarked stream (session-window aggregation is one of
+    the few stateful shapes the engine can merge incrementally).
+
+    Scale: one shuffle on user_id; state per OPEN session only (closed
+    sessions are emitted and dropped once the watermark passes), so
+    state size is bounded by concurrent-user count, not event count.
+    """
+    e = events if events.isStreaming else _with_tz(events)
+    us = F.unix_micros("ts")
+    return (
+        e.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min(us) / _US_PER_SEC).cast("long").alias("t_start"),
+            (F.max(us) / _US_PER_SEC).cast("long").alias("t_end"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select("user_id", "t_start", "t_end", "n_events", "sum_value_cents")
+    )
+
+
 def windowed_counts(events: DataFrame,
                     window_minutes: int = WINDOW_MINUTES) -> DataFrame:
     """(bucket_start, event_type, n, sum_value_cents) per tumbling

@@ -436,6 +436,35 @@ SELECT user_id, session_idx,
 FROM s GROUP BY user_id, session_idx"""
 
 
+def session_window_stats_sql() -> str:
+    """Mirrors events.session_window_stats (native F.session_window):
+    merge semantics verified empirically — an exact-gap event still
+    merges, so the break condition is gap > gap_us, identical to
+    session_stats. Sessions are keyed by their start second rather
+    than a per-user ordinal."""
+    from openie_spark.datapipe.events import SESSION_GAP_MINUTES
+
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    return f"""WITH e AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events
+),
+b AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b
+)
+SELECT user_id,
+       CAST(min(us) // 1000000 AS BIGINT) AS t_start,
+       CAST(max(us) // 1000000 AS BIGINT) AS t_end,
+       COUNT(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY user_id, sess"""
+
+
 def windowed_counts_sql() -> str:
     from openie_spark.datapipe.events import WINDOW_MINUTES
 

@@ -3,9 +3,12 @@ from openie_spark.streaming.dedup import (  # noqa: F401
     write_dedup_stream,
 )
 from openie_spark.streaming.ingest import (  # noqa: F401
+    EVENTS_SCHEMA,
     TRANSCRIPT_SCHEMA,
+    stream_events,
     stream_transcripts,
     stream_triples,
+    streaming_session_stats,
     windowed_triple_counts,
     windowed_turn_stats,
     write_triples_stream,

@@ -84,6 +84,41 @@ def windowed_turn_stats(transcripts: DataFrame, window: str = "10 minutes",
     )
 
 
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, path: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over an events parquet directory."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_session_stats(events: DataFrame, watermark: str = "60 minutes",
+                            gap_minutes: int | None = None) -> DataFrame:
+    """The batch session_window_stats aggregation, unchanged, over a
+    watermarked stream: Structured Streaming MERGES a user's per-event
+    session windows incrementally and emits a session exactly once —
+    when the watermark passes its close (append mode).  State is one
+    row per open session; late events beyond the watermark are dropped
+    rather than corrupting an emitted session.
+
+    test_streaming.py proves the drained stream output row-identical to
+    the batch twin over the same files (modulo sessions still open at
+    the final watermark, which append mode correctly withholds).
+    """
+    from openie_spark.datapipe.events import (SESSION_GAP_MINUTES,
+                                              session_window_stats)
+
+    gap = SESSION_GAP_MINUTES if gap_minutes is None else gap_minutes
+    return session_window_stats(events.withWatermark("ts", watermark), gap)
+
+
 def windowed_triple_counts(triples: DataFrame, transcripts_static: DataFrame,
                            window: str = "10 minutes",
                            watermark: str = "30 minutes") -> DataFrame:

@@ -47,6 +47,22 @@ def test_session_stats(ev):
     assert s2.sum_value_cents == 660
 
 
+def test_session_window_stats_boundaries(ev):
+    """Native F.session_window merge: boundary semantics match
+    sessionize's strict > — the fixture's user 2 pins that an
+    EXACT-30-min gap still merges (verified engine behavior)."""
+    from openie_spark.datapipe.events import session_window_stats
+
+    epoch0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    got = {(r.user_id, r.t_start): (r.t_end, r.n_events, r.sum_value_cents)
+           for r in session_window_stats(ev).collect()}
+    assert got == {
+        (1, epoch0): (epoch0 + 1200, 3, 375),          # events 0-2
+        (1, epoch0 + 3060): (epoch0 + 3060, 1, 400),   # event 3 (min 51)
+        (2, epoch0): (epoch0 + 1800, 3, 660),          # exact gap merges
+    }
+
+
 def test_windowed_counts(ev):
     from openie_spark.datapipe.events import windowed_counts
 

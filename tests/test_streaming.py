@@ -104,6 +104,59 @@ def test_windowed_triple_counts_stream_static(spark, landing):
     assert total == extract_triples(static).count()
 
 
+def test_streaming_session_stats_append(spark, tmp_path):
+    """Session-window aggregation in APPEND mode: a session is emitted
+    exactly once, when the watermark passes its close. Sentinel drops
+    advance the watermark deterministically (one drain per drop, same
+    checkpoint), after which the streamed output is row-identical to
+    the batch twin over the real events."""
+    import datetime as dt
+
+    from openie_spark.datapipe.events import session_window_stats
+    from openie_spark.streaming import stream_events, streaming_session_stats
+
+    landing = str(tmp_path / "events")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    real = [
+        (0, t0, 1, "click", 1.00, "{}"),
+        (1, t0 + dt.timedelta(minutes=10), 1, "view", 2.50, "{}"),
+        (2, t0 + dt.timedelta(minutes=51), 1, "error", 4.00, "{}"),
+        (3, t0 + dt.timedelta(minutes=30), 2, "view", 2.20, "{}"),
+    ]
+    spark.createDataFrame(real, schema).repartition(1) \
+        .write.mode("overwrite").parquet(landing)
+
+    def drain():
+        s = streaming_session_stats(stream_events(spark, landing))
+        q = (
+            s.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # watermark now max(real) - 60min: nothing emitted yet
+    # two sentinel drops, each a separate drain so the watermark commit
+    # from drop N is in force while drop N+1 is processed
+    for i, days in enumerate((2, 4)):
+        spark.createDataFrame(
+            [(100 + i, t0 + dt.timedelta(days=days), 900 + i,
+              "flush", 0.0, "{}")], schema
+        ).repartition(1).write.mode("append").parquet(landing)
+        drain()
+
+    got = spark.read.parquet(out).filter(F.col("user_id") < 900)
+    batch = session_window_stats(
+        spark.createDataFrame(real, schema))
+    assert got.count() == 3  # (1, two sessions) + (2, one session)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
 def test_stream_exact_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState dedup: a hash first seen in batch 1 must
     suppress duplicates arriving in batch 2; keeper = min doc_id."""

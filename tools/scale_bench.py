@@ -55,7 +55,8 @@ def gen_input(sf_dir: str, copies: int, out_dir: str) -> int:
 
 
 def run_job(input_dir: str, output_dir: str, cpus: int,
-            backend: str = "rule", driver_memory: str = "32g") -> dict:
+            backend: str = "rule", driver_memory: str = "32g",
+            pin: bool = False) -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "tools", "kg_job.py"),
         "--input", input_dir, "--output", output_dir,
@@ -65,6 +66,17 @@ def run_job(input_dir: str, output_dir: str, cpus: int,
         "--driver-memory", driver_memory,
         "--no-resume",
     ]
+    if pin:
+        # Give the WHOLE process tree (JVM incl. GC/JIT threads, python
+        # workers) exactly `cpus` hardware cores.  Without this the
+        # low-parallelism leg silently borrows idle cores for GC, JIT
+        # compilation, the python daemon, and OS page-cache work — an
+        # N-core cluster *node* has no such idle neighbours, so the
+        # unpinned measurement understates real cluster scaling.  Java 17
+        # sizes its GC/JIT pools from the taskset affinity mask
+        # (Runtime.availableProcessors honours sched_getaffinity), so
+        # each leg behaves like a machine with that many cores.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
     # Pin BLAS to one thread per python worker (both legs): otherwise
     # each numpy-backed worker can grab extra cores (OpenBLAS
     # MAX_THREADS=2 in this build), silently inflating the
@@ -94,6 +106,11 @@ def main() -> None:
                          "path is the north-star-shaped one: batched "
                          "pandas UDFs calling the sequence model)")
     ap.add_argument("--driver-memory", default="32g")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each leg to exactly N hardware cores "
+                         "(JVM + GC + python workers), emulating an "
+                         "N-core cluster node instead of an N-thread "
+                         "job on an idle 32-core box")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--workdir", default="/tmp/openie_scale")
     args = ap.parse_args()
@@ -114,7 +131,8 @@ def main() -> None:
         subprocess.run(["rm", "-rf", out_dir], check=True)
         results[cpus] = run_job(input_dir, out_dir, cpus,
                                 backend=args.backend,
-                                driver_memory=args.driver_memory)
+                                driver_memory=args.driver_memory,
+                                pin=args.pin)
 
     thr_lo = results[lo]["triples_per_sec"]
     thr_hi = results[hi]["triples_per_sec"]
@@ -172,7 +190,9 @@ Notes
   round-latency-bound (diameter-many tiny shuffles) and is the main
   efficiency drag — at real 100 TB scale its per-round work grows while
   the round count stays O(log n), so its share shrinks.
-* Generated by `python tools/scale_bench.py --copies {args.copies} --cpus {lo},{hi}`.
+* Generated by `python tools/scale_bench.py --copies {args.copies} \
+  --cpus {lo},{hi} --backend {args.backend}{' --pin' if args.pin else ''}`.
+{'* Both legs ran under `taskset -c` with exactly N hardware cores for the whole process tree (JVM, GC/JIT threads, python workers) — emulating an N-core cluster node rather than an N-thread job borrowing idle cores on a 32-core box.' if args.pin else ''}
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # BENCH/BASELINE.md is the curated multi-methodology report; a
