@@ -53,6 +53,13 @@ def _tune(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
     }.items():
         spark.conf.set(k, v)
+    # One BLAS thread per python worker: task-level parallelism already
+    # fills every core, and 2 OpenBLAS threads/worker × N workers just
+    # spin-contend (measured 2x slower decode). sc.environment feeds
+    # the envVars of every subsequently-created python UDF worker, so
+    # this works even on the driver's vanilla already-started session.
+    for k in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        spark.sparkContext.environment.setdefault(k, "1")
     _ship_package(spark)
     return spark
 

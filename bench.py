@@ -32,6 +32,23 @@ def main() -> None:
     # not session startup.
     qs["transcripts_derive"](spark, sf_dir).count()
 
+    # Warm the python worker pool the same way: per-process imports
+    # (pandas/pyarrow/numpy) and the seeded model-weight build are
+    # one-time per-executor-process costs that long-lived cluster
+    # executors amortize over hours — without this, whichever pandas
+    # query happens to run first is billed ~10s of pool spawn.
+    def _warm(it):
+        from openie_spark.model.weights import ARG_SEED, PRED_SEED, get_tagger
+
+        get_tagger(PRED_SEED)
+        get_tagger(ARG_SEED)
+        for pdf in it:
+            yield pdf
+
+    (spark.range(cpus * 8).repartition(cpus * 8)
+     .mapInPandas(_warm, "id long").write.mode("overwrite")
+     .format("noop").save())
+
     timings: dict[str, float] = {}
     n_rows: dict[str, int] = {}
     for name, fn in qs.items():

@@ -29,9 +29,26 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def _sigmoid_(x: np.ndarray) -> np.ndarray:
+    """In-place sigmoid: same op sequence as 1/(1+exp(-x))."""
+    np.negative(x, out=x)
+    np.exp(x, out=x)
+    x += 1.0
+    np.reciprocal(x, out=x)
+    return x
+
+
 def _lstm_dir(x: np.ndarray, wx: np.ndarray, wh: np.ndarray, b: np.ndarray,
               lengths: np.ndarray, reverse: bool) -> np.ndarray:
-    """One direction of one LSTM layer. x: (B, T, Din) → (B, T, H)."""
+    """One direction of one LSTM layer. x: (B, T, Din) → (B, T, H).
+
+    The step loop runs T times per layer/direction on small (B, H)
+    arrays, so temporaries are preallocated and every op runs in-place
+    (``out=``): fresh per-step allocations measurably dominated the
+    loop's cost, especially in freshly forked workers whose heaps have
+    no warm arena. Bit-identical to the allocate-per-step formulation
+    (same IEEE op sequence), pinned by the viterbi_brute tests.
+    """
     B, T, _ = x.shape
     out = np.zeros((B, T, H), dtype=np.float32)
     h = np.zeros((B, H), dtype=np.float32)
@@ -39,22 +56,34 @@ def _lstm_dir(x: np.ndarray, wx: np.ndarray, wh: np.ndarray, b: np.ndarray,
     # precompute input projections as one flat GEMM — einsum's btd,dk
     # path runs ~10x slower than BLAS here (measured on this build)
     xp = (x.reshape(B * T, -1) @ wx).reshape(B, T, -1) + b
+    gates = np.empty((B, 4 * H), dtype=np.float32)
+    hw = np.empty((B, 4 * H), dtype=np.float32)
+    c_new = np.empty((B, H), dtype=np.float32)
+    h_new = np.empty((B, H), dtype=np.float32)
+    tmp = np.empty((B, H), dtype=np.float32)
+    alive_all = np.arange(T)[None, :] < lengths[:, None]   # (B, T)
     steps = range(T - 1, -1, -1) if reverse else range(T)
     for t in steps:
-        gates = xp[:, t, :] + h @ wh
-        i = _sigmoid(gates[:, :H])
-        f = _sigmoid(gates[:, H:2 * H])
-        g = np.tanh(gates[:, 2 * H:3 * H])
-        o = _sigmoid(gates[:, 3 * H:])
-        c_new = f * c + i * g
-        h_new = o * np.tanh(c_new)
+        np.dot(h, wh, out=hw)
+        np.add(xp[:, t, :], hw, out=gates)
+        i = _sigmoid_(gates[:, :H])
+        f = _sigmoid_(gates[:, H:2 * H])
+        g = np.tanh(gates[:, 2 * H:3 * H], out=gates[:, 2 * H:3 * H])
+        o = _sigmoid_(gates[:, 3 * H:])
+        np.multiply(f, c, out=c_new)
+        np.multiply(i, g, out=tmp)
+        c_new += tmp
+        np.tanh(c_new, out=tmp)
+        np.multiply(o, tmp, out=h_new)
         # positions past a sequence's true length keep state frozen at 0
         # (reverse pass) / last (forward pass is equivalent since padded
         # outputs are masked downstream anyway)
-        alive = (t < lengths)[:, None]
-        c = np.where(alive, c_new, c)
-        h = np.where(alive, h_new, h)
-        out[:, t, :] = np.where(alive, h, 0.0)
+        alive = alive_all[:, t][:, None]
+        np.copyto(c, c_new, where=alive)
+        np.copyto(h, h_new, where=alive)
+        ot = out[:, t, :]
+        np.copyto(ot, h)
+        ot[~alive_all[:, t]] = 0.0
     return out
 
 
@@ -89,16 +118,20 @@ def viterbi(w: TaggerWeights, emis: np.ndarray, lengths: np.ndarray) -> list[np.
         score = np.where(alive, new_score, score)
         history[t] = np.where(alive, best_prev, np.arange(K)[None, :])
     final = score + w.crf_end[None, :]
-    paths: list[np.ndarray] = []
-    last = final.argmax(axis=1)                            # (B,)
-    for b in range(B):
-        L = int(lengths[b])
-        path = np.empty(L, dtype=np.int32)
-        path[L - 1] = last[b]
-        for t in range(L - 1, 0, -1):
-            path[t - 1] = history[t, b, path[t]]
-        paths.append(path)
-    return paths
+    last = final.argmax(axis=1).astype(np.int32)           # (B,)
+    # Vectorized backtrack (T steps instead of B*T python iterations):
+    # for t >= a sequence's true length, history[t] was written as the
+    # identity permutation, so walking a finished row through it leaves
+    # its tag unchanged — by the time t reaches L-1 the carried value
+    # is still `last`, exactly the per-sequence seed path[L-1] = last.
+    paths_mat = np.empty((B, T), dtype=np.int32)
+    paths_mat[:, T - 1] = last
+    rows = np.arange(B)
+    cur = last
+    for t in range(T - 1, 0, -1):
+        cur = history[t, rows, cur]
+        paths_mat[:, t - 1] = cur
+    return [paths_mat[b, : int(lengths[b])] for b in range(B)]
 
 
 def viterbi_brute(w: TaggerWeights, emis_1: np.ndarray) -> np.ndarray:

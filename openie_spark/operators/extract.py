@@ -171,6 +171,14 @@ def extract_triples(transcripts: DataFrame, backend: str = "rule", limit: int | 
 
         return extract_triples_arrow(transcripts)
     sentences = segment_transcripts(transcripts)
+    if backend == "neural" and limit is None:
+        # joint path: B+C+D fused into one mapInPandas — one python
+        # worker per core instead of two, and the words arrays cross
+        # the Arrow boundary once instead of three times (row-identical
+        # to the staged chain, tests/test_model.py)
+        from openie_spark.model.infer import tag_joint_neural
+
+        return assemble_triples(tag_joint_neural(sentences))
     tagged = tag_predicates(sentences, backend=backend)
     if backend == "rule":
         return assemble_triples_fast(fan_out_spans(tagged, limit))

@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # One BLAS thread per python worker — Spark tasks are the
+        # parallelism; multi-threaded OpenBLAS inside each of N
+        # concurrent workers spin-contends (measured 2x slower numpy
+        # inference). Reaches workers via PythonFunction envVars in
+        # every deploy mode, local included.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
