@@ -536,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_embedding_topk": dp.brute_topk_sql_oracle(),
         "dp_embedding_topk_np": dp.brute_topk_sql_oracle(),
         "dp_embedding_ivf": dp.ivf_topk_sql(),
+        "dp_embedding_lsh": dp.lsh_topk_sql(),
         "dp_embedding_pairs": dp.embedding_pairs_sql(),
         "dp_media_features": dp.media_features_sql(),
         "dp_media_frames": dp.media_frames_sql(),

@@ -171,14 +171,23 @@ def extract_triples(transcripts: DataFrame, backend: str = "rule", limit: int | 
 
         return extract_triples_arrow(transcripts)
     sentences = segment_transcripts(transcripts)
-    if backend == "neural" and limit is None:
-        # joint path: B+C+D fused into one mapInPandas — one python
-        # worker per core instead of two, and the words arrays cross
-        # the Arrow boundary once instead of three times (row-identical
-        # to the staged chain, tests/test_model.py)
+    if backend == "neural_fused":
+        # B+C+D fused into one mapInPandas (row-identical to the
+        # staged chain, tests/test_model.py): one python worker per
+        # core instead of two and one Arrow crossing of the words
+        # arrays instead of three — it wins when worker startup
+        # dominates (cold short jobs), but the STAGED chain is ~10%
+        # faster in steady state at fixed cores (measured pinned-4:
+        # 347s vs 380s on 100k turns) because the JVM-side explode and
+        # Arrow shuttling overlap with python compute across the two
+        # pipelined workers. Staged is therefore the default.
+        if limit is not None:
+            raise ValueError("neural_fused implements the joint path (no span cap)")
         from openie_spark.model.infer import tag_joint_neural
 
         return assemble_triples(tag_joint_neural(sentences))
+    if backend == "neural_staged":  # explicit alias for A/B runs
+        backend = "neural"
     tagged = tag_predicates(sentences, backend=backend)
     if backend == "rule":
         return assemble_triples_fast(fan_out_spans(tagged, limit))

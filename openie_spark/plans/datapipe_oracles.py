@@ -345,6 +345,45 @@ def _sketch_expr(unit_col: str, dim: int = _EMB_DIM) -> str:
     return " + ".join(terms)
 
 
+def lsh_topk_sql() -> str:
+    """Full sign-LSH recomputation for the approximate top-k
+    (similarity.lsh_topk): identical md5-derived plane literals →
+    sketches → band buckets → candidate union → exact rescoring with
+    round-6 + vec_id tiebreaks. Upgrades dp_embedding_lsh from
+    rows-only to hash-checked; the sign computation on the raw
+    embeddings is the same sequential-double dot both engines already
+    agree on for dp_embedding_pairs."""
+    from openie_spark.datapipe.similarity import LSH_PLANE_BANDS, LSH_PLANES
+
+    k, query_mod = 1, 10     # the dp_embedding_lsh query's parameters
+    band_bits = LSH_PLANES // LSH_PLANE_BANDS
+    mask = (1 << band_bits) - 1
+    return f"""WITH {_PLANTED_EMB_CTE}, {_UNIT_CTE.format(src='pe')},
+sk AS MATERIALIZED (
+  SELECT vec_id, unit, {_sketch_expr('unit')} AS sketch FROM un
+),
+banded AS MATERIALIZED (
+  SELECT vec_id, b AS band_idx, (sketch >> (b * {band_bits})) & {mask} AS band_val
+  FROM sk, range(0, {LSH_PLANE_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+  FROM banded q JOIN banded c
+    ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+  WHERE q.vec_id % {query_mod} = 0 AND c.vec_id <> q.vec_id
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+  SELECT cd.q_id, cd.vec_id,
+         round(list_inner_product(qs.unit, cs.unit), 6) AS cos,
+         row_number() OVER (PARTITION BY cd.q_id
+           ORDER BY round(list_inner_product(qs.unit, cs.unit), 6) DESC,
+                    cd.vec_id ASC) AS rank
+  FROM cand cd
+  JOIN sk qs ON qs.vec_id = cd.q_id
+  JOIN sk cs ON cs.vec_id = cd.vec_id
+) WHERE rank <= {k}"""
+
+
 def embedding_pairs_sql() -> str:
     """Mirrors the LSH-gated near-dup path: identical sketches → band
     buckets → candidate ids → exact rescoring."""

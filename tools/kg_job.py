@@ -37,7 +37,7 @@ def main() -> None:
     # the fused kernel's per-turn core-time win is eaten by Arrow
     # serialization + python-worker contention (see BENCH/BASELINE.md).
     ap.add_argument("--backend", default="rule",
-                    choices=["rule", "rule_arrow", "neural"])
+                    choices=["rule", "rule_arrow", "neural", "neural_staged", "neural_fused"])
     ap.add_argument("--pair-mode", default="exact", choices=["exact", "minhash"])
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None,
