@@ -430,8 +430,9 @@ def _q_dp_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dp_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN over planted twins — candidate set is
-    sketch-dependent; recall pinned in tests; rows-only check."""
+    """Sign-LSH bucketed ANN over planted twins — full DuckDB oracle
+    (lsh_topk_sql recomputes planes → sketches → buckets → rescore),
+    hash-checked; recall vs brute force additionally pinned in tests."""
     from openie_spark.datapipe.similarity import lsh_topk, planted_embeddings
 
     return lsh_topk(planted_embeddings(_emb(spark, sf_dir)), k=1, query_mod=10)

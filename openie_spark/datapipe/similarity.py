@@ -12,7 +12,8 @@
   deterministic md5-derived hyperplanes, candidates restricted to the
   query's bucket (multi-probe over bands) — the 100 TB path: shuffle
   is bucket-sized, not corpus-sized. Recall vs brute force pinned by
-  tests (probabilistic, rows-only at the driver).
+  tests; the driver gate hash-checks it against a full DuckDB oracle
+  (``lsh_topk_sql`` recomputes planes → sketches → buckets → rescore).
 * ``embedding_pairs`` — cosine near-duplicate pairs (dedup family).
 
 * ``ivf_topk`` — IVF-style coarse quantization: a deterministic
@@ -34,8 +35,15 @@ from openie_spark.datapipe.hashing import md5h60
 TOPK = 5
 QUERY_MOD = 50          # query sample: vec_id % QUERY_MOD == 0
 NEAR_DUP_COSINE = 0.95
-LSH_PLANES = 12
-LSH_PLANE_BANDS = 3     # 3 bands x 4 bits, multi-probe over bands
+# 4 bands x 15 bits = 32,768 buckets per band. Band width is the
+# scale knob: with the old 4-bit bands every band had only 16 distinct
+# values, so at corpus scale each bucket held ~n/16 of ALL vectors and
+# the candidate join degraded to ~n^2 — the cross join this design
+# exists to avoid. 15-bit bands keep expected bucket size ~n/32768
+# per band; bit 59 is the highest used, so the packed sketch stays a
+# non-negative long (bit 63 would sign-poison the arithmetic shifts).
+LSH_PLANES = 60
+LSH_PLANE_BANDS = 4
 PLANT_VEC_OFFSET = 100_000
 
 
@@ -195,6 +203,26 @@ def lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cos")
+    )
+
+
+def lsh_bucket_stats(emb: DataFrame, planes: int = LSH_PLANES,
+                     bands: int = LSH_PLANE_BANDS) -> DataFrame:
+    """Observability for the sign-LSH skew axis (mirrors
+    kg/linking.py's block-size stats): one row per band with bucket
+    count, max/avg bucket size, and the candidate-pair mass
+    Σ size·(size-1)/2 the self-join would generate. Run this before an
+    `embedding_pairs` job at a new scale — a max bucket ≈ corpus size
+    means the band width no longer separates this corpus."""
+    dim = len(emb.select("embedding").first()[0])
+    e = lsh_sketch(with_unit(emb), dim, planes)
+    b = _banded(e, "vec_id", "unit", planes, bands)
+    per_bucket = b.groupBy("band_idx", "band_val").agg(F.count("*").alias("sz"))
+    return per_bucket.groupBy("band_idx").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.round(F.avg("sz"), 2).alias("avg_bucket"),
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("cand_pairs"),
     )
 
 

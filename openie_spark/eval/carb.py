@@ -254,9 +254,19 @@ def binarize_tuples(df: DataFrame) -> DataFrame:
 _SWEEP_SCHEMA = ("norm_key string, t_lo int, t_hi int, "
                  "p double, pl long, r double, rl long")
 
+# Exact sweep up to this many distinct confidences; beyond it the
+# thresholds are quantized to an approx-quantile grid of this size
+# (a real OIE system emits per-extraction floats, so distinct count ~
+# extraction count — collecting them all is a driver OOM at scale).
+MAX_EXACT_THRESHOLDS = 1024
+
 
 def _sweep_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
-                 conf_index: dict[float, int], num_conf: int) -> pd.DataFrame:
+                 grid: list[float]) -> pd.DataFrame:
+    import bisect
+
+    num_conf = len(grid)
+    conf_index = {c: i for i, c in enumerate(grid)}
     cols = ["norm_key", "t_lo", "t_hi", "p", "pl", "r", "rl"]
     if len(gold_pdf) == 0:
         # prediction-only sentence: ignored entirely (carb.py:92-97)
@@ -270,7 +280,14 @@ def _sweep_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
 
     gold = list(zip(gold_pdf["pred"], gold_pdf["args"]))
     pred = list(zip(pred_pdf["pred"], pred_pdf["args"]))
-    confs = list(pred_pdf["confidence"])
+    # Snap each local confidence DOWN to its grid value ("pred with
+    # conf c participates at every threshold <= c").  On the exact path
+    # the grid contains every distinct confidence, so this is the
+    # identity and the reference bracket loop is reproduced verbatim.
+    confs = [
+        grid[max(bisect.bisect_right(grid, c) - 1, 0)]
+        for c in pred_pdf["confidence"]
+    ]
     scores = [
         [binary_lenient_match(gp, list(ga), ep, list(ea)) for ep, ea in pred]
         for gp, ga in gold
@@ -302,19 +319,58 @@ def _sweep_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
     return pd.DataFrame(rows, columns=cols)
 
 
-def carb_pr_curve(gold: DataFrame, pred: DataFrame) -> DataFrame:
-    """(t, conf, precision, recall, f1) — one row per distinct
-    prediction confidence, ascending. ``pred`` must carry a
-    ``confidence`` column; ``gold`` needs (sent, pred, args).
+def carb_pr_curve(gold: DataFrame, pred: DataFrame,
+                  max_thresholds: int = MAX_EXACT_THRESHOLDS) -> DataFrame:
+    """(t, conf, precision, recall, f1) — one row per threshold,
+    ascending. ``pred`` must carry a ``confidence`` column; ``gold``
+    needs (sent, pred, args).
+
+    Threshold set is BOUNDED: one aggregate counts the distinct
+    confidences; when ≤ ``max_thresholds`` the sweep is exact over all
+    of them (reference semantics, carb.py:80-86, which holds the full
+    list in memory — safe only because it is bounded here), otherwise
+    the confidences are quantized down to an approx-quantile grid of
+    ``max_thresholds`` values (deviation logged) so neither the driver
+    list nor the per-group bracket loop grows with corpus size.
 
     Scale shape: the same single cogroup shuffle as the one-point
-    scorer; the threshold list is value-distinct (tiny — bounded by
-    distinct confidence floats, the reference holds it in memory too,
-    carb.py:86) and broadcast back for the bracket → slot expansion."""
+    scorer; the ≤ max_thresholds grid is closure-captured into the
+    cogroup kernel and broadcast back for the bracket → slot expansion.
+    """
     spark = gold.sparkSession
-    confs = sorted(r[0] for r in pred.select("confidence").distinct().collect())
-    num_conf = len(confs)
-    conf_index = {c: i for i, c in enumerate(confs)}
+    pred = pred.withColumn("confidence", F.col("confidence").cast("double"))
+    stats = pred.agg(
+        F.count_distinct("confidence").alias("n_distinct"),
+        F.sum(F.when(F.col("confidence").isNull()
+                     | F.isnan("confidence"), 1).otherwise(0)).alias("n_bad"),
+        F.min("confidence").alias("cmin"),
+    ).first()
+    if (stats.n_bad or 0) > 0:
+        # fail fast: None breaks sorted() and NaN never equi-joins the
+        # grid — one malformed 'tab' line must not take down the sweep
+        # with an obscure worker KeyError.
+        raise ValueError(
+            f"carb_pr_curve: {stats.n_bad} prediction(s) have NULL/NaN "
+            "confidence — fix or filter them before sweeping")
+    if stats.n_distinct <= max_thresholds:
+        grid = sorted(
+            r[0] for r in pred.select("confidence").distinct().collect()
+            if r[0] is not None)
+    else:
+        import logging
+
+        qs = [i / (max_thresholds - 1) for i in range(max_thresholds)]
+        approx = pred.agg(
+            F.percentile_approx("confidence", qs, 10_000).alias("g")
+        ).first().g
+        grid = sorted({float(stats.cmin), *(float(v) for v in approx)})
+        logging.getLogger(__name__).warning(
+            "carb_pr_curve: %d distinct confidences > max_thresholds=%d; "
+            "quantized to a %d-value approx-quantile grid (confidences "
+            "snap down to the grid — PR points are exact for the "
+            "quantized assignment)",
+            stats.n_distinct, max_thresholds, len(grid))
+    num_conf = len(grid)
 
     g = _with_key(gold.select("sent", "pred", "args"))
     p = pred.select("sent", "pred", "args", "confidence").select(
@@ -327,14 +383,13 @@ def carb_pr_curve(gold: DataFrame, pred: DataFrame) -> DataFrame:
     brackets = (
         g.groupBy("norm_key")
         .cogroup(p.groupBy("norm_key"))
-        .applyInPandas(lambda l, r: _sweep_group(l, r, conf_index, num_conf),
-                       _SWEEP_SCHEMA)
+        .applyInPandas(lambda l, r: _sweep_group(l, r, grid), _SWEEP_SCHEMA)
     )
     if num_conf == 0:
         return spark.createDataFrame(
             [], "t int, conf double, precision double, recall double, f1 double")
     tdf = spark.createDataFrame(
-        [(i, float(c)) for i, c in enumerate(confs)], "t int, conf double")
+        [(i, float(c)) for i, c in enumerate(grid)], "t int, conf double")
     # bracket -> slot expansion: explode the [t_lo, t_hi] range (always
     # ascending: brackets are emitted with prev_c <= c) and attach conf
     # AFTER aggregation via a broadcast hash equi-join on the

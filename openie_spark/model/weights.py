@@ -117,14 +117,36 @@ PRED_SEED = 1016  # stage-1 (predicate) tagger
 ARG_SEED = 2016   # stage-2 (argument) tagger
 
 
-_CACHE: dict[int, TaggerWeights] = {}
+_CACHE: dict[tuple[int, float], TaggerWeights] = {}
+
+
+def _perturb_eps() -> float:
+    """Test-only fault-injection hook: OPENIE_WEIGHTS_PERTURB=<eps>
+    scales the emission weights by (1+eps) so the content-golden tests
+    can prove they detect kernel drift end to end THROUGH the executor
+    python workers (set via sc.environment, which feeds the env of
+    subsequently created UDF workers). Unset/0 in production."""
+    import os
+
+    return float(os.environ.get("OPENIE_WEIGHTS_PERTURB", "0") or 0.0)
 
 
 def get_tagger(seed: int) -> TaggerWeights:
     """Per-process singleton — loaded once per executor worker, reused
     across all Arrow batches (the Spark analogue of the reference's
     once-per-process model load, /root/reference/run.py:519-524)."""
-    w = _CACHE.get(seed)
+    eps = _perturb_eps()
+    key = (seed, eps)
+    w = _CACHE.get(key)
     if w is None:
-        w = _CACHE[seed] = build_tagger(seed)
+        w = build_tagger(seed)
+        if eps:
+            pert = TaggerWeights(
+                embedding=w.embedding, seg_emb=w.seg_emb, layers=w.layers,
+                emit_w=w.emit_w * (1.0 + eps), emit_b=w.emit_b,
+                crf_start=w.crf_start, crf_end=w.crf_end,
+                crf_trans=w.crf_trans, version=w.version + f"+p{eps}",
+            )
+            w = pert
+        _CACHE[key] = w
     return w

@@ -459,3 +459,67 @@ def test_carb_gold_only_and_pred_only_sentences(spark):
     assert row.recall == pytest.approx(0.5)
     # precision: only the gold-matched sentence's predictions count
     assert row.precision == 1.0
+
+def test_pr_curve_rejects_null_and_nan_confidence(spark):
+    """A single malformed 'tab' line (NULL confidence) or a NaN must
+    fail fast with a clear error, not a worker KeyError/TypeError."""
+    from openie_spark.eval.carb import carb_pr_curve
+
+    gold = spark.createDataFrame(
+        [("A is B .", "is", ["A", "B"])],
+        "sent string, pred string, args array<string>")
+    for bad in (None, float("nan")):
+        pred = spark.createDataFrame(
+            [("A is B .", "is", ["A", "B"], 0.9),
+             ("A is B .", "is", ["A", "B"], bad)],
+            "sent string, pred string, args array<string>, confidence double")
+        with pytest.raises(ValueError, match="NULL/NaN confidence"):
+            carb_pr_curve(gold, pred).collect()
+
+
+def test_pr_curve_bounded_thresholds_at_1e5_distinct_confs(spark):
+    """~10^5 globally-distinct confidences: the sweep must complete
+    with a threshold table bounded by max_thresholds (quantized grid),
+    and the quantized curve must agree with the reference transcription
+    run on the SAME snapped confidences (the documented deviation is
+    the snap, not the sweep semantics)."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from openie_spark.eval.carb import carb_pr_curve
+
+    n_sent, per_sent = 2500, 40  # 100_000 distinct confidences
+    gold_rows, pred_rows = [], []
+    for s in range(n_sent):
+        sent = f"Entity{s} likes Object{s} ."
+        gold_rows.append((sent, "likes", [f"Entity{s}", f"Object{s}"]))
+        for j in range(per_sent):
+            conf = (s * per_sent + j + 1) / (n_sent * per_sent + 1)
+            arg2 = f"Object{s}" if j % 3 == 0 else f"Wrong{j}"
+            pred_rows.append((sent, "likes", [f"Entity{s}", arg2], conf))
+    gold = spark.createDataFrame(
+        gold_rows, "sent string, pred string, args array<string>")
+    pred = spark.createDataFrame(
+        pred_rows, "sent string, pred string, args array<string>, confidence double")
+
+    K = 64  # small grid so the test is fast; default is 1024
+    curve = sorted(carb_pr_curve(gold, pred, max_thresholds=K).collect(),
+                   key=lambda r: r.t)
+    assert 0 < len(curve) <= K + 1  # +1: global min unioned into the grid
+    grid = [r.conf for r in curve]
+    assert grid == sorted(set(grid))
+    # min confidence is always on the grid (floor-snap never underflows)
+    assert grid[0] <= min(c for *_, c in pred_rows)
+
+    # independent check: reference transcription on snapped confidences
+    g_dict, p_dict = {}, {}
+    for s, pr, ar in gold_rows:
+        g_dict.setdefault(normalize_key(s), []).append((pr, ar, 1.0))
+    for s, pr, ar, cf in pred_rows:
+        snapped = grid[max(bisect.bisect_right(grid, cf) - 1, 0)]
+        p_dict.setdefault(normalize_key(s), []).append((pr, ar, snapped))
+    confs, want_p, want_r = _reference_sweep(g_dict, p_dict)
+    assert [r.conf for r in curve] == confs
+    assert [r.precision for r in curve] == [round(x, 6) for x in want_p]
+    assert [r.recall for r in curve] == [round(x, 6) for x in want_r]

@@ -221,3 +221,52 @@ def test_ivf_topk_finds_planted_neighbors(emb):
     assert all(r.rank == 1 for r in got)
     hits = sum(1 for r in orig_queries if r.vec_id == r.q_id + 100000)
     assert hits / len(orig_queries) >= 0.9, f"planted-twin recall {hits}/{len(orig_queries)}"
+
+def test_lsh_band_width_bounds_buckets(spark):
+    """The r2 scale hazard: 4-bit bands gave only 16 bucket values per
+    band, so every bucket held ~n/16 of the corpus and the candidate
+    join degraded to ~n². The shipped 15-bit bands must keep buckets
+    tiny on a generic (hash-direction) corpus, and lsh_bucket_stats
+    must surface a genuinely skewed (same-direction) cluster instead of
+    hiding it."""
+    import hashlib
+
+    from openie_spark.datapipe.similarity import (
+        LSH_PLANE_BANDS,
+        LSH_PLANES,
+        lsh_bucket_stats,
+    )
+
+    dim, n = 64, 2000
+
+    def vec(i, scale=1.0, base=None):
+        if base is None:
+            return [
+                (int(hashlib.md5(f"v{i}d{d}".encode()).hexdigest()[:8], 16)
+                 / 0x7FFFFFFF) - 1.0
+                for d in range(dim)
+            ]
+        return [x * scale for x in base]
+
+    rows = [(i, vec(i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = {r.band_idx: r for r in lsh_bucket_stats(df).collect()}
+    assert len(stats) == LSH_PLANE_BANDS
+    n_pairs_all = n * (n - 1) // 2
+    for r in stats.values():
+        # bound, not an average: no band bucket may hold more than a
+        # sliver of the corpus (old 4-bit config: max_bucket ≈ n/16·3)
+        assert r.max_bucket <= 16, r
+        assert r.cand_pairs <= n_pairs_all // 100, r
+
+    # adversarial skew: 300 co-directional vectors (same direction =
+    # identical sketch by construction) — observability must report a
+    # 300-deep hot bucket, mirroring kg/linking.py's block stats
+    hot_base = vec(0)
+    hot = [(100_000 + j, [x * (1.0 + j * 1e-9) for x in hot_base])
+           for j in range(300)]
+    skewed = df.unionByName(
+        spark.createDataFrame(hot, "vec_id long, embedding array<double>"))
+    sk_stats = lsh_bucket_stats(skewed).collect()
+    assert max(r.max_bucket for r in sk_stats) >= 300
+    assert LSH_PLANES // LSH_PLANE_BANDS >= 15  # pin the width itself

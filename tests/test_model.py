@@ -129,3 +129,84 @@ def test_neural_pipeline_end_to_end(spark):
     for r in t1:
         assert r.confidence == 1.0
         assert r.pred  # never empty (empty → ' ' literal)
+
+# ---------------------------------------------------------------------------
+# Neural-path content pinning (round-3): the neural driver query is
+# rows-only at the oracle gate (inherently non-SQL), so kernel/BLAS/
+# numpy drift would otherwise change 33k rows without failing a test.
+
+# sha256 over sorted "col-name-sorted \x1f-joined" rows (the same
+# normalization as tools/check_oracles.value_hash) of
+# extract_triples(sf0.001 transcripts, backend='neural').
+NEURAL_GOLDEN_SF0001 = (
+    3456, "08838b7e0c919993bd34c52dd1a5ebd214c291d7a664386e0f66379584753d21")
+
+_SF0001 = "/root/testdata/sf0.001"
+
+
+def _content_hash(df):
+    import hashlib
+
+    def norm(v):
+        if v is None:
+            return "\x00"
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        return str(v)
+
+    cols = sorted(df.columns)
+    lines = sorted(
+        "\x1f".join(norm(r[c]) for c in cols) for r in df.collect())
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return len(lines), h.hexdigest()
+
+
+def test_neural_staged_equals_fused_sf0001(spark):
+    """backend='neural_fused' (B+C+D in one mapInPandas,
+    model/infer.tag_joint_neural) must be ROW-IDENTICAL to the staged
+    chain — the r2 coverage gap: the fused backend shipped with zero
+    test coverage."""
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, _SF0001)
+    key = ["conv_id", "turn_idx", "sent_idx", "ext_idx"]
+    staged = extract_triples(t, backend="neural").orderBy(*key).collect()
+    fused = extract_triples(t, backend="neural_fused").orderBy(*key).collect()
+    assert len(staged) == len(fused) > 0
+    assert staged == fused
+
+
+def test_neural_content_golden_sf0001(spark):
+    """Frozen content hash of the neural triples at sf0.001 — any
+    kernel / numpy / BLAS / tokenizer drift fails HERE instead of
+    silently changing the (rows-only-checked) driver query."""
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, _SF0001)
+    got = _content_hash(extract_triples(t, backend="neural"))
+    assert got == (NEURAL_GOLDEN_SF0001[0], NEURAL_GOLDEN_SF0001[1])
+
+
+def test_neural_golden_detects_kernel_perturbation(spark):
+    """Prove the golden actually bites: a (1+eps) emission-weight
+    perturbation injected into the EXECUTOR workers (weights._perturb_eps
+    via sc.environment, which keys fresh python workers) must change
+    the content hash."""
+    from openie_spark.operators.extract import extract_triples
+    from openie_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, _SF0001)
+    env = spark.sparkContext.environment
+    env["OPENIE_WEIGHTS_PERTURB"] = "0.25"
+    try:
+        n, h = _content_hash(extract_triples(t, backend="neural"))
+    finally:
+        env.pop("OPENIE_WEIGHTS_PERTURB", None)
+    assert h != NEURAL_GOLDEN_SF0001[1]
