@@ -176,9 +176,25 @@ def _triples_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TRIPLES_MEMO:
+        _evict_stale(_TRIPLES_MEMO, key)
         _TRIPLES_MEMO[key] = extract_triples(
             read_transcripts(_tune(spark), sf_dir)).localCheckpoint(eager=True)
     return _TRIPLES_MEMO[key]
+
+
+def _evict_stale(memo: dict, new_key) -> None:
+    """Keep only the latest (application, sf_dir): a long-lived driver
+    iterating sf dirs must not pin every dir's checkpointed tables for
+    the application lifetime. unpersist() is best-effort (checkpoint
+    blocks are reclaimed by the ContextCleaner once unreferenced) —
+    dropping the dict reference is what matters."""
+    for k in [k for k in memo if k != new_key]:
+        vals = memo.pop(k)
+        for df in (vals if isinstance(vals, tuple) else (vals,)):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def _q_carb_self(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +236,43 @@ def _q_carb_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carb_pr_curve(gold, pred)
 
 
+def _q_carb_o2o_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 sweep with the one-to-one recall strategy (reference
+    benchmark.py:218-243 CaRB_compare recall_strategy='o2o') on the
+    same degraded varied-confidence predictions as carb_pr_sweep.
+    Greedy matching isn't SQL-expressible → rows-only; parity-pinned
+    vs the imported reference in tests/test_benchmark.py."""
+    from openie_spark.datapipe.hashing import md5h60
+    from openie_spark.eval.carb import carb_pr_curve, triples_as_tuples
+
+    gold = triples_as_tuples(_triples_memo(spark, sf_dir))
+    pred = (
+        gold.withColumn("args", F.transform("args", lambda a: F.split(a, " ")[0]))
+        .withColumn("confidence",
+                    (F.pmod(md5h60(F.concat_ws("|", "sent", "pred")), F.lit(4)) + 1) / 4.0)
+    )
+    return carb_pr_curve(gold, pred, recall_strategy="o2o")
+
+
+def _q_carb_oie16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oie16_compare flow (reference benchmark.py:48-121): boolean
+    lexical matching with prediction consumption, sklearn-twin PR
+    curve, recallMultiplier. One summary row. Sequential matching isn't
+    SQL-expressible → rows-only; parity-pinned vs the imported
+    reference in tests/test_benchmark.py."""
+    from openie_spark.datapipe.hashing import md5h60
+    from openie_spark.eval.benchmark import oie16_compare, oie16_summary_df
+    from openie_spark.eval.carb import triples_as_tuples
+
+    gold = triples_as_tuples(_triples_memo(spark, sf_dir))
+    pred = (
+        gold.withColumn("args", F.transform("args", lambda a: F.split(a, " ")[0]))
+        .withColumn("confidence",
+                    (F.pmod(md5h60(F.concat_ws("|", "sent", "pred")), F.lit(4)) + 1) / 4.0)
+    )
+    return oie16_summary_df(spark, oie16_compare(gold, pred))
+
+
 # ------------------------------------------------------------- KG F-H
 
 _KG_MEMO: dict = {}
@@ -238,6 +291,7 @@ def _kg_parts(spark: SparkSession, sf_dir: str):
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _KG_MEMO:
+        _evict_stale(_KG_MEMO, key)
         triples = _triples_memo(spark, sf_dir)
         vocab = mention_vocab(extract_mentions(triples)).localCheckpoint(eager=True)
         pairs = exact_pairs(vocab).localCheckpoint(eager=True)
@@ -474,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_extract_neural": _q_triples_neural,
         "carb_score_self": _q_carb_self,
         "carb_score_degraded": _q_carb_degraded,
+        "carb_o2o_sweep": _q_carb_o2o_sweep,
+        "carb_oie16": _q_carb_oie16,
         "carb_pr_sweep": _q_carb_pr_sweep,
         "kg_mentions": _q_kg_mentions,
         "kg_pairs_exact": _q_kg_pairs,

@@ -262,7 +262,7 @@ MAX_EXACT_THRESHOLDS = 1024
 
 
 def _sweep_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
-                 grid: list[float]) -> pd.DataFrame:
+                 grid: list[float], recall_strategy: str = "m2o") -> pd.DataFrame:
     import bisect
 
     num_conf = len(grid)
@@ -297,7 +297,29 @@ def _sweep_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
     for conf in sorted(set(confs)):
         c = conf_index[conf]
         ext = [j for j, cf in enumerate(confs) if cf >= conf]
-        r_num = sum(max((row[j][1] for j in ext), default=0) for row in scores)
+        if recall_strategy == "o2o":
+            # one-to-one recall: the same greedy bipartite scan as
+            # precision but over rec fractions
+            # (/root/reference/eval/oie_eval/benchmark.py:218-243)
+            r_num = 0.0
+            used_r: set[int] = set()
+            used_c: set[int] = set()
+            for _ in range(min(n_gold, len(ext))):
+                best_r, best_i, best_j = -1.0, -1, -1
+                for i in range(n_gold):
+                    if i in used_r:
+                        continue
+                    for j in ext:
+                        if j in used_c:
+                            continue
+                        if scores[i][j][1] > best_r:
+                            best_r, best_i, best_j = scores[i][j][1], i, j
+                used_r.add(best_i)
+                used_c.add(best_j)
+                r_num += best_r
+        else:
+            # many-to-one (default): per-gold max (carb.py:123-126)
+            r_num = sum(max((row[j][1] for j in ext), default=0) for row in scores)
         p_num = 0.0
         used_rows: set[int] = set()
         used_cols: set[int] = set()
@@ -320,7 +342,8 @@ def _sweep_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
 
 
 def carb_pr_curve(gold: DataFrame, pred: DataFrame,
-                  max_thresholds: int = MAX_EXACT_THRESHOLDS) -> DataFrame:
+                  max_thresholds: int = MAX_EXACT_THRESHOLDS,
+                  recall_strategy: str = "m2o") -> DataFrame:
     """(t, conf, precision, recall, f1) — one row per threshold,
     ascending. ``pred`` must carry a ``confidence`` column; ``gold``
     needs (sent, pred, args).
@@ -383,7 +406,8 @@ def carb_pr_curve(gold: DataFrame, pred: DataFrame,
     brackets = (
         g.groupBy("norm_key")
         .cogroup(p.groupBy("norm_key"))
-        .applyInPandas(lambda l, r: _sweep_group(l, r, grid), _SWEEP_SCHEMA)
+        .applyInPandas(lambda l, r: _sweep_group(l, r, grid, recall_strategy),
+                       _SWEEP_SCHEMA)
     )
     if num_conf == 0:
         return spark.createDataFrame(

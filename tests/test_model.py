@@ -210,3 +210,85 @@ def test_neural_golden_detects_kernel_perturbation(spark):
     finally:
         env.pop("OPENIE_WEIGHTS_PERTURB", None)
     assert h != NEURAL_GOLDEN_SF0001[1]
+
+# ------------------------------------------------------------ T1 wordpiece
+
+def _bert_wordpiece_reference(text, vocab, unk="[UNK]", max_chars=100):
+    """Independent transcription of the PUBLIC BERT
+    WordpieceTokenizer.tokenize (greedy longest-match-first; the
+    algorithm bert-base-cased applies per word in the reference's
+    per-word loop, /root/reference/utils/dataset.py:70-73)."""
+    output_tokens = []
+    for token in text.split():
+        chars = list(token)
+        if len(chars) > max_chars:
+            output_tokens.append(unk)
+            continue
+        is_bad = False
+        start = 0
+        sub_tokens = []
+        while start < len(chars):
+            end = len(chars)
+            cur_substr = None
+            while start < end:
+                substr = "".join(chars[start:end])
+                if start > 0:
+                    substr = "##" + substr
+                if substr in vocab:
+                    cur_substr = substr
+                    break
+                end -= 1
+            if cur_substr is None:
+                is_bad = True
+                break
+            sub_tokens.append(cur_substr)
+            start = end
+        if is_bad:
+            output_tokens.append(unk)
+        else:
+            output_tokens.extend(sub_tokens)
+    return output_tokens
+
+
+def test_wordpiece_matches_public_algorithm():
+    """Randomized parity: our greedy matcher vs the transcription, on
+    the shipped mini-vocab AND on a tiny synthetic vocab exercising
+    multi-char backtracking."""
+    import random
+
+    from openie_spark.model.wordpiece import load_vocab, wordpiece_pieces
+
+    rng = random.Random(31337)
+    vocab = load_vocab()
+    alphabet = "abcdefgz.#-é"
+    for _ in range(2000):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        want = _bert_wordpiece_reference(w, vocab)
+        got = wordpiece_pieces(w, vocab)
+        assert (got if got is not None else ["[UNK]"]) == want, w
+
+    tiny = {t: i for i, t in enumerate(
+        ["[UNK]", "un", "##able", "##b", "##le", "##a", "able", "a", "b", "l", "e"])}
+    for w in ["unable", "able", "ba", "unb", "bale", "zzz", "a" * 101]:
+        want = _bert_wordpiece_reference(w, tiny)
+        got = wordpiece_pieces(w, tiny)
+        assert (got if got is not None else ["[UNK]"]) == want, w
+
+
+def test_wordpiece_longest_match_and_continuations():
+    """Pin the two properties that make it WordPiece rather than
+    chunking: longest match wins at each position, and continuations
+    carry the ## prefix."""
+    from openie_spark.model.wordpiece import load_vocab, wordpiece_pieces
+
+    v = load_vocab()
+    assert wordpiece_pieces("the", v) == ["the"]          # whole-word hit
+    assert wordpiece_pieces("customer", v) == ["customer"]
+    got = wordpiece_pieces("thee", v)
+    assert got is not None and got[0] == "the" and all(
+        p.startswith("##") for p in got[1:])              # longest first
+    # every printable-ASCII word is coverable (single chars in vocab)
+    assert wordpiece_pieces("q2x!z", v) is not None
+    # non-ASCII is not -> None (caller falls back to hash pieces)
+    assert wordpiece_pieces("café", v) is None
+    assert wordpiece_pieces("a" * 101, v) is None         # BERT char cap
