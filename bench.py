@@ -2,6 +2,16 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_REPEATS (default 3)
+back-to-back runs (plus the min, reported separately): this box's
+throughput drifts ±10-30% between sessions (BENCH/BASELINE.md
+repeatability notes), so single runs are not comparable across rounds.
+
+The shared extraction/vocab/pairs/canon tables consumed by the carb
+and kg query families are materialized ONCE and billed to their own
+``shared_materialization_sec`` line — previously that cost fell
+outside every timed region entirely.
+
 Also usable for the two-parallelism scaling evidence
 (BASELINE.md): SPARK_GRAFT_CPUS=8 python bench.py  vs  =32.
 """
@@ -19,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
 
     from openie_spark.session import get_spark
 
@@ -49,15 +60,33 @@ def main() -> None:
      .mapInPandas(_warm, "id long").write.mode("overwrite")
      .format("noop").save())
 
+    # Shared memoized tables (rule triples + kg vocab/pairs/canon):
+    # built once, consumed by ~10 queries — billed explicitly here so
+    # the cost is visible instead of falling outside every timed query.
+    t0 = time.perf_counter()
+    e._triples_memo(spark, sf_dir)
+    e._kg_parts(spark, sf_dir)
+    shared_sec = round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
+    t_min: dict[str, float] = {}
     n_rows: dict[str, int] = {}
     for name, fn in qs.items():
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        # noop sink forces FULL materialization of every column —
-        # count() would let column pruning skip the projections.
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        df = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            # constructing inside the timed region bills queries that
+            # compute eagerly at build time (e.g. carb_oie16's
+            # driver-side curve) to themselves; the noop sink forces
+            # FULL materialization of every column (count() would let
+            # column pruning skip the projections).
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)
+        t_min[name] = round(runs[0], 4)
         n_rows[name] = df.count()
 
     total = round(sum(timings.values()), 4)
@@ -67,6 +96,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": t_min,
+        "repeats": repeats,
+        "shared_materialization_sec": shared_sec,
         "rows": n_rows,
         "triples_per_sec": triples_sec,
         "cpus": cpus,

@@ -1,12 +1,19 @@
-"""Deterministic wordpiece-style tokenizer.
+"""Deterministic wordpiece tokenizer.
 
 Replicates the reference's *alignment contract* (/root/reference/utils/dataset.py:56-131):
 per-word tokenization, ``is_heads = [1, 0, 0, …]`` per word, label/seg
 attach to every piece of the word but predictions are projected back
-through the head mask only (/root/reference/run.py:233-235). The piece
-rule itself is a stand-in for the absent bert-base-cased vocab: chunks
-of ≤PIECE chars, continuations prefixed ``##``; ids are stable
-crc32 hash buckets (process-independent, unlike Python ``hash``).
+through the head mask only (/root/reference/run.py:233-235).
+
+The piece rule is the real greedy longest-match-first WordPiece
+algorithm (openie_spark.model.wordpiece — the algorithm
+bert-base-cased applies per word, dataset.py:70-73) over a checked-in
+mini-vocab; piece ids are the vocab line numbers. Words the vocab
+cannot cover (non-ASCII, >100 chars — where BERT emits [UNK]) fall
+back to deterministic crc32 hash-bucket chunks ABOVE the vocab id
+range, preserving per-word distinguishability instead of collapsing
+every OOV word onto one [UNK] embedding (documented stand-in: the
+sandbox has no bert-base-cased vocab file, SURVEY.md §7 risk register).
 
 Special tokens [CLS]/[SEP] wrap every sentence
 (/root/reference/utils/dataset.py:43-46) and are stripped after decode
@@ -16,10 +23,12 @@ Special tokens [CLS]/[SEP] wrap every sentence
 from __future__ import annotations
 
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
 from openie_spark.model.weights import VOCAB_BUCKETS
+from openie_spark.model.wordpiece import load_vocab, wordpiece_pieces
 
 PIECE = 6
 CLS_ID = 1
@@ -28,18 +37,32 @@ PAD_ID = 0
 _N_RESERVED = 4  # 0=[PAD] 1=[CLS] 2=[SEP] 3=[UNK]
 
 
+def _fallback_base() -> int:
+    return len(load_vocab())
+
+
 def piece_id(piece: str) -> int:
-    return _N_RESERVED + zlib.crc32(piece.encode("utf-8")) % (VOCAB_BUCKETS - _N_RESERVED)
+    """Hash-bucket id for fallback pieces — disjoint from vocab ids."""
+    base = _fallback_base()
+    return base + zlib.crc32(piece.encode("utf-8")) % (VOCAB_BUCKETS - base)
 
 
-def tokenize_word(word: str) -> list[int]:
-    """word → piece ids; empty word → [PAD] (dataset.py:71-72)."""
+@lru_cache(maxsize=65536)
+def tokenize_word(word: str) -> tuple[int, ...]:
+    """word → piece ids; empty word → [PAD] (dataset.py:71-72).
+    Cached per process: natural text repeats words heavily, and the
+    greedy matcher is the only per-character python loop on the
+    neural hot path."""
     if not word:
-        return [PAD_ID]
+        return (PAD_ID,)
+    vocab = load_vocab()
+    pieces = wordpiece_pieces(word, vocab)
+    if pieces is not None:
+        return tuple(vocab[p] for p in pieces)
     out = [piece_id(word[:PIECE])]
     for i in range(PIECE, len(word), PIECE):
         out.append(piece_id("##" + word[i:i + PIECE]))
-    return out
+    return tuple(out)
 
 
 def encode_batch(

@@ -39,6 +39,72 @@ ENGINE_VERSION = "openie-spark-0.1"
 N_BUCKETS = 32
 
 
+# ------------------------------------------------------------ TableIO
+# The storage seam promised in SURVEY.md §7: stage tables go through
+# one of these; lineage manifests stay Hadoop-FS sidecars under
+# output_dir either way (they ARE the resume contract, not the table
+# format). No Iceberg runtime jar ships in this sandbox, so the
+# Iceberg branch is selected only when the user configures a catalog
+# (spark.openie.catalog=<name>, with spark.sql.catalog.<name>.* set)
+# and is exercised here only at the routing level.
+
+
+class ParquetTableIO:
+    """Parquet directory per stage under output_dir (the sandbox
+    default; layout identical to rounds 1-2)."""
+
+    kind = "parquet"
+
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+
+    def location(self, name: str) -> str:
+        return os.path.join(self.output_dir, name)
+
+    def write(self, spark: SparkSession, df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(self.location(name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.location(name))
+
+
+class IcebergTableIO:
+    """Iceberg v2 tables <catalog>.<namespace>.<stage> via the
+    DataFrameWriterV2 (writeTo(...).createOrReplace()) — snapshot
+    isolation makes the stage write atomic on the table side too; the
+    manifest sidecar still gates resume so the contract is unchanged."""
+
+    kind = "iceberg"
+
+    def __init__(self, output_dir: str, catalog: str,
+                 namespace: str = "openie"):
+        self.output_dir = output_dir  # manifests still live here
+        self.catalog = catalog
+        self.namespace = namespace
+
+    def qualified(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def location(self, name: str) -> str:
+        return self.qualified(name)
+
+    def write(self, spark: SparkSession, df: DataFrame, name: str) -> None:
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}")
+        df.writeTo(self.qualified(name)).using("iceberg").createOrReplace()
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.table(self.qualified(name))
+
+
+def make_table_io(spark: SparkSession, output_dir: str):
+    """Iceberg when a catalog is configured, Parquet+manifest
+    otherwise (catalog-absent behavior unchanged — unit-pinned)."""
+    catalog = spark.conf.get("spark.openie.catalog", None)
+    if catalog:
+        return IcebergTableIO(output_dir, catalog)
+    return ParquetTableIO(output_dir)
+
+
 def _fingerprint() -> dict:
     return {
         "engine": ENGINE_VERSION,
@@ -73,21 +139,22 @@ class KGPipeline:
     nodes + edges, each stage a Parquet table + manifest."""
 
     def __init__(self, spark: SparkSession, input_dir: str, output_dir: str,
-                 backend: str = "rule", pair_mode: str = "exact"):
+                 backend: str = "rule", pair_mode: str = "exact",
+                 table_io=None):
         self.spark = spark
         self.input_dir = input_dir
         self.output_dir = output_dir
         self.backend = backend
         self.pair_mode = pair_mode
+        self.io = table_io if table_io is not None else make_table_io(spark, output_dir)
         self.results: list[StageResult] = []
 
     # ------------------------------------------------------------ io
 
-    def _stage_dir(self, name: str) -> str:
-        return os.path.join(self.output_dir, name)
-
     def _manifest_path(self, name: str) -> str:
-        return os.path.join(self._stage_dir(name), "_manifest.json")
+        # manifests are sidecars under output_dir regardless of the
+        # table format (they carry the resume contract)
+        return os.path.join(self.output_dir, name, "_manifest.json")
 
     # Manifests go through the Hadoop FileSystem API, not driver-local
     # open(): tools/kg_job.py advertises spark-submit with a warehouse
@@ -159,10 +226,10 @@ class KGPipeline:
                    extra_metrics=None) -> DataFrame:
         fp = self._stage_fingerprint(name, upstream)
         man = self._read_manifest(name)
-        sd = self._stage_dir(name)
+        sd = self.io.location(name)
         if resume and man and man.get("status") == "complete" and man.get("fingerprint") == fp:
             self.results.append(StageResult(name, sd, man["rows"], 0.0, True, man))
-            return self.spark.read.parquet(sd)
+            return self.io.read(self.spark, name)
 
         t0 = time.time()
         df = build()
@@ -170,8 +237,8 @@ class KGPipeline:
             df = df.withColumn(
                 "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(N_BUCKETS)).cast("int")
             ).repartition("bucket")
-        df.write.mode("overwrite").parquet(sd)
-        out = self.spark.read.parquet(sd)
+        self.io.write(self.spark, df, name)
+        out = self.io.read(self.spark, name)
 
         # ONE column-pruned scan for all lineage stats: per-bucket
         # counts + conv range come from a single grouped aggregate

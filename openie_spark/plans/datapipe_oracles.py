@@ -414,14 +414,19 @@ SELECT a, b, cos FROM (
 
 def media_features_sql() -> str:
     """Byte histogram (16 bins of byte >> 4) over the utf-8 payload.
-    The documents text is printable ASCII (verified per sf), so byte
-    values equal code points and ``unicode(substr(...))`` recomputes
-    the numpy ``frombuffer`` histogram exactly. All HIST_BINS bins are
-    emitted (including zeros), mirroring bincount(minlength=16)."""
+    Parity REQUIRES printable-ASCII text (byte == code point,
+    strlen == byte count); rather than silently producing a confusing
+    hash mismatch on a future non-ASCII sf dir, the oracle fails
+    loudly: any text with a char outside [\\x20-\\x7e] raises via
+    DuckDB error(). All HIST_BINS bins are emitted (including zeros),
+    mirroring bincount(minlength=16)."""
     kinds = ", ".join(f"'{k}'" for k in KINDS)
     return f"""WITH m AS (
   SELECT doc_id AS media_id, ([{kinds}])[(doc_id % {len(KINDS)}) + 1] AS kind,
-         text, strlen(text) AS nb
+         CASE WHEN text ~ '^[ -~]*$' THEN text
+              ELSE error('media_features_sql assumes printable-ASCII text; doc_id=' || doc_id)
+         END AS text,
+         strlen(text) AS nb
   FROM documents
 ),
 pos AS (

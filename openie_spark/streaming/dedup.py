@@ -37,9 +37,15 @@ def stream_exact_dedup(docs: DataFrame) -> DataFrame:
             if len(pdf):
                 m = int(pdf["doc_id"].min())
                 min_id = m if min_id is None else min(min_id, m)
-        if state.exists or min_id is None:
-            # duplicate content (or an empty group): drop
-            state.update((True,))
+        if min_id is None:
+            # empty/timeout invocation: observed NOTHING — must not
+            # mark the hash seen, or a retention-timeout variant
+            # (ProcessingTimeTimeout) would permanently poison
+            # never-emitted hashes and silently drop future first
+            # occurrences.
+            return iter(())
+        if state.exists:
+            # duplicate content: drop
             return iter(())
         state.update((True,))
         return iter([pd.DataFrame({"text_hash": [key[0]], "doc_id": [min_id]})])

@@ -43,7 +43,7 @@ def test_tokenizer_alignment_contract():
     L = int(lengths[0])
     assert ids[0, 0] == tokenizer.CLS_ID and ids[0, L - 1] == tokenizer.SEP_ID
     assert not is_head[0, 0] and not is_head[0, L - 1]
-    # "extraordinarily" (15 chars, PIECE=6) → 3 pieces, one head
+    # "extraordinarily" decomposes to several wordpieces, one head
     assert is_head[0].sum() == len(words)
     heads_widx = widx[0, is_head[0]]
     assert heads_widx.tolist() == [0, 1, 2]
@@ -54,6 +54,21 @@ def test_tokenizer_alignment_contract():
 def test_tokenizer_ids_stable():
     assert tokenizer.tokenize_word("hello") == tokenizer.tokenize_word("hello")
     assert tokenizer.piece_id("abc") != tokenizer.piece_id("##abc")
+
+
+def test_tokenizer_uses_wordpiece_vocab_with_hash_fallback():
+    """T1: piece ids come from the greedy WordPiece match over the
+    checked-in vocab; hash-fallback ids (non-ASCII words) live in a
+    DISJOINT bucket range above the vocab."""
+    from openie_spark.model.wordpiece import load_vocab
+
+    v = load_vocab()
+    assert tokenizer.tokenize_word("the") == (v["the"],)
+    assert tokenizer.tokenize_word("thee")[0] == v["the"]
+    assert all(i < len(v) for i in tokenizer.tokenize_word("q2x!z"))
+    fallback = tokenizer.tokenize_word("café")
+    assert all(len(v) <= i < weights.VOCAB_BUCKETS for i in fallback)
+    assert tokenizer.tokenize_word("") == (tokenizer.PAD_ID,)
 
 
 def test_weights_deterministic_and_versioned():
@@ -139,7 +154,7 @@ def test_neural_pipeline_end_to_end(spark):
 # normalization as tools/check_oracles.value_hash) of
 # extract_triples(sf0.001 transcripts, backend='neural').
 NEURAL_GOLDEN_SF0001 = (
-    3456, "08838b7e0c919993bd34c52dd1a5ebd214c291d7a664386e0f66379584753d21")
+    1985, "469255f7c7bf484492a8fffcd0de881242ecee5f984bd50d768f82f39eae8f7e")
 
 _SF0001 = "/root/testdata/sf0.001"
 

@@ -87,3 +87,34 @@ def test_no_resume_rebuilds_all(spark, pipeline_out):
     s2 = pipe.run(resume=False)
     assert not any(st["resumed"] for st in s2["stages"].values())
     assert s2["edges"] == summary["edges"]
+
+def test_table_io_seam_defaults_to_parquet(spark, tmp_path):
+    """SURVEY §7 TableIO seam: catalog-absent behavior is the round-2
+    Parquet+manifest layout, byte-for-byte path-compatible; with a
+    configured catalog the pipeline would route through Iceberg
+    writeTo() (jar absent in sandbox — routing pinned only)."""
+    from openie_spark.pipeline import (
+        IcebergTableIO,
+        KGPipeline,
+        ParquetTableIO,
+        make_table_io,
+    )
+
+    io = make_table_io(spark, str(tmp_path))
+    assert isinstance(io, ParquetTableIO)
+    assert io.location("triples") == str(tmp_path / "triples")
+    pipe = KGPipeline(spark, "in", str(tmp_path))
+    assert isinstance(pipe.io, ParquetTableIO)
+    assert pipe._manifest_path("vocab") == str(tmp_path / "vocab" / "_manifest.json")
+
+    spark.conf.set("spark.openie.catalog", "lake")
+    try:
+        io2 = make_table_io(spark, str(tmp_path))
+        assert isinstance(io2, IcebergTableIO)
+        assert io2.qualified("triples") == "lake.openie.triples"
+        # manifests stay FS sidecars under output_dir either way
+        pipe2 = KGPipeline(spark, "in", str(tmp_path))
+        assert pipe2._manifest_path("triples") == str(
+            tmp_path / "triples" / "_manifest.json")
+    finally:
+        spark.conf.unset("spark.openie.catalog")
