@@ -457,6 +457,34 @@ def _q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_dp_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-paper quality/repetition signals per document (word-shape
+    rules + top-2-gram char fraction + duplicate-5-gram instance
+    fraction) with the pass/fail flag. Oracle recomputes the exact-ppm
+    formulas and the n-gram aggregations in SQL."""
+    from openie_spark.datapipe.quality import gopher_signals
+
+    return gopher_signals(_docs(spark, sf_dir))
+
+
+def _q_dp_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 corpus TF-IDF terms per document (exact-integer rational
+    idf — see quality.py for why not ln). Oracle runs the identical
+    two-step integer division in DuckDB."""
+    from openie_spark.datapipe.quality import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def _q_dp_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL/phone counting + redaction over documents with
+    deterministically planted PII (doc_id-derived twins, same pattern
+    as the dedup family's planted_docs)."""
+    from openie_spark.datapipe.quality import pii_scrub, planted_pii
+
+    return pii_scrub(planted_pii(_docs(spark, sf_dir)))
+
+
 def _q_dp_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.similarity import brute_topk_sql
 
@@ -556,6 +584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_lang_id": _q_dp_lang_id,
         "dp_token_count": _q_dp_token_count,
         "dp_fingerprint": _q_dp_fingerprint,
+        "dp_quality_gopher": _q_dp_quality_gopher,
+        "dp_tfidf_terms": _q_dp_tfidf_terms,
+        "dp_pii_scrub": _q_dp_pii_scrub,
         "dp_embedding_topk": _q_dp_embedding_topk,
         "dp_embedding_topk_np": _q_dp_embedding_topk_np,
         "dp_embedding_ivf": _q_dp_embedding_ivf,
@@ -598,6 +629,9 @@ def oracle_sql() -> dict[str, str]:
         "dp_lang_id": dp.lang_id_sql(),
         "dp_token_count": dp.token_count_sql(),
         "dp_fingerprint": dp.fingerprint_sql(),
+        "dp_quality_gopher": dp.gopher_signals_sql(),
+        "dp_tfidf_terms": dp.tfidf_top_terms_sql(),
+        "dp_pii_scrub": dp.pii_scrub_sql(),
         "dp_embedding_topk": dp.brute_topk_sql_oracle(),
         "dp_embedding_topk_np": dp.brute_topk_sql_oracle(),
         "dp_embedding_ivf": dp.ivf_topk_sql(),

@@ -525,3 +525,163 @@ def props_k_sql() -> str:
     return """SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS INT) AS k
 FROM events"""
+
+
+# ----------------------------------------------------------- quality
+
+def gopher_signals_sql() -> str:
+    """Twin of quality.gopher_signals — same exact-ppm formulas, same
+    (cnt desc, gram asc) argmax, same instance-based dup-5-gram rule."""
+    from openie_spark.datapipe.quality import (
+        GOPHER_MAX_DUP5GRAM_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_TOP2GRAM_FRAC,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    mean_ppm = _ppm_sql("word_chars", "greatest(n_words, 1)")
+    alpha_ppm = _ppm_sql("alpha_words", "greatest(n_words, 1)")
+    top2_ppm = _ppm_sql("least(cnt * gram_chars, word_chars)",
+                        "greatest(word_chars, 1)")
+    dup5_ppm = _ppm_sql("dup_inst", "greatest(tot_inst, 1)")
+    return f"""WITH b AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+              AS BIGINT) AS word_chars,
+         len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha_words,
+         CAST(len(list_filter([{stops}],
+             s -> list_contains(list_transform(toks, w -> lower(w)), s)))
+             AS INT) AS n_stop_hits,
+         toks
+  FROM b
+),
+g2 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks) - 1),
+                                 i -> array_to_string(toks[i+1:i+2], ' '))) AS gram
+    FROM b) GROUP BY doc_id, gram
+),
+top2 AS (
+  SELECT doc_id, cnt, length(gram) - 1 AS gram_chars FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram ASC) AS rn
+    FROM g2)
+  WHERE rn = 1
+),
+g5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_inst,
+         sum(cnt) AS tot_inst
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(toks) - 4),
+                                   i -> array_to_string(toks[i+1:i+5], ' '))) AS gram
+      FROM b) GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
+j AS (
+  SELECT c.doc_id, n_words,
+         CAST({mean_ppm} AS DOUBLE) / 1e6 AS mean_word_len,
+         CAST({alpha_ppm} AS DOUBLE) / 1e6 AS frac_alpha_words,
+         n_stop_hits,
+         coalesce(CAST({top2_ppm} AS DOUBLE) / 1e6, 0.0) AS top2gram_frac,
+         coalesce(CAST({dup5_ppm} AS DOUBLE) / 1e6, 0.0) AS dup5gram_frac
+  FROM c
+  LEFT JOIN top2 ON c.doc_id = top2.doc_id
+  LEFT JOIN g5 ON c.doc_id = g5.doc_id
+)
+SELECT *,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+        AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+        AND frac_alpha_words >= {GOPHER_MIN_ALPHA_FRAC}
+        AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}
+        AND top2gram_frac <= {GOPHER_MAX_TOP2GRAM_FRAC}
+        AND dup5gram_frac <= {GOPHER_MAX_DUP5GRAM_FRAC}) AS passes_gopher
+FROM j"""
+
+
+def tfidf_top_terms_sql() -> str:
+    """Twin of quality.tfidf_top_terms — identical two-step integer
+    division, identical (score desc, term asc) ranking."""
+    from openie_spark.datapipe.quality import TFIDF_TOP_K
+
+    return f"""WITH b AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tc AS (
+  SELECT doc_id, n_tokens, term, count(*) AS cnt FROM (
+    SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM b)
+  GROUP BY doc_id, n_tokens, term
+),
+dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+s AS (
+  SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df,
+         CAST((((cnt * 1000000) // n_tokens) * (n_docs + 1)) // (df + 1)
+              AS BIGINT) AS score
+  FROM tc JOIN dfq USING(term) CROSS JOIN n
+)
+SELECT doc_id, term, cnt, df, score, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM s)
+WHERE rank <= {TFIDF_TOP_K}"""
+
+
+def _planted_pii_sql() -> str:
+    from openie_spark.datapipe.quality import (
+        PII_EMAIL_MOD,
+        PII_PHONE_MOD,
+        PII_URL_MOD,
+    )
+
+    return f"""
+pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0
+                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % {PII_URL_MOD} = 0
+                 THEN ' https://example.com/d/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % {PII_PHONE_MOD} = 0
+                 THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+)"""
+
+
+def pii_scrub_sql() -> str:
+    """Twin of quality.pii_scrub over quality.planted_pii — counts on
+    the original text, URL→email→phone replacement order."""
+    from openie_spark.datapipe.quality import EMAIL_RE, PHONE_RE, URL_RE
+
+    # DuckDB single-quoted literals keep backslashes verbatim — pass
+    # the patterns through untouched (doubling would corrupt \. and \+)
+    e, u, p = EMAIL_RE, URL_RE, PHONE_RE
+    return f"""WITH {_planted_pii_sql().strip()}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{e}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{u}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{u}', '<URL>', 'g'),
+           '{e}', '<EMAIL>', 'g'),
+         '{p}', '<PHONE>', 'g') AS clean_text
+FROM pii"""

@@ -1,0 +1,134 @@
+"""Corpus-quality operators (datapipe.quality): Gopher signals,
+TF-IDF top terms, PII scrub — hand-computed goldens + edge guards.
+Oracle parity is covered by the driver gate (dp_quality_gopher /
+dp_tfidf_terms / dp_pii_scrub all hash-green vs DuckDB)."""
+
+from __future__ import annotations
+
+import pytest
+
+from openie_spark.datapipe import quality as q
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_signals_hand_values(spark):
+    # 8 distinct words incl. 2 Gopher stopwords; no repetition
+    clean = "the cat sat with a very large dog"
+    # "x y " * 30: top 2-gram "x y" occurs 30x, dup 5-grams everywhere
+    reps = ("x y " * 30).strip()
+    out = {r["doc_id"]: r for r in q.gopher_signals(
+        _docs(spark, [(1, clean), (2, reps)])).collect()}
+
+    c = out[1]
+    assert c["n_words"] == 8
+    assert c["n_stop_hits"] == 2          # the, with
+    assert c["frac_alpha_words"] == 1.0
+    # words: 3+3+3+4+1+4+5+3 = 26 chars
+    assert c["mean_word_len"] == 3.25
+    assert c["dup5gram_frac"] == 0.0      # all 5-grams distinct
+    assert not c["passes_gopher"]         # fails the 50-word floor
+
+    r = out[2]
+    assert r["n_words"] == 60
+    # top 2-gram "x y": 30 occurrences x 2 chars over 60 word-chars
+    assert r["top2gram_frac"] == 1.0
+    # every 5-gram ("x y x y x" / "y x y x y") recurs
+    assert r["dup5gram_frac"] == 1.0
+    assert not r["passes_gopher"]
+
+
+def test_gopher_passes_on_good_doc(spark):
+    # 50+ varied words, stopword-rich, no dominant n-gram
+    words = [f"word{i}" for i in range(46)] + ["the", "of", "and", "with"]
+    doc = " ".join(words)
+    row = q.gopher_signals(_docs(spark, [(1, doc)])).collect()[0]
+    assert row["n_words"] == 50
+    assert row["n_stop_hits"] == 4
+    assert row["passes_gopher"]
+
+
+def test_gopher_short_doc_guard(spark):
+    # < n words: the sequence(0, negative) branch must yield empty
+    # gram arrays, not [0, -1] (Spark auto-infers a -1 step there)
+    rows = q.gopher_signals(
+        _docs(spark, [(1, "solo"), (2, ""), (3, "a b c d")])).collect()
+    by = {r["doc_id"]: r for r in rows}
+    assert by[1]["top2gram_frac"] == 0.0 and by[1]["dup5gram_frac"] == 0.0
+    assert by[2]["n_words"] == 0 and by[2]["mean_word_len"] == 0.0
+    assert by[3]["dup5gram_frac"] == 0.0  # 4 words -> no 5-grams
+    assert by[3]["top2gram_frac"] > 0.0   # but 2-grams exist
+
+
+def test_tfidf_hand_values(spark):
+    # 2 docs; "rare" only in doc 1, "common" in both
+    d1 = "common rare common"
+    d2 = "common other other other"
+    out = q.tfidf_top_terms(_docs(spark, [(1, d1), (2, d2)]), k=2)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    # doc1 "rare": tf_ppm = 1*1e6 // 3 = 333333; idf num N+1=3, df+1=2
+    # score = 333333*3 // 2 = 499999
+    assert rows[(1, "rare")]["score"] == 499999
+    # doc1 "common": (2e6//3)*3 // 3 = 666666 — outranks rare
+    assert rows[(1, "common")]["score"] == 666666
+    assert rows[(1, "common")]["rank"] == 1
+    assert rows[(1, "rare")]["rank"] == 2
+    got_r1 = [r for r in rows.values() if r["doc_id"] == 1]
+    assert sorted(x["rank"] for x in got_r1) == [1, 2]
+    # doc2 "other": (3e6//4)*3 // 2 = 750000*3//2 = 1125000, top
+    assert rows[(2, "other")]["score"] == 1_125_000
+    assert rows[(2, "other")]["rank"] == 1
+
+
+def test_tfidf_deterministic_tiebreak(spark):
+    # equal tf and df -> equal score; rank by term ascending
+    out = q.tfidf_top_terms(_docs(spark, [(1, "beta alpha")]), k=2).collect()
+    by_rank = {r["rank"]: r["term"] for r in out}
+    assert by_rank == {1: "alpha", 2: "beta"}
+
+
+def test_pii_planting_and_scrub(spark):
+    docs = _docs(spark, [(i, f"plain text {i}") for i in range(1, 31)])
+    planted = q.planted_pii(docs)
+    out = {r["doc_id"]: r for r in q.pii_scrub(planted).collect()}
+    for i in range(1, 31):
+        r = out[i]
+        assert r["n_emails"] == (1 if i % q.PII_EMAIL_MOD == 0 else 0)
+        assert r["n_urls"] == (1 if i % q.PII_URL_MOD == 0 else 0)
+        assert r["n_phones"] == (1 if i % q.PII_PHONE_MOD == 0 else 0)
+        assert "@" not in r["clean_text"]
+        assert "https://" not in r["clean_text"]
+        assert "+1-555-" not in r["clean_text"]
+    # doc 30 (div by 2,3,5) got all three, scrubbed in order
+    assert out[30]["clean_text"] == "plain text 30 <EMAIL> <URL> <PHONE>"
+    # clean docs pass through byte-identical
+    clean = q.pii_scrub(docs).collect()
+    assert all(r["clean_text"] == f"plain text {r['doc_id']}" for r in clean)
+
+
+def test_pii_scrub_counts_order_independent(spark):
+    # counts are taken on the ORIGINAL text: a URL containing an
+    # email-shaped userinfo is counted by both patterns, and the URL
+    # replacement (first) consumes it entirely
+    docs = _docs(spark, [(1, "see https://u@example.com/x now")])
+    r = q.pii_scrub(docs).collect()[0]
+    assert r["n_urls"] == 1
+    assert r["n_emails"] == 1
+    assert r["clean_text"] == "see <URL> now"
+
+
+def test_gopher_plan_shape(spark):
+    """No cartesian product, no per-row python: the n-gram paths are
+    explode -> partial-agg -> window/join on doc_id."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.gopher_signals(_docs(spark, [(1, "a b c")])).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
