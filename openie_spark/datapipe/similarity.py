@@ -55,16 +55,61 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product UNROLLED to static expressions for a known dim.
+
+    Numerically identical to ``_dot`` (same left-fold order, same
+    0.0 seed — float addition is order-sensitive and the DuckDB
+    oracles replay the sequential fold), but whole-stage-codegen'd:
+    higher-order functions evaluate their lambdas interpreted per
+    element, which at 60 planes x dim elements per row dominated the
+    LSH sketch cost. F.get (0-based, null out-of-bounds) keeps
+    ragged/short vectors on the HOF path's null semantics — and unlike
+    try_element_at it stays inside codegen (TryEval wrappers forced
+    the unrolled chain interpreted, slower than the HOF it replaced)."""
+    s = F.lit(0.0)
+    for d in range(dim):
+        s = s + F.get(a, d) * F.get(b, d)
+    return s
+
+
+def _plane_dot(unit: Column, weights: list[float]) -> Column:
+    """Unrolled dot of a vector column against LITERAL plane weights
+    (the weight element lookups fold away entirely)."""
+    s = F.lit(0.0)
+    for d, w in enumerate(weights):
+        s = s + F.get(unit, d) * F.lit(w)
+    return s
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def with_unit(df: DataFrame, vec: str = "embedding") -> DataFrame:
+def with_unit(df: DataFrame, vec: str = "embedding",
+              dim: int | None = None) -> DataFrame:
     """Pre-normalize to unit length (double precision) — cosine becomes
     a plain dot product; normalization happens once per vector, not
-    once per pair."""
+    once per pair. Pass ``dim`` to unroll the norm to codegen'd
+    expressions (same fold order — see _dot_fixed).
+
+    The norm is staged as its OWN column before the element-wise
+    divide: inlined into the transform lambda it is re-evaluated per
+    element (dim² interpreted work per row — measured 25x slower at
+    dim 64; Catalyst's subexpression elimination does not hoist
+    subtrees out of higher-order-function bodies)."""
     v = F.transform(F.col(vec), lambda x: x.cast("double"))
-    return df.withColumn("unit", F.transform(v, lambda x: x / _norm(v)))
+    nc, vc = "_wu_nrm", "_wu_v"
+    nrm = (F.sqrt(_dot_fixed(F.col(vc), F.col(vc), dim))
+           if dim is not None else _norm(F.col(vc)))
+    return (df.withColumn(vc, v)
+            .withColumn(nc, nrm)
+            .withColumn("unit", F.transform(F.col(vc), lambda x: x / F.col(nc)))
+            .drop(vc, nc))
+
+
+def _dim_of(emb: DataFrame) -> int:
+    return len(emb.select("embedding").first()[0])
 
 
 def _queries(emb: DataFrame, query_mod: int) -> DataFrame:
@@ -76,13 +121,14 @@ def _queries(emb: DataFrame, query_mod: int) -> DataFrame:
 def brute_topk_sql(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) -> DataFrame:
     """(q_id, rank, vec_id, cos): exact top-k by cosine, self-match
     excluded; ties broken by vec_id for determinism."""
-    e = with_unit(emb)
+    dim = _dim_of(emb)
+    e = with_unit(emb, dim=dim)
     q = _queries(e, query_mod)
     corpus = e.select("vec_id", "unit")
     scored = (
         q.crossJoin(corpus)
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", F.round(_dot(F.col("q_vec"), F.col("unit")), 6))
+        .withColumn("cos", F.round(_dot_fixed(F.col("q_vec"), F.col("unit"), dim), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -108,7 +154,7 @@ def brute_topk_np(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     import numpy as np
     import pandas as pd
 
-    e = with_unit(emb)
+    e = with_unit(emb, dim=_dim_of(emb))
     if e.limit(max_broadcast_vecs + 1).count() > max_broadcast_vecs:
         return brute_topk_sql(emb, k, query_mod)
     corpus_rows = e.select("vec_id", "unit").collect()
@@ -153,16 +199,45 @@ def _plane(dim: int, p: int) -> list[float]:
 
 
 def lsh_sketch(df: DataFrame, dim: int, planes: int = LSH_PLANES) -> DataFrame:
-    """+ sketch: bit p = sign(unit · plane_p)."""
-    bits = []
-    for p in range(planes):
-        w = F.array(*[F.lit(x) for x in _plane(dim, p)])
-        bits.append(F.when(_dot(F.col("unit"), w) >= 0,
-                           F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return df.withColumn("sketch", total)
+    """+ sketch: bit p = sign(unit · plane_p). Arrow-batched numpy.
+
+    Why not column expressions: 60 planes x dim-term dots exceed
+    janino's 64 KB method limit when unrolled (whole-stage codegen
+    fails and falls back to interpreted eval of a 4000-node tree), and
+    the HOF ``aggregate(zip_with(...))`` form pays an interpreted
+    per-element lambda 60x per row — both measured slower than one
+    vectorized pass per Arrow batch. The kernel folds dims
+    SEQUENTIALLY (acc += X[:,d] · w[p,d]) — the same left-to-right
+    IEEE order as the old JVM fold and the DuckDB oracle's list
+    reduce, so the sign bits are bit-identical; a GEMM would
+    reassociate the sum and could flip a sign where a dot ≈ 0.
+    Requires fixed-width vectors (the embeddings contract)."""
+    import numpy as np
+
+    w_mat = np.array([_plane(dim, p) for p in range(planes)],
+                     dtype=np.float64)  # (planes, dim)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["sketch long"])
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["sketch"] = np.array([], dtype=np.int64)
+                yield pdf
+                continue
+            x = np.array(list(pdf["unit"]), dtype=np.float64)  # (n, dim)
+            sketch = np.zeros(len(pdf), dtype=np.int64)
+            for p in range(w_mat.shape[0]):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + x[:, d] * w_mat[p, d]
+                sketch |= (acc >= 0).astype(np.int64) << p
+            pdf["sketch"] = sketch
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
 
 
 def _banded(df: DataFrame, id_col: str, vec_col: str,
@@ -185,18 +260,29 @@ def lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     with the query; exact rescoring within candidates."""
     from openie_spark.functions.partitioning import spread
 
-    dim = len(emb.select("embedding").first()[0])
+    dim = _dim_of(emb)
     # materialized once: query and corpus sides both derive from the
-    # sketch table, which would otherwise be computed twice
-    e = lsh_sketch(with_unit(spread(emb, "vec_id")), dim, planes).localCheckpoint(eager=False)
+    # sketch table, which would otherwise be computed twice; id+unit
+    # only — no raw embedding through Arrow or the checkpoint
+    e = lsh_sketch(
+        with_unit(spread(emb, "vec_id"), dim=dim).select("vec_id", "unit"),
+        dim, planes).localCheckpoint(eager=False)
 
-    q = _banded(e.filter(F.col("vec_id") % query_mod == 0), "q_id", "q_vec", planes, bands)
-    c = _banded(e, "vec_id", "unit", planes, bands)
-    cand = (
+    # ids-only through the band join and the dedup shuffle (the unit
+    # vectors re-attach by id afterwards — same discipline as
+    # embedding_pairs; dim-wide arrays never ride a distinct())
+    q = _banded(e.filter(F.col("vec_id") % query_mod == 0),
+                "q_id", "q_vec", planes, bands).select("band_idx", "band_val", "q_id")
+    c = _banded(e, "vec_id", "unit", planes, bands).select("band_idx", "band_val", "vec_id")
+    ids = (
         q.join(c, ["band_idx", "band_val"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_vec", "vec_id", "unit").distinct()
-        .withColumn("cos", F.round(_dot(F.col("q_vec"), F.col("unit")), 6))
+        .select("q_id", "vec_id").distinct()
+    )
+    qv = e.select(F.col("vec_id").alias("q_id"), F.col("unit").alias("q_vec"))
+    cand = (
+        ids.join(qv, "q_id").join(e.select("vec_id", "unit"), "vec_id")
+        .withColumn("cos", F.round(_dot_fixed(F.col("q_vec"), F.col("unit"), dim), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -214,8 +300,9 @@ def lsh_bucket_stats(emb: DataFrame, planes: int = LSH_PLANES,
     Σ size·(size-1)/2 the self-join would generate. Run this before an
     `embedding_pairs` job at a new scale — a max bucket ≈ corpus size
     means the band width no longer separates this corpus."""
-    dim = len(emb.select("embedding").first()[0])
-    e = lsh_sketch(with_unit(emb), dim, planes)
+    dim = _dim_of(emb)
+    e = lsh_sketch(with_unit(emb, dim=dim).select("vec_id", "unit"),
+                   dim, planes)
     b = _banded(e, "vec_id", "unit", planes, bands)
     per_bucket = b.groupBy("band_idx", "band_val").agg(F.count("*").alias("sz"))
     return per_bucket.groupBy("band_idx").agg(
@@ -241,11 +328,13 @@ def ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
 
     Scale shape (the 10^9-vector path next to ``lsh_topk``):
     * centroid selection is TakeOrderedAndProject (per-partition top-n,
-      no global sort shuffle) and the centroid table is broadcast to
-      both the assignment and the probe join;
-    * assignment is a map-side argmax (max_by partial aggregation
-      collapses the n_centroids-wide expansion inside each input
-      partition before the single one-row-per-vector shuffle);
+      no global sort shuffle); the n_centroids winners are a BOUNDED
+      driver collect inlined as literal weights — assignment and probe
+      selection become pure per-row projections (argmax / top-nprobe
+      over array_max / array_sort of literal-dot structs), so the
+      corpus is NEVER shuffled for assignment (the previous
+      broadcast-crossJoin + groupBy(vec_id) form moved every unit
+      vector through one exchange);
     * the candidate join is keyed by cell id — an inverted list whose
       shuffle is cell-sized, never corpus²; cell-count imbalance is
       IVF's skew axis — raise n_centroids (or cap hot cells like
@@ -253,9 +342,10 @@ def ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     """
     from openie_spark.functions.partitioning import spread
 
-    # three consumers (centroids, assignment, queries) — materialize
-    # the normalized corpus once
-    e = with_unit(spread(emb, "vec_id")).localCheckpoint(eager=False)
+    dim = _dim_of(emb)
+    # two consumers (centroid scan, corpus/queries) — materialize the
+    # normalized corpus once
+    e = with_unit(spread(emb, "vec_id"), dim=dim).localCheckpoint(eager=False)
     cent = (
         e.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_vec"))
         .withColumn("h", md5h60(F.col("c_id").cast("string")))
@@ -263,31 +353,62 @@ def ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
         .limit(n_centroids)
         .drop("h")
     )
-    # nearest centroid per vector; round-6 + c_id tiebreak keeps the
-    # argmax bit-identical across engines
-    sim = F.round(_dot(F.col("unit"), F.col("c_vec")), 6)
-    assign = (
-        e.select("vec_id", "unit").crossJoin(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(
-            F.first("unit").alias("unit"),
-            F.max_by(
-                "c_id", F.struct(sim.alias("s"), (-F.col("c_id")).alias("t"))
-            ).alias("cell"),
-        )
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.desc("ps"), F.asc("c_id"))
-    probes = (
-        _queries(e, query_mod).crossJoin(F.broadcast(cent))
-        .withColumn("ps", F.round(_dot(F.col("q_vec"), F.col("c_vec")), 6))
-        .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= nprobe)
-        .select("q_id", "q_vec", F.col("c_id").alias("cell"))
-    )
+    import numpy as np
+
+    cent_rows = sorted(cent.collect(), key=lambda r: r.c_id)
+    cent_ids = np.array([r.c_id for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r.c_vec for r in cent_rows], dtype=np.float64)
+    npb = min(nprobe, len(cent_rows))
+
+    # Arrow-batched numpy for the centroid sims (an n_centroids x dim
+    # literal expression tree exceeds janino's 64 KB codegen limit —
+    # same failure mode lsh_sketch documents). Sequential dim fold +
+    # HALF_UP round-6 reproduce the JVM/DuckDB ordering; cent_rows
+    # ascend by c_id so numpy's first-max argmax / stable argsort give
+    # the same lowest-c_id tiebreak the old max_by/window forms used.
+    def _sims(x: "np.ndarray") -> "np.ndarray":
+        sims = np.empty((x.shape[0], len(cent_ids)), dtype=np.float64)
+        for c in range(len(cent_ids)):
+            acc = np.zeros(x.shape[0], dtype=np.float64)
+            for d in range(dim):
+                acc = acc + x[:, d] * cent_mat[c, d]
+            sims[:, c] = acc
+        return np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims) / 1e6
+
+    def _assign(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["cell"] = np.array([], dtype=np.int64)
+                yield pdf
+                continue
+            sims = _sims(np.array(list(pdf["unit"]), dtype=np.float64))
+            pdf["cell"] = cent_ids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    def _probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sims = _sims(np.array(list(pdf["q_vec"]), dtype=np.float64))
+            out = []
+            for i in range(len(pdf)):
+                order = np.argsort(-sims[i], kind="stable")[:npb]
+                for c in order:
+                    out.append((pdf["q_id"].iloc[i], pdf["q_vec"].iloc[i],
+                                int(cent_ids[c])))
+            yield pd.DataFrame(out, columns=["q_id", "q_vec", "cell"])
+
+    assign = e.select("vec_id", "unit").mapInPandas(
+        _assign, "vec_id long, unit array<double>, cell long")
+    probes = _queries(e, query_mod).mapInPandas(
+        _probe, "q_id long, q_vec array<double>, cell long")
     cand = (
         probes.join(assign, "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", F.round(_dot(F.col("q_vec"), F.col("unit")), 6))
+        .withColumn("cos", F.round(_dot_fixed(F.col("q_vec"), F.col("unit"), dim), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -324,8 +445,10 @@ def embedding_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COSINE,
     used by tests to pin recall."""
     from openie_spark.functions.partitioning import spread
 
-    dim = len(emb.select("embedding").first()[0])
-    e = lsh_sketch(with_unit(spread(emb, "vec_id")), dim, planes).localCheckpoint(eager=False)
+    dim = _dim_of(emb)
+    e = lsh_sketch(
+        with_unit(spread(emb, "vec_id"), dim=dim).select("vec_id", "unit"),
+        dim, planes).localCheckpoint(eager=False)
     left = _banded(e, "a", "ua", planes, bands).select("band_idx", "band_val", "a")
     right = _banded(e, "b", "ub", planes, bands).select("band_idx", "band_val", "b")
     cand = (
@@ -337,7 +460,7 @@ def embedding_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COSINE,
     ub = e.select(F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
     return (
         cand.join(ua, "a").join(ub, "b")
-        .withColumn("cos", F.round(_dot(F.col("ua"), F.col("ub")), 6))
+        .withColumn("cos", F.round(_dot_fixed(F.col("ua"), F.col("ub"), dim), 6))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
@@ -349,12 +472,13 @@ def embedding_pairs_exact(emb: DataFrame, threshold: float = NEAR_DUP_COSINE) ->
     tests (the planted cos≈0.999 twins must all survive the LSH gate)."""
     from openie_spark.functions.partitioning import spread
 
-    e = with_unit(spread(emb, "vec_id"))
+    dim = _dim_of(emb)
+    e = with_unit(spread(emb, "vec_id"), dim=dim)
     left = e.select(F.col("vec_id").alias("a"), F.col("unit").alias("ua"))
     right = e.select(F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
     return (
         left.join(right, F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(_dot(F.col("ua"), F.col("ub")), 6))
+        .withColumn("cos", F.round(_dot_fixed(F.col("ua"), F.col("ub"), dim), 6))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
