@@ -119,7 +119,10 @@ def gopher_signals(docs: DataFrame) -> DataFrame:
         stop_hits.alias("n_stop_hits"),
         _grams(toks, 2).alias("g2"),
         _grams(toks, 5).alias("g5"),
-    )
+    # three consumers (scalars, top-2-gram, dup-5-gram) — materialize
+    # once; without it each branch re-scans parquet and re-tokenizes
+    # (6 scans observed; Spark does not reuse shared subtrees)
+    ).localCheckpoint(eager=False)
 
     # top 2-gram: explode → partial-agg count per (doc, gram) → per-doc
     # argmax by (cnt desc, gram asc) window.
@@ -181,7 +184,10 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     terms = (docs.select("doc_id", F.size(toks).alias("n_tokens"),
                          F.explode(toks).alias("term"))
              .groupBy("doc_id", "n_tokens", "term")
-             .agg(F.count(F.lit(1)).alias("cnt")))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             # consumed twice (df table + scoring join); exchange reuse
+             # does not fire across the extra aggregate — materialize
+             .localCheckpoint(eager=False))
     df_tbl = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (terms.join(df_tbl, "term")
               .withColumn("tf_ppm", F.col("cnt").cast("long") * 1_000_000)
