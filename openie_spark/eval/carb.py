@@ -83,12 +83,28 @@ def _score_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
         return pd.DataFrame([[key, 0.0, 0, 0.0, n_gold]],
                             columns=["norm_key", "p", "pl", "r", "rl"])
 
-    gold = list(zip(gold_pdf["pred"], gold_pdf["args"]))
-    pred = list(zip(pred_pdf["pred"], pred_pdf["args"]))
-    scores = [
-        [match_fn(gp, list(ga), ep, list(ea)) for ep, ea in pred]
-        for gp, ga in gold
-    ]
+    if match_fn is binary_lenient_match:
+        # fast path: split each extraction ONCE, not per pair (the
+        # string contract re-tokenizes O(n_gold x n_pred) times —
+        # ~60% of this kernel's time; parity randomized-pinned)
+        from openie_spark.eval.matcher import (
+            binary_lenient_match_tokens,
+            pre_gold,
+            pre_pred,
+        )
+
+        gs = [pre_gold(gp, list(ga))
+              for gp, ga in zip(gold_pdf["pred"], gold_pdf["args"])]
+        ps = [pre_pred(ep, list(ea))
+              for ep, ea in zip(pred_pdf["pred"], pred_pdf["args"])]
+        scores = [[binary_lenient_match_tokens(g, p) for p in ps] for g in gs]
+    else:
+        gold = list(zip(gold_pdf["pred"], gold_pdf["args"]))
+        pred = list(zip(pred_pdf["pred"], pred_pdf["args"]))
+        scores = [
+            [match_fn(gp, list(ga), ep, list(ea)) for ep, ea in pred]
+            for gp, ga in gold
+        ]
 
     recall_num = sum(max((row[j][1] for j in range(n_pred)), default=0) for row in scores)
 
@@ -278,8 +294,16 @@ def _sweep_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
     if len(pred_pdf) == 0 or num_conf == 0:
         return pd.DataFrame(rows, columns=cols)
 
-    gold = list(zip(gold_pdf["pred"], gold_pdf["args"]))
-    pred = list(zip(pred_pdf["pred"], pred_pdf["args"]))
+    from openie_spark.eval.matcher import (
+        binary_lenient_match_tokens,
+        pre_gold,
+        pre_pred,
+    )
+
+    gs = [pre_gold(gp, list(ga))
+          for gp, ga in zip(gold_pdf["pred"], gold_pdf["args"])]
+    ps = [pre_pred(ep, list(ea))
+          for ep, ea in zip(pred_pdf["pred"], pred_pdf["args"])]
     # Snap each local confidence DOWN to its grid value ("pred with
     # conf c participates at every threshold <= c").  On the exact path
     # the grid contains every distinct confidence, so this is the
@@ -288,10 +312,8 @@ def _sweep_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
         grid[max(bisect.bisect_right(grid, c) - 1, 0)]
         for c in pred_pdf["confidence"]
     ]
-    scores = [
-        [binary_lenient_match(gp, list(ga), ep, list(ea)) for ep, ea in pred]
-        for gp, ga in gold
-    ]
+    # tokens split once per extraction, not per (pair x bracket)
+    scores = [[binary_lenient_match_tokens(g, p) for p in ps] for g in gs]
 
     prev_c = 0
     for conf in sorted(set(confs)):

@@ -97,6 +97,90 @@ def binary_lenient_match(gold_pred: str, gold_args: list[str],
     return max(straight, reverse)
 
 
+# ------------------------------------------------- pre-tokenized twins
+# The cogrouped scorer calls binary_lenient_match O(n_gold x n_pred)
+# times per sentence; the string contract re-splits every part on
+# every call (~60% of the kernel's python time). These twins take
+# tokens pre-split ONCE per extraction; parity with the string
+# functions is randomized-pinned in tests/test_carb.py.
+
+
+def pre_gold(pred: str, args: list[str]) -> tuple:
+    """(pred_tokens, binarized-arg token lists, said?) for a gold
+    extraction — split once, reused across all predicted pairs."""
+    return (
+        pred.split(),
+        [a.split() for a in _binarize(args)],
+        any(v in pred for v in SAID_PREDS),
+    )
+
+
+def pre_pred(pred: str, args: list[str]) -> tuple:
+    """(pred_tokens, straight binarized parts, reversed parts) for a
+    predicted extraction. The reversed parts mirror
+    binary_lenient_match's [' '.join(args[1:]), args[0]] rebuild —
+    join-then-split equals token concatenation."""
+    p_toks = pred.split()
+    straight = [a.split() for a in _binarize(args)]
+    if len(args) >= 2:
+        rest = [t for a in args[1:] for t in a.split()]
+        rev = [rest, args[0].split()]
+    else:
+        rev = [a.split() for a in args]
+    return (p_toks, straight, rev)
+
+
+def lenient_match_tokens(gold_pred_toks: list[str],
+                         gold_arg_toks: list[list[str]],
+                         ex_pred_toks: list[str],
+                         ex_arg_toks: list[list[str]]) -> Score:
+    """lenient_match over pre-split tokens (gold lists are only read;
+    predicted lists are copied before the consuming overlap)."""
+    pred_toks = list(ex_pred_toks)
+    p_num = r_num = 0
+    p_den = len(pred_toks)
+    r_den = len(gold_pred_toks)
+
+    matched = _consume_overlap(gold_pred_toks, pred_toks)
+    if "be" in pred_toks:
+        for form in BE_FORMS:
+            if form in gold_pred_toks:
+                matched += 1
+                pred_toks.remove("be")
+                break
+    if matched == 0:
+        return [0.0, 0.0]
+    p_num += matched
+    r_num += matched
+
+    for i, g in enumerate(gold_arg_toks):
+        r_den += len(g)
+        if len(ex_arg_toks) <= i:
+            if i < 2:
+                return [0.0, 0.0]
+            continue
+        e = list(ex_arg_toks[i])
+        p_den += len(e)
+        m = _consume_overlap(g, e)
+        p_num += m
+        r_num += m
+
+    prec = p_num / p_den if p_den else 0.0
+    rec = r_num / r_den if r_den else 0.0
+    return [prec, rec]
+
+
+def binary_lenient_match_tokens(gold_pre: tuple, pred_pre: tuple) -> Score:
+    """binary_lenient_match over pre_gold/pre_pred tuples."""
+    g_pred, g_parts, g_said = gold_pre
+    e_pred, e_straight, e_rev = pred_pre
+    straight = lenient_match_tokens(g_pred, g_parts, e_pred, e_straight)
+    if not g_said:
+        return straight
+    reverse = lenient_match_tokens(g_pred, g_parts, e_pred, e_rev)
+    return max(straight, reverse)
+
+
 # -------------------------------------------------------------- E7
 # Alternative scorers (CLI-flag matchers, matcher.py:10-100,103-157,
 # 228-339). The boolean family (bow/pred/lexical/arg) is usable

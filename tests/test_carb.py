@@ -523,3 +523,35 @@ def test_pr_curve_bounded_thresholds_at_1e5_distinct_confs(spark):
     assert [r.conf for r in curve] == confs
     assert [r.precision for r in curve] == [round(x, 6) for x in want_p]
     assert [r.recall for r in curve] == [round(x, 6) for x in want_r]
+
+
+def test_tokenized_matcher_parity_randomized():
+    """The pre-tokenized fast path (pre_gold/pre_pred +
+    binary_lenient_match_tokens) must reproduce binary_lenient_match
+    exactly — including said-reversal, be-forms, missing-arg gates,
+    multi-space and empty parts."""
+    import random
+
+    from openie_spark.eval.matcher import (
+        binary_lenient_match,
+        binary_lenient_match_tokens,
+        pre_gold,
+        pre_pred,
+    )
+
+    rng = random.Random(42)
+    vocab = ["the", "cat", "be", "said", "ran", "on", "", "  ", "mat dog",
+             "is", "was", "john told reporters"]
+
+    def mk():
+        pred = " ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+        args = [" ".join(rng.choices(vocab, k=rng.randint(0, 3)))
+                for _ in range(rng.randint(0, 4))]
+        return pred, args
+
+    for _ in range(3000):
+        gp, ga = mk()
+        ep, ea = mk()
+        want = binary_lenient_match(gp, list(ga), ep, list(ea))
+        got = binary_lenient_match_tokens(pre_gold(gp, ga), pre_pred(ep, ea))
+        assert got == want, (gp, ga, ep, ea, got, want)
