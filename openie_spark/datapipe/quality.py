@@ -71,17 +71,29 @@ PII_URL_MOD = 3
 PII_PHONE_MOD = 5
 
 
-def _grams(toks, n: int):
-    """Array of space-joined word n-grams (positions 0..len-n).
+def _gram_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, g2, g5): one row per token position with its 2-gram and
+    5-gram (null where the gram would run past the end).
 
-    Guarded for len < n: Spark's sequence(0, negative) auto-infers a
-    -1 step and yields [0, -1, …] (NOT empty), and slice at index 0 is
-    an ANSI error — so short docs take the explicit empty branch."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    posexplode + window lead() instead of per-gram array slices inside
+    a transform() lambda: the HOF form allocated a slice + array_join
+    per gram interpreted (~4s at sf0.1); lead() is whole-stage codegen
+    and both gram widths fall out of the same single doc_id shuffle.
+    The isNotNull guards matter: concat_ws SKIPS nulls, so an unguarded
+    tail would emit truncated grams instead of none."""
+    toks = tokens_of(F.col("text"))
+    ex = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = ex.select(
+        "doc_id", "tok",
+        *[F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, 5)])
+    return leads.select(
+        "doc_id",
+        F.when(F.col("t1").isNotNull(),
+               F.concat_ws(" ", "tok", "t1")).alias("g2"),
+        F.when(F.col("t4").isNotNull(),
+               F.concat_ws(" ", "tok", "t1", "t2", "t3", "t4")).alias("g5"),
+    )
 
 
 def gopher_signals(docs: DataFrame) -> DataFrame:
@@ -117,44 +129,52 @@ def gopher_signals(docs: DataFrame) -> DataFrame:
         (_ppm(alpha_words, F.greatest(n_words, F.lit(1))) / 1e6
          ).alias("frac_alpha_words"),
         stop_hits.alias("n_stop_hits"),
-        _grams(toks, 2).alias("g2"),
-        _grams(toks, 5).alias("g5"),
-    # three consumers (scalars, top-2-gram, dup-5-gram) — materialize
-    # once; without it each branch re-scans parquet and re-tokenizes
-    # (6 scans observed; Spark does not reuse shared subtrees)
-    ).localCheckpoint(eager=False)
+    )
 
-    # top 2-gram: explode → partial-agg count per (doc, gram) → per-doc
-    # argmax by (cnt desc, gram asc) window.
-    g2 = (base.select("doc_id", "word_chars", F.explode("g2").alias("gram"))
-          .groupBy("doc_id", "word_chars", "gram")
+    # both n-gram statistics from ONE windowed gram table (two
+    # consumers — materialize once, Spark won't reuse the subtree)
+    grams = _gram_table(docs).localCheckpoint(eager=False)
+
+    # top 2-gram: partial-agg count per (doc, gram) → per-doc argmax
+    # by (cnt desc, gram asc) window; cnt·chars over word_chars joins
+    # against base below.
+    g2 = (grams.filter(F.col("g2").isNotNull())
+          .groupBy("doc_id", F.col("g2").alias("gram"))
           .agg(F.count(F.lit(1)).alias("cnt")))
     w2 = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
-    # chars of the gram excluding the joining space
-    gram_chars = F.length("gram") - 1
     top2 = (g2.withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") == 1)
-            .select(
-                "doc_id",
-                (_ppm(F.least(F.col("cnt") * gram_chars, F.col("word_chars")),
-                      F.greatest(F.col("word_chars"), F.lit(1))) / 1e6
-                 ).alias("top2gram_frac")))
+            .select("doc_id", "cnt",
+                    # chars of the gram excluding the joining space
+                    (F.length("gram") - 1).alias("gram_chars")))
 
-    g5 = (base.select("doc_id", F.explode("g5").alias("gram"))
-          .groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-          .groupBy("doc_id")
-          .agg(F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
-                     ).alias("dup_inst"),
-               F.sum("cnt").alias("tot_inst")))
-    dup5 = g5.select(
-        "doc_id",
-        (_ppm(F.col("dup_inst"), F.greatest(F.col("tot_inst"), F.lit(1))) / 1e6
-         ).alias("dup5gram_frac"))
+    dup5 = (grams.filter(F.col("g5").isNotNull())
+            .groupBy("doc_id", F.col("g5").alias("gram"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
+                       ).alias("dup_inst"),
+                 F.sum("cnt").alias("tot_inst")))
 
-    out = (base.drop("g2", "g5", "word_chars")
-           .join(top2, "doc_id", "left")
-           .join(dup5, "doc_id", "left")
-           .fillna({"top2gram_frac": 0.0, "dup5gram_frac": 0.0}))
+    out = (base.join(top2, "doc_id", "left").join(dup5, "doc_id", "left")
+           .withColumn(
+               "top2gram_frac",
+               # explicit null gate: least() SKIPS nulls, so a bare
+               # coalesce would score gram-less (single-word) docs as
+               # ppm(word_chars, word_chars) = 1.0
+               F.when(
+                   F.col("cnt").isNotNull(),
+                   _ppm(F.least(F.col("cnt") * F.col("gram_chars"),
+                                F.col("word_chars")),
+                        F.greatest(F.col("word_chars"), F.lit(1))) / 1e6,
+               ).otherwise(F.lit(0.0)))
+           .withColumn(
+               "dup5gram_frac",
+               F.coalesce(
+                   _ppm(F.col("dup_inst"),
+                        F.greatest(F.col("tot_inst"), F.lit(1))) / 1e6,
+                   F.lit(0.0)))
+           .drop("word_chars", "cnt", "gram_chars", "dup_inst", "tot_inst"))
     passes = (
         (F.col("n_words") >= GOPHER_MIN_WORDS)
         & (F.col("n_words") <= GOPHER_MAX_WORDS)
