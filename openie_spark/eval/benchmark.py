@@ -48,7 +48,17 @@ from openie_spark.eval.carb import (
     MAX_EXACT_THRESHOLDS,
     normalize_key_col,
 )
-from openie_spark.eval.matcher import lexical_match
+from openie_spark.eval.matcher import (
+    LEXICAL_THRESHOLD,
+    _bow,
+    lexical_match,
+)
+
+# sentinel routed into the cogroup kernel when the caller uses the
+# default lexicalMatch — selects the counter-dot fast path. A string
+# (compared by ==) survives cloudpickle; a bare object() would be
+# re-instantiated on the worker and fail the identity check.
+_LEXICAL_FAST = "__oie16_lexical_fast__"
 
 # ------------------------------------------------------- sklearn twins
 
@@ -110,17 +120,22 @@ def _oie16_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
     # An ``ext_order`` column reproduces it; otherwise a deterministic
     # content sort replaces the reference's implicit file order (a
     # documented deviation — distributed inputs have no file order).
-    for pdf in (gold_pdf, pred_pdf):
+    # Plain-list sorting: the pandas astype/map/sort_index form cost
+    # more per group than the matching itself.
+    def _ordered(pdf: pd.DataFrame, with_conf: bool) -> list[tuple]:
+        cols_ = ["pred", "args"] + (["confidence"] if with_conf else [])
+        rows_ = list(zip(*(pdf[c] for c in cols_))) if len(pdf) else []
         if "ext_order" in pdf.columns:
-            pdf.sort_values("ext_order", inplace=True, kind="stable")
-        elif len(pdf):
-            key = pdf["pred"].astype(str) + "\x1f" + pdf["args"].map(
-                lambda a: "\x1f".join(a))
-            if "confidence" in pdf.columns:
-                key = key + "\x1f" + pdf["confidence"].map("{:.9g}".format)
-            pdf.index = key
-            pdf.sort_index(inplace=True, kind="stable")
-            pdf.reset_index(drop=True, inplace=True)
+            order = pdf["ext_order"].to_list()
+            return [rows_[i] for i in sorted(range(len(rows_)),
+                                             key=order.__getitem__)]
+        def k(r):
+            key_ = str(r[0]) + "\x1f" + "\x1f".join(r[1])
+            if with_conf:
+                key_ += "\x1f" + format(r[2], ".9g")
+            return key_
+        return sorted(rows_, key=k)
+
     cols = ["norm_key", "y", "score", "correct_add", "unmatched_add"]
     n_gold = len(gold_pdf)
     if n_gold == 0:
@@ -134,19 +149,46 @@ def _oie16_group(gold_pdf: pd.DataFrame, pred_pdf: pd.DataFrame,
             [[key, None, None, n_gold * n_gold, n_gold * n_gold]],
             columns=cols)
 
-    preds = list(zip(pred_pdf["pred"], pred_pdf["args"], pred_pdf["confidence"]))
+    golds_sorted = _ordered(gold_pdf, with_conf=False)
+    preds = _ordered(pred_pdf, with_conf=True)
     consumed = [False] * len(preds)
+    if match_fn == _LEXICAL_FAST:
+        # default-matcher fast path: lexicalMatch's nested equal-pair
+        # count (a word m times in ref and n times in ex contributes
+        # m·n — the reference quirk) IS the counter dot product; bows
+        # split once per extraction, not per pair. split(" ") exactly,
+        # as lexical_match does (empty tokens survive).
+        from collections import Counter
+
+        g_pre = [
+            (Counter(c := _bow(gp, list(ga)).split(" ")), len(c))
+            for gp, ga in golds_sorted
+        ]
+        p_pre = [Counter(_bow(ep, list(ea)).split(" ")) for ep, ea, _ in preds]
+
+        def hit(i: int, j: int) -> bool:
+            g_cnt, g_len = g_pre[i]
+            e_cnt = p_pre[j]
+            count = sum(c * e_cnt.get(w, 0) for w, c in g_cnt.items())
+            return count / g_len > LEXICAL_THRESHOLD
+
+    else:
+        def hit(i: int, j: int) -> bool:
+            gp, ga = golds_sorted[i]
+            ep, ea, _ = preds[j]
+            return bool(match_fn(gp, list(ga), ep, list(ea)))
+
     rows = []
     correct = 0
     unmatched = 0
-    for gp, ga in zip(gold_pdf["pred"], gold_pdf["args"]):
+    for i in range(n_gold):
         correct += 1
         found = False
-        for j, (ep, ea, conf) in enumerate(preds):
+        for j in range(len(preds)):
             if consumed[j]:
                 continue
-            if match_fn(gp, list(ga), ep, list(ea)):
-                score = float(conf)
+            if hit(i, j):
+                score = float(preds[j][2])
                 rows.append([key, 1, score if np.isfinite(score) else 0.0, 0, 0])
                 consumed[j] = True
                 found = True
@@ -181,7 +223,7 @@ def oie16_compare(gold: DataFrame, pred: DataFrame,
 
     gold: (sent, pred, args); pred: (sent, pred, args, confidence).
     """
-    fn = _bool_match(match_fn)
+    fn = _LEXICAL_FAST if match_fn is lexical_match else _bool_match(match_fn)
 
     def _proj(df: DataFrame, with_conf: bool) -> DataFrame:
         cols = [F.col("sent").alias("sent"), F.col("pred").alias("pred"),
