@@ -51,8 +51,8 @@ def test_gopher_passes_on_good_doc(spark):
 
 
 def test_gopher_short_doc_guard(spark):
-    # < n words: the sequence(0, negative) branch must yield empty
-    # gram arrays, not [0, -1] (Spark auto-infers a -1 step there)
+    # < n words: lead() past the end is null and the isNotNull guard
+    # must drop the truncated gram (concat_ws silently SKIPS nulls)
     rows = q.gopher_signals(
         _docs(spark, [(1, "solo"), (2, ""), (3, "a b c d")])).collect()
     by = {r["doc_id"]: r for r in rows}
@@ -132,3 +132,16 @@ def test_gopher_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_quality_ops_survive_hostile_input(spark):
+    """Null / empty / whitespace-only text must not crash any quality
+    operator; nulls propagate as null metrics (never a pass)."""
+    docs = _docs(spark, [(1, None), (2, ""), (3, "   "), (4, "ok doc")])
+    g = {r["doc_id"]: r for r in q.gopher_signals(docs).collect()}
+    assert g[1]["n_words"] is None and g[1]["passes_gopher"] is False
+    assert g[2]["n_words"] == 0 and not g[2]["passes_gopher"]
+    p = {r["doc_id"]: r for r in q.pii_scrub(docs).collect()}
+    assert p[1]["clean_text"] is None and p[2]["clean_text"] == ""
+    t = q.tfidf_top_terms(docs).collect()
+    assert {r["doc_id"] for r in t} == {4}
