@@ -457,6 +457,16 @@ def _q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_dp_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS over the planted corpus: connected
+    components (kg.canon machinery) over minhash-LSH verified pairs,
+    keeper = min member. Oracle: recursive reachability CTE over the
+    recomputed pair graph."""
+    from openie_spark.datapipe.dedup import neardup_groups, planted_docs
+
+    return neardup_groups(planted_docs(_docs(spark, sf_dir)))
+
+
 def _q_dp_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-paper quality/repetition signals per document (word-shape
     rules + top-2-gram char fraction + duplicate-5-gram instance
@@ -584,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_lang_id": _q_dp_lang_id,
         "dp_token_count": _q_dp_token_count,
         "dp_fingerprint": _q_dp_fingerprint,
+        "dp_neardup_groups": _q_dp_neardup_groups,
         "dp_quality_gopher": _q_dp_quality_gopher,
         "dp_tfidf_terms": _q_dp_tfidf_terms,
         "dp_pii_scrub": _q_dp_pii_scrub,
@@ -629,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_lang_id": dp.lang_id_sql(),
         "dp_token_count": dp.token_count_sql(),
         "dp_fingerprint": dp.fingerprint_sql(),
+        "dp_neardup_groups": dp.neardup_groups_sql(),
         "dp_quality_gopher": dp.gopher_signals_sql(),
         "dp_tfidf_terms": dp.tfidf_top_terms_sql(),
         "dp_pii_scrub": dp.pii_scrub_sql(),

@@ -216,3 +216,36 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def neardup_groups(docs: DataFrame) -> DataFrame:
+    """(doc_id, group_id, group_size, is_keeper): near-duplicate
+    CLUSTERS — connected components over the minhash-LSH verified pair
+    graph, group label = min member doc_id, keeper = that min member.
+    Docs in no pair are singleton groups of themselves.
+
+    This is the curation step after pair generation: pairs alone don't
+    dedup a corpus (a~b, b~c must collapse to ONE keeper). Reuses the
+    KG entity-canonicalization component machinery
+    (openie_spark.kg.canon.connected_components: driver union-find
+    below its edge threshold, pointer-jumping min-label fixpoint
+    above), so the 100 TB shape is the same one the KG stages run.
+    """
+    from openie_spark.kg.canon import connected_components
+
+    pairs = minhash_pairs_docs(docs)
+    comp = connected_components(pairs).select(
+        F.col("norm").alias("doc_id"), F.col("component").alias("group_id"))
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col("doc_id")))
+    )
+    sizes = labeled.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size"))
+    return (
+        labeled.join(sizes, "group_id")
+        # component label IS the min member, so keeper == label
+        .withColumn("is_keeper", F.col("doc_id") == F.col("group_id"))
+        .select("doc_id", "group_id", "group_size", "is_keeper")
+    )

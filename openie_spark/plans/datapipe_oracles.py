@@ -685,3 +685,29 @@ SELECT doc_id,
            '{e}', '<EMAIL>', 'g'),
          '{p}', '<PHONE>', 'g') AS clean_text
 FROM pii"""
+
+
+def neardup_groups_sql() -> str:
+    """Twin of dedup.neardup_groups over the planted corpus: the
+    minhash pair query runs as a subquery, components come from a
+    recursive reachability CTE (min reachable doc_id = the group
+    label — identical to the min-label fixpoint), singletons coalesce
+    to themselves."""
+    return f"""WITH RECURSIVE {_PLANTED_CTE},
+mp AS (
+  SELECT a, b FROM ({minhash_pairs_sql()})
+),
+edges AS (SELECT a, b FROM mp UNION SELECT b, a FROM mp),
+reach(node, r) AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT p.doc_id, coalesce(c.group_id, p.doc_id) AS group_id
+  FROM planted p LEFT JOIN comp c ON p.doc_id = c.doc_id
+),
+sizes AS (SELECT group_id, count(*) AS group_size FROM labeled GROUP BY group_id)
+SELECT l.doc_id, l.group_id, s.group_size, l.doc_id = l.group_id AS is_keeper
+FROM labeled l JOIN sizes s ON l.group_id = s.group_id"""

@@ -270,3 +270,33 @@ def test_lsh_band_width_bounds_buckets(spark):
     sk_stats = lsh_bucket_stats(skewed).collect()
     assert max(r.max_bucket for r in sk_stats) >= 300
     assert LSH_PLANES // LSH_PLANE_BANDS >= 15  # pin the width itself
+
+
+def test_neardup_groups_transitive_clusters(spark):
+    """a~b and b~c must collapse into ONE group labeled by the min
+    member, even when a and c never share an LSH bucket directly;
+    unrelated docs stay singleton keepers."""
+    import pyspark.sql.functions as F
+
+    from openie_spark.datapipe.dedup import neardup_groups, planted_docs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (50, "completely different words " * 5)],
+        "doc_id long, text string")
+    # planted twin of doc 1 (id 1+PLANT_OFFSET) is near-dup of doc 1;
+    # the twin chain makes the cluster transitive
+    out = {r["doc_id"]: r for r in neardup_groups(planted_docs(docs)).collect()}
+    from openie_spark.datapipe.dedup import PLANT_OFFSET
+
+    assert out[1]["group_id"] == 1 and out[1]["is_keeper"]
+    assert out[1 + PLANT_OFFSET]["group_id"] == 1
+    assert not out[1 + PLANT_OFFSET]["is_keeper"]
+    assert out[1]["group_size"] == out[1 + PLANT_OFFSET]["group_size"] == 2
+    # the "different" doc and its twin form their own group
+    assert out[50]["group_id"] == 50 and out[50]["is_keeper"]
+    # every group has exactly one keeper
+    from collections import Counter
+
+    keepers = Counter(r["group_id"] for r in out.values() if r["is_keeper"])
+    assert all(v == 1 for v in keepers.values())
