@@ -457,6 +457,16 @@ def _q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_dp_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified data-mixing sample: per-language
+    md5-ticket bernoulli keep (downweight 'en', keep the rest) — no
+    RNG state, same selection at any parallelism. Oracle recomputes
+    the identical tickets in SQL."""
+    from openie_spark.datapipe.quality import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir))
+
+
 def _q_dp_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS over the planted corpus: connected
     components (kg.canon machinery) over minhash-LSH verified pairs,
@@ -594,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_lang_id": _q_dp_lang_id,
         "dp_token_count": _q_dp_token_count,
         "dp_fingerprint": _q_dp_fingerprint,
+        "dp_sample": _q_dp_sample,
         "dp_neardup_groups": _q_dp_neardup_groups,
         "dp_quality_gopher": _q_dp_quality_gopher,
         "dp_tfidf_terms": _q_dp_tfidf_terms,
@@ -640,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_lang_id": dp.lang_id_sql(),
         "dp_token_count": dp.token_count_sql(),
         "dp_fingerprint": dp.fingerprint_sql(),
+        "dp_sample": dp.stratified_sample_sql(),
         "dp_neardup_groups": dp.neardup_groups_sql(),
         "dp_quality_gopher": dp.gopher_signals_sql(),
         "dp_tfidf_terms": dp.tfidf_top_terms_sql(),

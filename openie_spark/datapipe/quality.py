@@ -262,3 +262,34 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         n_phones.alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+# Deterministic data-mixing rates (a standard curation step: downweight
+# the dominant language, keep the rest). md5-ticket sampling is
+# engine-exact and reproducible — no RNG state, rerunning at any
+# parallelism selects the same documents.
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.75}
+SAMPLE_DEFAULT_PPM = 250_000
+SAMPLE_SALT = "mix1"
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float] | None = None,
+                      default_ppm: int = SAMPLE_DEFAULT_PPM) -> DataFrame:
+    """Per-stratum bernoulli sample keyed on md5(salt # doc_id):
+    keep iff ticket % 1e6 < rate_ppm(lang). Pure projection + filter —
+    no shuffle, and at scale the stratum rates compose with partition
+    pruning on a lang-partitioned layout. Returns
+    (doc_id, lang, source, ticket)."""
+    from openie_spark.datapipe.hashing import md5h60
+
+    rates = SAMPLE_RATES if rates is None else rates
+    rate = F.lit(default_ppm)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, int(r * 1_000_000)).otherwise(rate)
+    ticket = md5h60(
+        F.concat(F.lit(f"{SAMPLE_SALT}#"), F.col("doc_id").cast("string"))
+    ) % 1_000_000
+    return (docs.select("doc_id", "lang", "source", ticket.alias("ticket"),
+                        rate.alias("rate_ppm"))
+            .filter(F.col("ticket") < F.col("rate_ppm"))
+            .select("doc_id", "lang", "source", "ticket"))

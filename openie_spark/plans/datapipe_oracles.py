@@ -711,3 +711,21 @@ labeled AS (
 sizes AS (SELECT group_id, count(*) AS group_size FROM labeled GROUP BY group_id)
 SELECT l.doc_id, l.group_id, s.group_size, l.doc_id = l.group_id AS is_keeper
 FROM labeled l JOIN sizes s ON l.group_id = s.group_id"""
+
+
+def stratified_sample_sql() -> str:
+    """Twin of quality.stratified_sample — same md5 ticket, same
+    per-lang ppm rates."""
+    from openie_spark.datapipe.quality import (
+        SAMPLE_DEFAULT_PPM,
+        SAMPLE_RATES,
+        SAMPLE_SALT,
+    )
+
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(r * 1_000_000)}"
+        for lang, r in sorted(SAMPLE_RATES.items()))
+    ticket = _md5h60(f"'{SAMPLE_SALT}#' || CAST(doc_id AS VARCHAR)")
+    return f"""SELECT doc_id, lang, source, {ticket} % 1000000 AS ticket
+FROM documents
+WHERE {ticket} % 1000000 < (CASE {whens} ELSE {SAMPLE_DEFAULT_PPM} END)"""

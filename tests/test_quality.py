@@ -145,3 +145,20 @@ def test_quality_ops_survive_hostile_input(spark):
     assert p[1]["clean_text"] is None and p[2]["clean_text"] == ""
     t = q.tfidf_top_terms(docs).collect()
     assert {r["doc_id"] for r in t} == {4}
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    """md5-ticket sampling: reproducible selection, per-lang rates
+    honored within binomial tolerance, default rate for unknown langs."""
+    rows = [(i, f"text {i}", ["en", "de", "xx"][i % 3], "s0") for i in range(3000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = q.stratified_sample(docs).collect()
+    again = q.stratified_sample(docs).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+    by_lang = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    # 1000 docs per stratum; en 0.5, de 1.0, xx default 0.25
+    assert abs(by_lang["en"] - 500) < 60
+    assert by_lang["de"] == 1000
+    assert abs(by_lang["xx"] - 250) < 50
