@@ -240,6 +240,10 @@ def neardup_groups(docs: DataFrame) -> DataFrame:
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
         .withColumn("group_id", F.coalesce("group_id", F.col("doc_id")))
+        # consumed twice (group sizes + final join) — materialize the
+        # slim (doc_id, group_id) table instead of re-deriving the
+        # whole pair graph per consumer (8 parquet scans otherwise)
+        .localCheckpoint(eager=False)
     )
     sizes = labeled.groupBy("group_id").agg(
         F.count(F.lit(1)).alias("group_size"))
