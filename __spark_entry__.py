@@ -457,6 +457,15 @@ def _q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_dp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence packing (concatenate-then-chunk) in
+    a deterministic md5-shuffled order; pack assignment = where the doc
+    STARTS in the token stream. Oracle: one SQL window cumsum."""
+    from openie_spark.datapipe.quality import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
 def _q_dp_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified data-mixing sample: per-language
     md5-ticket bernoulli keep (downweight 'en', keep the rest) — no
@@ -605,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_token_count": _q_dp_token_count,
         "dp_fingerprint": _q_dp_fingerprint,
         "dp_sample": _q_dp_sample,
+        "dp_pack": _q_dp_pack,
         "dp_neardup_groups": _q_dp_neardup_groups,
         "dp_quality_gopher": _q_dp_quality_gopher,
         "dp_tfidf_terms": _q_dp_tfidf_terms,
@@ -652,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_token_count": dp.token_count_sql(),
         "dp_fingerprint": dp.fingerprint_sql(),
         "dp_sample": dp.stratified_sample_sql(),
+        "dp_pack": dp.pack_sequences_sql(),
         "dp_neardup_groups": dp.neardup_groups_sql(),
         "dp_quality_gopher": dp.gopher_signals_sql(),
         "dp_tfidf_terms": dp.tfidf_top_terms_sql(),

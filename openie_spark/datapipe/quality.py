@@ -293,3 +293,49 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float] | None = None,
                         rate.alias("rate_ppm"))
             .filter(F.col("ticket") < F.col("rate_ppm"))
             .select("doc_id", "lang", "source", "ticket"))
+
+
+PACK_BUDGET_TOKENS = 256
+PACK_SALT = "pack1"
+
+
+def pack_sequences(docs: DataFrame,
+                   budget: int = PACK_BUDGET_TOKENS) -> DataFrame:
+    """Greedy sequential sequence packing (the concatenate-then-chunk
+    step of LLM pretraining): documents are laid out in a deterministic
+    order and assigned to the pack where they START; a pack may
+    overflow the budget by at most one document (the standard greedy
+    variant — no document is split).
+
+    Order: (md5 ticket, doc_id) — a deterministic shuffle, so packs mix
+    sources/languages instead of preserving corpus order. Implemented
+    as ONE global ordering window (cumulative token sum). At 100 TB a
+    single unpartitioned window would bottleneck on one task; shard
+    the layout first (e.g. partition by ticket prefix and pack within
+    shards — each shard is an independent stream, same contract), which
+    is exactly what the salt enables. The test-scale query keeps the
+    single stream so the oracle is one SQL window.
+
+    Returns (doc_id, n_tokens, pack_id, pack_offset) — offset is the
+    token position where the doc starts inside its pack's stream.
+    """
+    from openie_spark.datapipe.hashing import md5h60, tokens_of
+
+    ticket = md5h60(
+        F.concat(F.lit(f"{PACK_SALT}#"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_of(F.col("text"))).alias("n_tokens"),
+        ticket.alias("ticket"),
+    )
+    w = Window.orderBy("ticket", "doc_id")
+    start = (F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0)))
+    return (base
+            .withColumn("start", start.cast("long"))
+            .select(
+                "doc_id", "n_tokens",
+                F.floor(F.col("start") / budget).cast("long").alias("pack_id"),
+                (F.col("start") % budget).alias("pack_offset"),
+            ))

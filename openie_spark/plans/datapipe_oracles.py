@@ -729,3 +729,28 @@ def stratified_sample_sql() -> str:
     return f"""SELECT doc_id, lang, source, {ticket} % 1000000 AS ticket
 FROM documents
 WHERE {ticket} % 1000000 < (CASE {whens} ELSE {SAMPLE_DEFAULT_PPM} END)"""
+
+
+def pack_sequences_sql() -> str:
+    """Twin of quality.pack_sequences — same ticket order, same
+    start-position window sum, same floor/mod pack math."""
+    from openie_spark.datapipe.quality import PACK_BUDGET_TOKENS, PACK_SALT
+
+    ticket = _md5h60(f"'{PACK_SALT}#' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH b AS (
+  SELECT doc_id, CAST(len({_TOKS.format(c='text')}) AS INT) AS n_tokens,
+         {ticket} AS ticket
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY ticket, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start
+  FROM b
+)
+SELECT doc_id, n_tokens,
+       start // {PACK_BUDGET_TOKENS} AS pack_id,
+       start % {PACK_BUDGET_TOKENS} AS pack_offset
+FROM s"""

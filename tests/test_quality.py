@@ -162,3 +162,24 @@ def test_stratified_sample_deterministic_rates(spark):
     assert abs(by_lang["en"] - 500) < 60
     assert by_lang["de"] == 1000
     assert abs(by_lang["xx"] - 250) < 50
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: offsets are a contiguous token stream in
+    ticket order, pack_offset < budget always (a doc STARTS within its
+    pack), packs are dense 0..max, and every doc appears exactly once."""
+    from openie_spark.datapipe.quality import PACK_BUDGET_TOKENS, pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + i % 90))) for i in range(200)]
+    out = pack_sequences(_docs(spark, rows)).collect()
+    assert len(out) == 200
+    assert all(r["pack_offset"] < PACK_BUDGET_TOKENS for r in out)
+    # reconstruct the stream: sorted by (pack_id, pack_offset) the
+    # starts must be the running sum of preceding n_tokens
+    seq = sorted(out, key=lambda r: (r["pack_id"], r["pack_offset"]))
+    run = 0
+    for r in seq:
+        assert r["pack_id"] * PACK_BUDGET_TOKENS + r["pack_offset"] == run
+        run += r["n_tokens"]
+    packs = sorted({r["pack_id"] for r in out})
+    assert packs == list(range(len(packs)))
