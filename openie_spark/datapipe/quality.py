@@ -1,6 +1,7 @@
 """Corpus-quality operators for LLM training-data curation over
 ``documents``: Gopher-style repetition/quality signals, corpus TF-IDF
-top terms, and PII/URL scrubbing.
+top terms, PII/URL scrubbing, stratified data-mixing sampling, and
+greedy sequence packing.
 
 These extend the reference's data-processing surface with the standard
 web-corpus curation steps (the reference itself stops at OIE triples;
