@@ -122,7 +122,10 @@ def brute_topk_sql(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) ->
     """(q_id, rank, vec_id, cos): exact top-k by cosine, self-match
     excluded; ties broken by vec_id for determinism."""
     dim = _dim_of(emb)
-    e = with_unit(emb, dim=dim)
+    # two consumers (query sample + corpus side of the cross join) —
+    # materialize the normalized vectors once instead of re-scanning
+    # and re-normalizing per side
+    e = with_unit(emb, dim=dim).select("vec_id", "unit").localCheckpoint(eager=False)
     q = _queries(e, query_mod)
     corpus = e.select("vec_id", "unit")
     scored = (
