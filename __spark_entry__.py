@@ -457,6 +457,15 @@ def _q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_dp_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel composed in one plan (exact-dedup
+    keeper ∧ quality threshold ∧ mixing sample) with auditable
+    per-stage flags. Oracle composes the three stage oracles."""
+    from openie_spark.datapipe.quality import curated_corpus
+
+    return curated_corpus(_docs(spark, sf_dir))
+
+
 def _q_dp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequential sequence packing (concatenate-then-chunk) in
     a deterministic md5-shuffled order; pack assignment = where the doc
@@ -615,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_fingerprint": _q_dp_fingerprint,
         "dp_sample": _q_dp_sample,
         "dp_pack": _q_dp_pack,
+        "dp_curated": _q_dp_curated,
         "dp_neardup_groups": _q_dp_neardup_groups,
         "dp_quality_gopher": _q_dp_quality_gopher,
         "dp_tfidf_terms": _q_dp_tfidf_terms,
@@ -663,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_fingerprint": dp.fingerprint_sql(),
         "dp_sample": dp.stratified_sample_sql(),
         "dp_pack": dp.pack_sequences_sql(),
+        "dp_curated": dp.curated_corpus_sql(),
         "dp_neardup_groups": dp.neardup_groups_sql(),
         "dp_quality_gopher": dp.gopher_signals_sql(),
         "dp_tfidf_terms": dp.tfidf_top_terms_sql(),

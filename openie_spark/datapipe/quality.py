@@ -340,3 +340,44 @@ def pack_sequences(docs: DataFrame,
                 F.floor(F.col("start") / budget).cast("long").alias("pack_id"),
                 (F.col("start") % budget).alias("pack_offset"),
             ))
+
+
+CURATE_MIN_QUALITY = 0.70
+
+
+def curated_corpus(docs: DataFrame,
+                   min_quality: float = CURATE_MIN_QUALITY) -> DataFrame:
+    """The full curation funnel in one plan: exact-dedup keeper →
+    quality threshold → stratified mixing sample, with per-stage
+    flags so the funnel is auditable (how many docs each stage drops).
+    ``kept`` = survives all three. Each stage is an already-oracled
+    operator — this is composition, not new semantics.
+
+    The quality stage is textstats.doc_stats' corpus-calibrated score
+    (not the Gopher pass flag: the paper's ≥2-stopword rule zeroes
+    this synthetic corpus — gopher_signals stays available as its own
+    operator for corpora it fits).
+    Returns (doc_id, is_unique, passes_quality, in_sample, kept)."""
+    from openie_spark.datapipe.dedup import exact_dedup_groups
+    from openie_spark.datapipe.textstats import doc_stats
+
+    keepers = exact_dedup_groups(docs).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("is_unique"))
+    quality = doc_stats(docs).select(
+        "doc_id", (F.col("quality") >= min_quality).alias("passes_quality"))
+    sampled = stratified_sample(docs).select(
+        "doc_id", F.lit(True).alias("in_sample"))
+    return (
+        docs.select("doc_id")
+        .join(keepers, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .join(sampled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_unique", F.lit(False)).alias("is_unique"),
+            F.coalesce("passes_quality", F.lit(False)).alias("passes_quality"),
+            F.coalesce("in_sample", F.lit(False)).alias("in_sample"),
+        )
+        .withColumn("kept", F.col("is_unique") & F.col("passes_quality")
+                    & F.col("in_sample"))
+    )

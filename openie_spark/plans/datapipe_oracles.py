@@ -754,3 +754,29 @@ SELECT doc_id, n_tokens,
        start // {PACK_BUDGET_TOKENS} AS pack_id,
        start % {PACK_BUDGET_TOKENS} AS pack_offset
 FROM s"""
+
+
+def curated_corpus_sql() -> str:
+    """Twin of quality.curated_corpus: composes the three stage oracles
+    as subqueries."""
+    from openie_spark.datapipe.quality import CURATE_MIN_QUALITY
+
+    return f"""WITH keepers AS (
+  SELECT keep_doc_id AS doc_id FROM ({exact_dedup_sql()})
+),
+quality AS (
+  SELECT doc_id, quality >= {CURATE_MIN_QUALITY} AS passes_gopher
+  FROM ({doc_stats_sql()})
+),
+sampled AS (SELECT doc_id FROM ({stratified_sample_sql()})),
+flags AS (
+  SELECT d.doc_id,
+         k.doc_id IS NOT NULL AS is_unique,
+         coalesce(q.passes_gopher, FALSE) AS passes_quality,
+         s.doc_id IS NOT NULL AS in_sample
+  FROM documents d
+  LEFT JOIN keepers k ON d.doc_id = k.doc_id
+  LEFT JOIN quality q ON d.doc_id = q.doc_id
+  LEFT JOIN sampled s ON d.doc_id = s.doc_id
+)
+SELECT *, is_unique AND passes_quality AND in_sample AS kept FROM flags"""

@@ -183,3 +183,24 @@ def test_pack_sequences_invariants(spark):
         run += r["n_tokens"]
     packs = sorted({r["pack_id"] for r in out})
     assert packs == list(range(len(packs)))
+
+
+def test_curated_corpus_funnel(spark):
+    """Funnel flags compose: duplicates lose is_unique (keeper = min
+    doc_id), kept requires all three stages, flags never null."""
+    rows = [(1, "good text with the usual words and length here ok fine"),
+            (2, "good text with the usual words and length here ok fine"),
+            (3, "x"),  # low quality
+            (4, "another doc with plenty of reasonable words in it today")]
+    docs = spark.createDataFrame(
+        [(i, t, "de", "s0") for i, t in rows],  # de: sample rate 1.0
+        "doc_id long, text string, lang string, source string")
+    out = {r["doc_id"]: r for r in q.curated_corpus(docs).collect()}
+    assert len(out) == 4
+    # exact duplicate: keeper is min doc_id
+    assert out[1]["is_unique"] and not out[2]["is_unique"]
+    assert not out[2]["kept"]
+    assert not out[3]["passes_quality"] and not out[3]["kept"]
+    for r in out.values():
+        assert r["kept"] == (r["is_unique"] and r["passes_quality"]
+                             and r["in_sample"])
