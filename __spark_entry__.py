@@ -352,6 +352,45 @@ def _q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_stats(build_edges(triples, canon, strategy="broadcast"))
 
 
+def _q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted relation edges (src, dst, pred, support counts) — the
+    compact graph-materialize sink a KG consumer reads instead of the
+    occurrence-scale provenance edges."""
+    from openie_spark.kg.analytics import relation_weights
+    from openie_spark.kg.graph import build_edges
+
+    triples, _, _, canon = _kg_parts(spark, sf_dir)
+    return relation_weights(build_edges(triples, canon, strategy="broadcast"))
+
+
+def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (5 iterations, rank units of 1e9) over
+    the canonical entity graph — iterative shuffle join + partial agg
+    per round, ranks localCheckpointed to truncate lineage. Integer
+    floor arithmetic makes the result partitioning-independent, so the
+    DuckDB oracle (unrolled CTEs) matches bit-for-bit."""
+    from openie_spark.kg.analytics import pagerank
+    from openie_spark.kg.graph import build_edges, build_nodes
+
+    triples, _, _, canon = _kg_parts(spark, sf_dir)
+    nodes = build_nodes(canon)
+    edges = build_edges(triples, canon, strategy="broadcast")
+    return pagerank(nodes, edges)
+
+
+def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle participation via degree-oriented edge
+    listing (each undirected edge points small->(deg,id)->large, so a
+    hub's out-list is O(sqrt(m)) and the triangle join fan-out is
+    bounded even on power-law graphs)."""
+    from openie_spark.kg.analytics import triangle_counts
+    from openie_spark.kg.graph import build_edges, build_nodes
+
+    triples, _, _, canon = _kg_parts(spark, sf_dir)
+    return triangle_counts(
+        build_nodes(canon), build_edges(triples, canon, strategy="broadcast"))
+
+
 # ------------------------------------------------- datapipe (documents)
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,6 +436,25 @@ def _q_dp_ev_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.events import props_k
 
     return props_k(_events(spark, sf_dir))
+
+
+def _q_dp_ev_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest same-user 'error' event at-or-before each
+    event — union-marker + one window (one shuffle), not a theta
+    join."""
+    from openie_spark.datapipe.events import asof_last_ref
+
+    return asof_last_ref(_events(spark, sf_dir))
+
+
+def _q_dp_ev_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join: events inside any same-user
+    [error.ts, error.ts + 15 min) window — interval-to-bucket
+    expansion turns the range predicate into an equi-join (the oracle
+    is the naive theta join)."""
+    from openie_spark.datapipe.events import interval_events
+
+    return interval_events(_events(spark, sf_dir))
 
 
 def _q_dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,6 +670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_degree": _q_kg_degree,
+        "kg_relations": _q_kg_relations,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         "turn_text_invariant": _q_turn_invariant,
         "dp_exact_dedup": _q_dp_exact_dedup,
         "dp_ngram_pairs": _q_dp_ngram_pairs,
@@ -640,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ev_sessions_sw": _q_dp_ev_sessions_sw,
         "dp_ev_windowed": _q_dp_ev_windowed,
         "dp_ev_props": _q_dp_ev_props,
+        "dp_ev_asof": _q_dp_ev_asof,
+        "dp_ev_intervals": _q_dp_ev_intervals,
     }
 
 
@@ -661,6 +724,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes": o.kg_nodes_sql(),
         "kg_edges": o.kg_edges_sql(),
         "kg_degree": o.kg_degree_sql(),
+        "kg_relations": o.kg_relations_sql(),
+        "kg_pagerank": o.kg_pagerank_sql(),
+        "kg_triangles": o.kg_triangles_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
         "dp_exact_dedup": dp.exact_dedup_sql(),
         "dp_ngram_pairs": dp.ngram_pairs_sql(),
@@ -689,4 +755,6 @@ def oracle_sql() -> dict[str, str]:
         "dp_ev_sessions_sw": dp.session_window_stats_sql(),
         "dp_ev_windowed": dp.windowed_counts_sql(),
         "dp_ev_props": dp.props_k_sql(),
+        "dp_ev_asof": dp.asof_last_ref_sql(),
+        "dp_ev_intervals": dp.interval_events_sql(),
     }

@@ -163,3 +163,111 @@ def props_k(events: DataFrame) -> DataFrame:
         "event_type",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+ASOF_REF_TYPE = "error"
+INTERVAL_MINUTES = 15
+
+
+def asof_last_ref(events: DataFrame, ref_type: str = ASOF_REF_TYPE) -> DataFrame:
+    """As-of join: for every event, the most recent ``ref_type`` event
+    of the SAME user at-or-before it (by ts; a reference at the exact
+    same timestamp counts, so a reference event matches itself).
+
+    -> (event_id, user_id, event_type, last_ref_id, us_since_ref)
+    with NULLs when the user has no reference yet.
+
+    Implemented as the union-marker formulation — reference rows and
+    probe rows are unioned with a marker and ONE window over ONE
+    shuffle on user_id carries the latest reference forward via
+    last(ignorenulls) — NOT a per-key loop, NOT a theta join (which
+    Spark would plan as a broadcast-nested-loop at scale). Ordering is
+    (us, is_probe, event_id): references sort before probes at the
+    same microsecond (at-or-before includes ties) and among several
+    same-microsecond references the largest event_id wins — a pinned,
+    engine-portable tie rule.
+
+    Scale: identical profile to sessionize — one hash partition on
+    user_id, window streams within the partition; a power-law user is
+    a straggler AQE can split, never a correctness problem.
+    """
+    e = _with_tz(events)
+    us = F.unix_micros("ts")
+    probe = e.select(
+        "user_id", us.alias("us"), "event_id", "event_type",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("ref_id"),
+        F.lit(None).cast("long").alias("ref_us"),
+    )
+    ref = e.where(F.col("event_type") == ref_type).select(
+        "user_id", us.alias("us"), "event_id", "event_type",
+        F.lit(0).alias("is_probe"),
+        F.col("event_id").alias("ref_id"),
+        us.alias("ref_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        probe.unionAll(ref)
+        .withColumn("last_ref_id", F.last("ref_id", ignorenulls=True).over(w))
+        .withColumn("last_ref_us", F.last("ref_us", ignorenulls=True).over(w))
+        .where(F.col("is_probe") == 1)
+        .select(
+            "event_id", "user_id", "event_type",
+            "last_ref_id",
+            (F.col("us") - F.col("last_ref_us")).alias("us_since_ref"),
+        )
+    )
+
+
+def interval_events(events: DataFrame, ref_type: str = ASOF_REF_TYPE,
+                    minutes: int = INTERVAL_MINUTES) -> DataFrame:
+    """Bounded-length interval range join: every ``ref_type`` event
+    opens a per-user interval [ts, ts + minutes); emit one row per
+    (interval, event) pair where the event's ts falls inside an
+    interval of the same user (the opener matches itself at offset 0;
+    overlapping intervals each emit their own row).
+
+    -> (interval_id, event_id, user_id, offset_us)
+
+    This is the scalable RANGE-JOIN pattern: because interval length
+    equals the bucket width, an interval overlaps AT MOST TWO tumbling
+    time buckets, so expanding each interval to its covered buckets
+    (explode of a <=2-element sequence) turns the range predicate into
+    an EQUI-join on (user_id, bucket) plus a residual filter — one
+    hash shuffle instead of the O(n^2) broadcast-nested-loop Spark
+    plans for a raw theta join. A probe lands in exactly one bucket,
+    so no dedup is needed.
+    """
+    e = _with_tz(events)
+    us = F.unix_micros("ts")
+    len_us = minutes * 60 * _US_PER_SEC
+    ivl = (
+        e.where(F.col("event_type") == ref_type)
+        .select(
+            F.col("event_id").alias("interval_id"), "user_id",
+            us.alias("start_us"), (us + len_us).alias("end_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(F.sequence(
+                F.expr(f"start_us DIV {len_us}"),
+                F.expr(f"(end_us - 1) DIV {len_us}"),
+            )),
+        )
+    )
+    probe = e.select(
+        "event_id", "user_id", us.alias("us"),
+        F.expr(f"unix_micros(ts) DIV {len_us}").alias("bucket"),
+    )
+    return (
+        probe.join(ivl, ["user_id", "bucket"])
+        .where((F.col("us") >= F.col("start_us")) & (F.col("us") < F.col("end_us")))
+        .select(
+            "interval_id", "event_id", "user_id",
+            (F.col("us") - F.col("start_us")).alias("offset_us"),
+        )
+    )

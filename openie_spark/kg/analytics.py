@@ -1,0 +1,179 @@
+"""Stage I — graph analytics over the materialized KG
+(nodes/edges from kg/graph.py): PageRank, triangle counts, and
+weighted relation edges.
+
+All three are engine-portable by construction so the DuckDB oracles
+(plans/oracles.py) reproduce them bit-for-bit:
+
+* PageRank runs in INTEGER rank units (PAGERANK_SCALE per node) with
+  floor division — integer addition is associative, so the result is
+  independent of partitioning / summation order, unlike float
+  PageRank where a last-ulp difference between engines (or between
+  two cluster sizes!) would flip the hash compare. The recurrence is
+      share(u)  = rank_k(u) DIV out_deg(u)
+      rank_k+1(v) = (15 * SCALE) DIV 100
+                  + (85 * SUM share over in-edges of v) DIV 100
+  over the SIMPLE directed graph (distinct src->dst, self-loops
+  dropped); dangling mass is not redistributed (the teleport term
+  keeps every rank positive). This is our own pinned semantics, not
+  an approximation of someone else's float run.
+
+* Triangle counting uses the standard degree orientation: each
+  undirected edge {a, b} points from the endpoint with smaller
+  (degree, id) to the larger, so every triangle is counted exactly
+  once as x->y, y->z, x->z and — the scale property — a node's
+  oriented out-list is O(sqrt(m)) even for power-law hubs, bounding
+  the worst join fan-out (see Suri & Vassilvitskii, WWW'11).
+
+Scale notes (10^12-turn KG):
+  * PageRank's per-iteration cost is one shuffle join (edges x ranks
+    on src) + one partial-aggregated groupBy(dst) + one node-sized
+    left join. Edges are hash-partitioned on src_id ONCE up front and
+    localCheckpointed, so every iteration reuses the same exchange;
+    ranks are node-sized. Each iteration localCheckpoints the new
+    ranks — without lineage truncation the plan doubles per round and
+    the final job recompiles the whole chain.
+  * BIGINT headroom: total mass is n_nodes * SCALE; a single node's
+    in-sum is bounded by total mass, and the 85x intermediate must
+    stay under 2^63 — n_nodes * SCALE * 85 < 9.2e18, i.e. ~1e8 nodes
+    at SCALE=1e9. Above that, drop SCALE (the recurrence only needs
+    SCALE >> max out-degree for shares to stay non-zero).
+  * Triangle join fan-out is bounded by the orientation; the joins
+    are plain equi-joins AQE can re-plan (skew split / broadcast the
+    node-sized degree table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_ITERS = 5
+PAGERANK_SCALE = 10**9
+_DAMP_NUM = 85   # damping 0.85 as an exact rational
+_DAMP_DEN = 100
+
+
+def simple_edges(edges: DataFrame) -> DataFrame:
+    """Occurrence-scale provenance edges -> simple directed graph:
+    distinct (src_id, dst_id), self-loops dropped."""
+    return (
+        edges.where(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame,
+             iters: int = PAGERANK_ITERS,
+             scale: int = PAGERANK_SCALE) -> DataFrame:
+    """Integer-exact PageRank -> (entity_id, rank BIGINT).
+
+    nodes: anything with an entity_id column (isolated entities keep
+    the base rank); edges: provenance edges (simplified here).
+    """
+    ids = nodes.select("entity_id")
+    se = simple_edges(edges)
+    out_deg = se.groupBy("src_id").agg(F.count(F.lit(1)).alias("out_deg"))
+    # one up-front partition on the join key, reused every iteration;
+    # localCheckpoint pins it so the iterations never re-derive the
+    # extraction chain upstream.
+    linked = (
+        se.join(out_deg, "src_id")
+        .repartition("src_id")
+        .localCheckpoint(eager=False)
+    )
+    base = (15 * scale) // _DAMP_DEN
+    ranks = ids.select("entity_id", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            linked.join(ranks.withColumnRenamed("entity_id", "src_id"), "src_id")
+            .select("dst_id", F.expr("rank DIV out_deg").alias("share"))
+            .groupBy("dst_id")
+            .agg(F.sum("share").alias("in_sum"))
+        )
+        ranks = (
+            ids.join(contrib.withColumnRenamed("dst_id", "entity_id"),
+                     "entity_id", "left")
+            .select(
+                "entity_id",
+                (F.lit(base)
+                 + F.expr(f"({_DAMP_NUM} * coalesce(in_sum, 0L)) DIV {_DAMP_DEN}")
+                 ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Simple undirected graph: distinct {a, b} with a < b."""
+    return (
+        edges.where(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-entity triangle participation -> (entity_id, deg, n_tri).
+
+    deg = undirected simple degree; n_tri = number of triangles the
+    node is a corner of (each triangle increments all three corners).
+    Nodes with no edges report (0, 0).
+    """
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("a").alias("entity_id"))
+        .unionAll(und.select(F.col("b").alias("entity_id")))
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # degree orientation: from the smaller (deg, id) endpoint to the
+    # larger. deg is node-sized -> AQE broadcasts both attach joins.
+    da = deg.select(F.col("entity_id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("entity_id").alias("b"), F.col("deg").alias("deg_b"))
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    e1 = ori.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = ori.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    e3 = ori.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("entity_id"))
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        nodes.select("entity_id")
+        .join(deg, "entity_id", "left")
+        .join(per_node, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
+    )
+
+
+def relation_weights(edges: DataFrame) -> DataFrame:
+    """Weighted relation edges for the graph-materialize sink:
+    (src_id, dst_id, pred) with mention count and distinct-conversation
+    support — one partial-aggregated groupBy, the canonical 'edge
+    weights' table a downstream KG consumer reads instead of the
+    occurrence-scale provenance edges."""
+    return edges.groupBy("src_id", "dst_id", "pred").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )

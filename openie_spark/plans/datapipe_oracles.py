@@ -780,3 +780,44 @@ flags AS (
   LEFT JOIN sampled s ON d.doc_id = s.doc_id
 )
 SELECT *, is_unique AND passes_quality AND in_sample AS kept FROM flags"""
+
+
+def asof_last_ref_sql() -> str:
+    """Twin of events.asof_last_ref: same union-marker window, same
+    (us, is_probe, event_id) tie order."""
+    from openie_spark.datapipe.events import ASOF_REF_TYPE
+
+    return f"""WITH u AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type, 1 AS is_probe,
+         CAST(NULL AS BIGINT) AS ref_id, CAST(NULL AS BIGINT) AS ref_us
+  FROM events
+  UNION ALL
+  SELECT user_id, epoch_us(ts), event_id, event_type, 0, event_id, epoch_us(ts)
+  FROM events WHERE event_type = '{ASOF_REF_TYPE}'
+),
+w AS (
+  SELECT *, last_value(ref_id IGNORE NULLS) OVER win AS last_ref_id,
+            last_value(ref_us IGNORE NULLS) OVER win AS last_ref_us
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY us, is_probe, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, event_type, last_ref_id,
+       CAST(us - last_ref_us AS BIGINT) AS us_since_ref
+FROM w WHERE is_probe = 1"""
+
+
+def interval_events_sql() -> str:
+    """Twin of events.interval_events — deliberately the NAIVE theta
+    join (an independent formulation; quadratic is fine at oracle
+    scale), vs the engine's bucketed equi-join."""
+    from openie_spark.datapipe.events import ASOF_REF_TYPE, INTERVAL_MINUTES
+
+    len_us = INTERVAL_MINUTES * 60 * 1_000_000
+    return f"""SELECT r.event_id AS interval_id, e.event_id, e.user_id,
+       CAST(epoch_us(e.ts) - epoch_us(r.ts) AS BIGINT) AS offset_us
+FROM events r JOIN events e
+  ON e.user_id = r.user_id
+ AND epoch_us(e.ts) >= epoch_us(r.ts)
+ AND epoch_us(e.ts) < epoch_us(r.ts) + {len_us}
+WHERE r.event_type = '{ASOF_REF_TYPE}'"""

@@ -198,7 +198,7 @@ canonmap AS MATERIALIZED (
   SELECT v.norm, v.freq, COALESCE(c.component, v.norm) AS component
   FROM vocab v LEFT JOIN components c USING (norm)
 ),
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT md5(component) AS entity_id, component AS canonical,
          count(*) AS n_aliases, CAST(sum(freq) AS BIGINT) AS freq
   FROM canonmap GROUP BY component
@@ -208,7 +208,7 @@ tr_norm AS (
          {norm.format(c='subj')} AS subj_norm, {norm.format(c='obj')} AS obj_norm
   FROM triples
 ),
-kg_edges AS (
+kg_edges AS MATERIALIZED (
   SELECT md5(m1.component) AS src_id, md5(m2.component) AS dst_id, t.pred,
          t.conv_id, t.turn_idx, t.sent_idx, t.ext_idx
   FROM tr_norm t
@@ -354,4 +354,83 @@ FROM (
   FROM sentences s JOIN transcripts t USING (conv_id, turn_idx)
   GROUP BY 1, 2
 )""",
+    )
+
+
+def kg_relations_sql() -> str:
+    """Twin of kg.analytics.relation_weights."""
+    return _with_kg("""
+SELECT src_id, dst_id, pred,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM kg_edges GROUP BY 1, 2, 3""")
+
+
+def kg_pagerank_sql() -> str:
+    """Twin of kg.analytics.pagerank: the same integer-exact
+    recurrence unrolled to PAGERANK_ITERS CTEs (r0..rK). Integer floor
+    division on positive BIGINTs makes DuckDB's // and Spark's DIV
+    identical, and integer sums are order-independent — bit-for-bit
+    parity without any float tolerance."""
+    from openie_spark.kg.analytics import PAGERANK_ITERS, PAGERANK_SCALE
+
+    base = (15 * PAGERANK_SCALE) // 100
+    ctes = [f"""
+simple_e AS MATERIALIZED (SELECT DISTINCT src_id, dst_id FROM kg_edges WHERE src_id <> dst_id),
+outd AS MATERIALIZED (SELECT src_id, count(*) AS od FROM simple_e GROUP BY 1),
+r0 AS (SELECT entity_id, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM nodes)"""]
+    for k in range(PAGERANK_ITERS):
+        ctes.append(f"""
+c{k + 1} AS (
+  SELECT e.dst_id AS entity_id, sum(r.rank // o.od) AS s
+  FROM simple_e e
+  JOIN r{k} r ON e.src_id = r.entity_id
+  JOIN outd o ON e.src_id = o.src_id
+  GROUP BY 1),
+r{k + 1} AS (
+  SELECT n.entity_id,
+         CAST({base} + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{k + 1} c ON n.entity_id = c.entity_id)""")
+    return _with_kg(
+        f"SELECT entity_id, rank FROM r{PAGERANK_ITERS}",
+        extra_ctes=",".join(ctes),
+    )
+
+
+def kg_triangles_sql() -> str:
+    """Twin of kg.analytics.triangle_counts: same degree orientation
+    ((deg, id) lexicographic), each triangle counted once as
+    x->y, y->z, x->z and credited to all three corners."""
+    return _with_kg(
+        "SELECT n.entity_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg, "
+        "CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_tri "
+        "FROM nodes n LEFT JOIN degs d ON n.entity_id = d.entity_id "
+        "LEFT JOIN pern p ON n.entity_id = p.entity_id",
+        extra_ctes="""
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id),
+degs AS MATERIALIZED (
+  SELECT entity_id, count(*) AS deg
+  FROM (SELECT a AS entity_id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1),
+ori AS MATERIALIZED (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS hi
+  FROM und u
+  JOIN degs da ON u.a = da.entity_id
+  JOIN degs db ON u.b = db.entity_id),
+tris AS MATERIALIZED (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM ori e1
+  JOIN ori e2 ON e1.hi = e2.lo
+  JOIN ori e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+pern AS (
+  SELECT entity_id, count(*) AS n_tri
+  FROM (SELECT x AS entity_id FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris)
+  GROUP BY 1)""",
     )

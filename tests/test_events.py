@@ -82,3 +82,118 @@ def test_props_k(ev):
 
     got = {r.event_id: r.k for r in props_k(ev).collect()}
     assert got == {i: i + 1 for i in range(7)}
+
+
+# ---------------------------------------------------- as-of / range join
+
+@pytest.fixture(scope="module")
+def ev_asof(spark):
+    """Edge-case fixture: ties at the same microsecond, users with no
+    reference, a reference matching itself, multiple same-ts refs."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: error at t+5; events straddling it
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + 5 * m, 1, "error", 1.0, "{}"),      # matches itself
+        (2, t0 + 5 * m, 1, "click", 1.0, "{}"),      # same-ts tie: error counts
+        (3, t0 + 9 * m, 1, "view", 1.0, "{}"),
+        # user 2: no errors at all
+        (4, t0, 2, "view", 1.0, "{}"),
+        # user 3: two errors at the SAME microsecond -> larger id wins
+        (5, t0, 3, "error", 1.0, "{}"),
+        (6, t0, 3, "error", 1.0, "{}"),
+        (7, t0 + 20 * m, 3, "view", 1.0, "{}"),      # beyond the 15-min interval
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+
+
+def test_asof_last_ref_edges(ev_asof):
+    from openie_spark.datapipe.events import asof_last_ref
+
+    got = {r.event_id: (r.last_ref_id, r.us_since_ref)
+           for r in asof_last_ref(ev_asof).collect()}
+    assert got[0] == (None, None)           # before any error
+    assert got[1] == (1, 0)                 # an error matches itself
+    assert got[2] == (1, 0)                 # same-ts tie includes the ref
+    assert got[3] == (1, 4 * 60_000_000)
+    assert got[4] == (None, None)           # user with no refs
+    assert got[5] == (6, 0)                 # same-ts refs: max event_id wins
+    assert got[6] == (6, 0)
+    assert got[7] == (6, 20 * 60_000_000)
+
+
+def test_interval_events_boundaries(ev_asof):
+    from openie_spark.datapipe.events import interval_events
+
+    got = {(r.interval_id, r.event_id): r.offset_us
+           for r in interval_events(ev_asof).collect()}
+    # user 1: error 1 opens [t+5, t+20); events 1, 2, 3 fall inside,
+    # event 0 is before it
+    assert got == {
+        (1, 1): 0, (1, 2): 0, (1, 3): 4 * 60_000_000,
+        # user 3: both same-ts errors open overlapping intervals; each
+        # contains both openers; event 7 at exactly +20 min is OUTSIDE
+        # the 15-min interval (end-exclusive)
+        (5, 5): 0, (5, 6): 0, (6, 5): 0, (6, 6): 0,
+    }
+
+
+def test_interval_events_matches_naive_theta_join(spark):
+    """Randomized parity: the bucketed equi-join must equal the naive
+    range predicate (incl. intervals spanning two buckets and events
+    landing exactly on bucket edges)."""
+    import random
+
+    from openie_spark.datapipe.events import INTERVAL_MINUTES, interval_events
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        # second-resolution offsets up to 2h; ~1/6 errors
+        ts = t0 + dt.timedelta(seconds=rng.randrange(7200))
+        rows.append((i, ts, rng.randrange(5),
+                     "error" if rng.random() < 1 / 6 else "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.interval_id, r.event_id): r.offset_us
+           for r in interval_events(ev).collect()}
+    len_us = INTERVAL_MINUTES * 60 * 1_000_000
+    us = {i: int(ts.timestamp() * 1_000_000) for i, ts, *_ in rows}
+    want = {
+        (r[0], e[0]): us[e[0]] - us[r[0]]
+        for r in rows if r[3] == "error"
+        for e in rows
+        if e[2] == r[2] and us[r[0]] <= us[e[0]] < us[r[0]] + len_us
+    }
+    assert got == want
+
+
+def test_asof_matches_duckdb_oracle(ev_asof, spark):
+    """The registered oracle SQL (plans/datapipe_oracles.asof_last_ref_sql)
+    reproduces the Spark output on the edge-case fixture."""
+    import duckdb
+
+    from openie_spark.datapipe.events import asof_last_ref
+    from openie_spark.plans.datapipe_oracles import asof_last_ref_sql
+
+    pdf = ev_asof.toPandas()
+    con = duckdb.connect()
+    con.register("events", pdf)
+    want = {
+        (r.event_id): (r.last_ref_id, r.us_since_ref)
+        for r in con.sql(asof_last_ref_sql()).df().itertuples()
+    }
+    got = asof_last_ref(ev_asof).toPandas()
+    for row in got.itertuples():
+        w = want[row.event_id]
+        g = (None if row.last_ref_id != row.last_ref_id or row.last_ref_id is None
+             else int(row.last_ref_id),
+             None if row.us_since_ref != row.us_since_ref or row.us_since_ref is None
+             else int(row.us_since_ref))
+        w = tuple(None if x != x or x is None else int(x) for x in w)
+        assert g == w, (row.event_id, g, w)

@@ -1,0 +1,141 @@
+"""Graph analytics over the KG (kg/analytics.py): integer-exact
+PageRank, degree-oriented triangle counting, relation weights.
+
+PageRank is checked against an independent pure-Python implementation
+of the same pinned integer recurrence (a third engine besides Spark
+and the DuckDB oracle); triangles against hand-counted graphs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+_EDGE_SCHEMA = ("src_id string, dst_id string, pred string, conv_id string, "
+                "turn_idx int, sent_idx int, ext_idx int")
+
+
+def _edges(spark, pairs, preds=None, convs=None):
+    rows = [
+        (a, b,
+         (preds or {}).get((a, b), "rel"),
+         (convs or {}).get((a, b), "c0"), 0, 0, i)
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return spark.createDataFrame(rows, _EDGE_SCHEMA)
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "entity_id string")
+
+
+def _pagerank_py(ids, pairs, iters, scale):
+    """Independent reference: same integer recurrence, plain dicts."""
+    simple = sorted({(a, b) for a, b in pairs if a != b})
+    out_deg: dict = {}
+    for a, _ in simple:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    rank = {v: scale for v in ids}
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        in_sum = {v: 0 for v in ids}
+        for a, b in simple:
+            in_sum[b] += rank[a] // out_deg[a]
+        rank = {v: base + (85 * in_sum[v]) // 100 for v in ids}
+    return rank
+
+
+@pytest.mark.parametrize("iters", [1, 5])
+def test_pagerank_matches_python_reference(spark, iters):
+    from openie_spark.kg.analytics import PAGERANK_SCALE, pagerank
+
+    ids = list("abcdef")
+    # cycle + chord + dangling node f + isolated e; duplicate
+    # provenance edges and a self-loop must be ignored
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("c", "d"), ("d", "f"), ("a", "b"), ("b", "b")]
+    got = {
+        r.entity_id: r.rank
+        for r in pagerank(_nodes(spark, ids), _edges(spark, pairs),
+                          iters=iters).collect()
+    }
+    assert got == _pagerank_py(ids, pairs, iters, PAGERANK_SCALE)
+
+
+def test_pagerank_randomized_vs_python(spark):
+    import random
+
+    from openie_spark.kg.analytics import PAGERANK_SCALE, pagerank
+
+    rng = random.Random(13)
+    ids = [f"n{i}" for i in range(40)]
+    pairs = [(rng.choice(ids), rng.choice(ids)) for _ in range(200)]
+    got = {
+        r.entity_id: r.rank
+        for r in pagerank(_nodes(spark, ids), _edges(spark, pairs)).collect()
+    }
+    assert got == _pagerank_py(ids, pairs, 5, PAGERANK_SCALE)
+
+
+def test_triangles_k4_plus_pendant(spark):
+    from openie_spark.kg.analytics import triangle_counts
+
+    ids = list("abcdez")
+    # K4 on a,b,c,d (one edge given in BOTH directions — the
+    # undirected dedup must collapse it), pendant e off a, isolated z
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("d", "c"), ("a", "e")]
+    got = {
+        (r.entity_id): (r.deg, r.n_tri)
+        for r in triangle_counts(_nodes(spark, ids),
+                                 _edges(spark, pairs)).collect()
+    }
+    # K4 has 4 triangles; every K4 node is in C(3,2)=3 of them
+    assert got == {
+        "a": (4, 3), "b": (3, 3), "c": (3, 3), "d": (3, 3),
+        "e": (1, 0), "z": (0, 0),
+    }
+
+
+def test_triangles_randomized_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from openie_spark.kg.analytics import triangle_counts
+
+    rng = random.Random(29)
+    ids = [f"n{i}" for i in range(25)]
+    pairs = [(rng.choice(ids), rng.choice(ids)) for _ in range(120)]
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    n_tri = {v: 0 for v in ids}
+    deg = {v: 0 for v in ids}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    for x, y, z in itertools.combinations(sorted(ids), 3):
+        if {tuple(sorted((x, y))), tuple(sorted((y, z))),
+                tuple(sorted((x, z)))} <= und:
+            for v in (x, y, z):
+                n_tri[v] += 1
+    got = {
+        r.entity_id: (r.deg, r.n_tri)
+        for r in triangle_counts(_nodes(spark, ids),
+                                 _edges(spark, pairs)).collect()
+    }
+    assert got == {v: (deg[v], n_tri[v]) for v in ids}
+
+
+def test_relation_weights(spark):
+    from openie_spark.kg.analytics import relation_weights
+
+    pairs = [("a", "b"), ("a", "b"), ("a", "b"), ("b", "c")]
+    preds = {("a", "b"): "likes", ("b", "c"): "knows"}
+    convs = {("b", "c"): "c9"}
+    e = _edges(spark, pairs, preds, convs)
+    # vary conv on ONE of the (a,b) mentions to get n_convs=2
+    e = e.withColumn(
+        "conv_id",
+        F.when(F.col("ext_idx") == 2, F.lit("c1")).otherwise(F.col("conv_id")))
+    got = {(r.src_id, r.dst_id, r.pred): (r.n_mentions, r.n_convs)
+           for r in relation_weights(e).collect()}
+    assert got == {("a", "b", "likes"): (3, 2), ("b", "c", "knows"): (1, 1)}
