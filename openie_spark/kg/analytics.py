@@ -125,12 +125,16 @@ def triangle_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     node is a corner of (each triangle increments all three corners).
     Nodes with no edges report (0, 0).
     """
-    und = undirected_edges(edges)
+    # und / deg / ori each feed 3 plan branches; without lineage pins
+    # every branch re-derives the whole upstream edge build (the plan
+    # audit showed 74 exchanges / 68 Python stages before these).
+    und = undirected_edges(edges).localCheckpoint(eager=False)
     deg = (
         und.select(F.col("a").alias("entity_id"))
         .unionAll(und.select(F.col("b").alias("entity_id")))
         .groupBy("entity_id")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     # degree orientation: from the smaller (deg, id) endpoint to the
     # larger. deg is node-sized -> AQE broadcasts both attach joins.
@@ -145,6 +149,7 @@ def triangle_counts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
         )
+        .localCheckpoint(eager=False)
     )
     e1 = ori.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = ori.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
