@@ -581,6 +581,17 @@ def _q_dp_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(planted_pii(_docs(spark, sf_dir)))
 
 
+def _q_dp_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-train-doc distinct word-8-gram
+    overlap against a deterministic md5-ticket eval slice; the planted
+    duplicate docs crossing the split are the contamination ground
+    truth. Gram hashes (8-byte keys) are what shuffles, never gram
+    strings; the eval side is benchmark-sized -> AQE broadcast."""
+    from openie_spark.datapipe.decontam import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
 def _q_dp_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.similarity import brute_topk_sql
 
@@ -690,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_quality_gopher": _q_dp_quality_gopher,
         "dp_tfidf_terms": _q_dp_tfidf_terms,
         "dp_pii_scrub": _q_dp_pii_scrub,
+        "dp_decontam": _q_dp_decontam,
         "dp_embedding_topk": _q_dp_embedding_topk,
         "dp_embedding_topk_np": _q_dp_embedding_topk_np,
         "dp_embedding_ivf": _q_dp_embedding_ivf,
@@ -744,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_quality_gopher": dp.gopher_signals_sql(),
         "dp_tfidf_terms": dp.tfidf_top_terms_sql(),
         "dp_pii_scrub": dp.pii_scrub_sql(),
+        "dp_decontam": dp.decontaminate_sql(),
         "dp_embedding_topk": dp.brute_topk_sql_oracle(),
         "dp_embedding_topk_np": dp.brute_topk_sql_oracle(),
         "dp_embedding_ivf": dp.ivf_topk_sql(),

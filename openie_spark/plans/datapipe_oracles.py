@@ -821,3 +821,51 @@ FROM events r JOIN events e
  AND epoch_us(e.ts) >= epoch_us(r.ts)
  AND epoch_us(e.ts) < epoch_us(r.ts) + {len_us}
 WHERE r.event_type = '{ASOF_REF_TYPE}'"""
+
+
+def decontaminate_sql() -> str:
+    """Twin of decontam.decontaminate — same 8-gram build (whole-list
+    fallback under N tokens), same md5h60 gram hashes and salted eval
+    ticket, same integer-ppm contamination math."""
+    from openie_spark.datapipe.decontam import (
+        DECON_CONTAM_PPM,
+        DECON_HOLDOUT_PPM,
+        DECON_N,
+        DECON_SALT,
+    )
+
+    toks = _TOKS.format(c="text")
+    gh = _md5h60("g")
+    ticket = _md5h60(f"'{DECON_SALT}#' || CAST(doc_id AS VARCHAR)")
+    ppm = _ppm_sql("n_hit", "greatest(n_grams, 1)")
+    return f"""WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, {gh} AS gh FROM (
+    SELECT doc_id,
+           array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ') AS g
+    FROM t, UNNEST(range(1, len(toks) - {DECON_N - 2})) AS u(i)
+    WHERE len(toks) >= {DECON_N}
+    UNION ALL
+    SELECT doc_id, array_to_string(toks, ' ') AS g
+    FROM t WHERE len(toks) < {DECON_N} OR toks IS NULL
+  )
+),
+ev AS (
+  SELECT DISTINCT gh FROM grams
+  WHERE {ticket} % 1000000 < {DECON_HOLDOUT_PPM}
+),
+agg AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit
+  FROM grams g LEFT JOIN ev ON g.gh = ev.gh
+  WHERE {ticket.replace('doc_id', 'g.doc_id')} % 1000000 >= {DECON_HOLDOUT_PPM}
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_hit,
+       CAST({ppm} AS BIGINT) AS contam_ppm,
+       ({ppm}) >= {DECON_CONTAM_PPM} AS contaminated
+FROM agg"""
