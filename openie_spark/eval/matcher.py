@@ -186,10 +186,11 @@ def binary_lenient_match_tokens(gold_pre: tuple, pred_pre: tuple) -> Score:
 # 228-339). The boolean family (bow/pred/lexical/arg) is usable
 # standalone; only [p, r]-returning matchers plug into the cogrouped
 # scorer (the reference's compare subscripts score[0]/score[1] and
-# would itself crash on the boolean ones). bleuMatch is excluded:
-# nltk is not installed here and it is unreachable from the default
-# path. All quirks preserved — including lexicalMatch's product
-# double-count and argMatch's CHARACTER-pair counting.
+# would itself crash on the boolean ones). All quirks preserved —
+# including lexicalMatch's product double-count and argMatch's
+# CHARACTER-pair counting. bleuMatch ships as a from-scratch
+# transcription of the public BLEU algorithm (nltk absent here — see
+# bleu_match's docstring for the exact semantics pinned).
 
 MATCH_STOPWORDS = ("of", "is")          # matcher.py:349
 LEXICAL_THRESHOLD = 0.5                 # matcher.py:347
@@ -224,6 +225,59 @@ def pred_match(gold_pred: str, gold_args: list[str],
     """Predicate token-sequence equality (matcher.py:31-48)."""
     return (_words(gold_pred, ignore_stopwords, ignore_case)
             == _words(ex_pred, ignore_stopwords, ignore_case))
+
+
+BLEU_THRESHOLD = 0.4                    # matcher.py:346
+_BLEU_WEIGHTS = (0.25, 0.25, 0.25, 0.25)
+
+
+def _sentence_bleu(ref_toks: list[str], hyp_toks: list[str]) -> float:
+    """Single-reference sentence BLEU, transcribed from the public
+    algorithm (Papineni et al. 2002) with nltk's DEFAULT semantics —
+    the exact call the reference makes (matcher.py:76-78), re-derived
+    because nltk is absent in this sandbox:
+
+    * modified n-gram precision for n=1..4: hypothesis n-gram counts
+      clipped to the reference's, denominator max(1, n_hyp_ngrams)
+      (so a 3-token hypothesis gets p4 = 0/1, not a crash);
+    * no smoothing (method0): a zero UNIGRAM numerator returns 0.0;
+      a zero higher-order numerator contributes sys.float_info.min,
+      crushing the geometric mean to ~1e-77 — i.e. any hypothesis
+      without a 4-gram overlap effectively never clears a threshold;
+    * brevity penalty 1 if hyp longer, else exp(1 - ref_len/hyp_len).
+    """
+    import math
+    import sys
+    from collections import Counter
+
+    nums, dens = [], []
+    for n in range(1, 5):
+        hyp = Counter(tuple(hyp_toks[i:i + n])
+                      for i in range(len(hyp_toks) - n + 1))
+        ref = Counter(tuple(ref_toks[i:i + n])
+                      for i in range(len(ref_toks) - n + 1))
+        nums.append(sum(min(c, ref.get(g, 0)) for g, c in hyp.items()))
+        dens.append(max(1, sum(hyp.values())))
+    if nums[0] == 0:
+        return 0.0
+    bp = 1.0 if len(hyp_toks) > len(ref_toks) else math.exp(
+        1 - len(ref_toks) / len(hyp_toks))
+    s = math.fsum(
+        w * math.log(num / den if num else sys.float_info.min)
+        for w, num, den in zip(_BLEU_WEIGHTS, nums, dens))
+    return bp * math.exp(s)
+
+
+def bleu_match(gold_pred: str, gold_args: list[str],
+               ex_pred: str, ex_args: list[str],
+               ignore_stopwords: bool = True, ignore_case: bool = True) -> bool:
+    """BLEU(gold bow, ex bow) > 0.4 (matcher.py:73-77, threshold :346).
+    Quirk preserved: the reference ACCEPTS ignoreStopwords/ignoreCase
+    but never applies them — raw bow strings are compared."""
+    return _sentence_bleu(
+        _bow(gold_pred, gold_args).split(" "),
+        _bow(ex_pred, ex_args).split(" "),
+    ) > BLEU_THRESHOLD
 
 
 def lexical_match(gold_pred: str, gold_args: list[str],

@@ -221,6 +221,52 @@ def test_alt_matchers_parity_randomized():
     assert all(v > 100 for v in n_checked.values()), n_checked
 
 
+def test_bleu_match_hand_values():
+    """bleuMatch (matcher.py:73-78): nltk is absent, so _sentence_bleu
+    is our from-scratch transcription of the public algorithm — pinned
+    here against hand-computed exact values."""
+    import math
+
+    from openie_spark.eval.matcher import _sentence_bleu, bleu_match
+
+    toks = list("abcdefgh")
+    # identical -> every p_n = 1, bp = 1
+    assert _sentence_bleu(toks, toks) == 1.0
+    # one substituted token out of 8: p = 7/8 * 6/7 * 5/6 * 4/5 = 1/2
+    got = _sentence_bleu(toks, list("abcdefgX"))
+    assert abs(got - 0.5 ** 0.25) < 1e-12
+    # exact 4-token prefix of an 8-token ref: precisions 1, bp = e^-1
+    assert abs(_sentence_bleu(toks, list("abcd")) - math.exp(-1)) < 1e-12
+    # no unigram overlap -> exactly 0
+    assert _sentence_bleu(toks, list("XYZW")) == 0.0
+    # overlap but no common 4-gram -> method0 crushes the geo-mean
+    assert _sentence_bleu(list("abcd"), list("abcX")) < 1e-60
+
+    # threshold is strict > 0.4: the e^-1 ≈ 0.368 brevity case fails,
+    # a 5-token prefix (bp = e^-0.6 ≈ 0.549) passes
+    assert not bleu_match("a b c d", ["e f g h"], "a b", ["c d"])
+    assert bleu_match("a b c", ["d e f g h"], "a b c", ["d e"])
+    # identity always matches
+    assert bleu_match("ran", ["John", "to London"], "ran", ["John", "to London"])
+
+
+def test_bleu_match_in_oie16_compare(spark):
+    """bleu_match plugs into the Oie16 compare flow as a boolean
+    matcher: self-comparison is perfect."""
+    from openie_spark.eval.benchmark import oie16_compare
+    from openie_spark.eval.matcher import bleu_match
+
+    from pyspark.sql import functions as F
+
+    g = spark.createDataFrame(
+        [("A is B today .", "is", ["A big red thing", "B today"]),
+         ("C ran very fast .", "ran", ["C or so", "very very fast"])],
+        "sent string, pred string, args array<string>")
+    p = g.select("*", F.lit(1.0).alias("confidence"))
+    out = oie16_compare(g, p, match_fn=bleu_match)
+    assert out["optimal"][0] == 1.0 and out["optimal"][1] == 1.0
+
+
 def test_alt_matcher_in_scorer(spark):
     """E7 matchers plug into the cogrouped scorer via match_fn."""
     from openie_spark.eval.carb import carb_compare
