@@ -170,7 +170,11 @@ def _triples_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     each re-ran the extraction chain from the parquet scan up — worse,
     carb_compare(t, t) duplicated the branch on BOTH cogroup sides.
     (`triples_extract` itself stays un-memoized so its bench time
-    reflects the real end-to-end cost.)"""
+    reflects the real end-to-end cost.)
+
+    Backend: rule_arrow — row-identical to 'rule' (both hash-green vs
+    the same DuckDB oracle; pinned by test_fast_extract.py) and ~10x
+    cheaper to materialize, which is all a memo build is."""
     from openie_spark.operators.extract import extract_triples
     from openie_spark.sources.transcripts import read_transcripts
 
@@ -178,7 +182,8 @@ def _triples_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _TRIPLES_MEMO:
         _evict_stale(_TRIPLES_MEMO, key)
         _TRIPLES_MEMO[key] = extract_triples(
-            read_transcripts(_tune(spark), sf_dir)).localCheckpoint(eager=True)
+            read_transcripts(_tune(spark), sf_dir), backend="rule_arrow",
+        ).localCheckpoint(eager=True)
     return _TRIPLES_MEMO[key]
 
 
