@@ -586,6 +586,15 @@ def _q_dp_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(planted_pii(_docs(spark, sf_dir)))
 
 
+def _q_dp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap (size 32 / stride 24): the
+    map-only, shuffle-free sharding step before embedding a corpus.
+    Zero-token docs emit nothing; the last chunk may be short."""
+    from openie_spark.datapipe.quality import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
 def _q_dp_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-train-doc distinct word-8-gram
     overlap against a deterministic md5-ticket eval slice; the planted
@@ -707,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_tfidf_terms": _q_dp_tfidf_terms,
         "dp_pii_scrub": _q_dp_pii_scrub,
         "dp_decontam": _q_dp_decontam,
+        "dp_chunks": _q_dp_chunks,
         "dp_embedding_topk": _q_dp_embedding_topk,
         "dp_embedding_topk_np": _q_dp_embedding_topk_np,
         "dp_embedding_ivf": _q_dp_embedding_ivf,
@@ -762,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_tfidf_terms": dp.tfidf_top_terms_sql(),
         "dp_pii_scrub": dp.pii_scrub_sql(),
         "dp_decontam": dp.decontaminate_sql(),
+        "dp_chunks": dp.chunk_documents_sql(),
         "dp_embedding_topk": dp.brute_topk_sql_oracle(),
         "dp_embedding_topk_np": dp.brute_topk_sql_oracle(),
         "dp_embedding_ivf": dp.ivf_topk_sql(),

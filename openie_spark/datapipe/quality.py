@@ -342,6 +342,62 @@ def pack_sequences(docs: DataFrame,
             ))
 
 
+CHUNK_SIZE_TOKENS = 32
+CHUNK_STRIDE_TOKENS = 24
+
+
+def chunk_documents(docs: DataFrame,
+                    size: int = CHUNK_SIZE_TOKENS,
+                    stride: int = CHUNK_STRIDE_TOKENS) -> DataFrame:
+    """Fixed-window document chunking with overlap — the SPLITTING
+    complement to pack_sequences (packing concatenates short docs;
+    chunking shards long docs into model-context windows, the standard
+    step before embedding / indexing a corpus).
+
+    Pinned semantics: chunk k of a doc with n tokens covers token
+    positions [1 + k*stride, min(k*stride + size, n)], for
+    k = 0 .. ceil(max(n - size, 0) / stride) — full coverage, overlap
+    = size - stride, the last chunk may be short but never empty, and
+    no chunk starts beyond the tokens it is needed for. Docs with zero
+    tokens (empty/whitespace/NULL text) emit NO rows.
+
+    -> (doc_id, chunk_idx, token_start, n_tokens, chunk_text)
+
+    Scale shape: pure per-row codegen (sequence -> explode of structs),
+    no shuffle at all — chunking 100 TB is a map-only job that stays
+    inside whole-stage codegen. Each token is copied ~size/stride
+    (≈1.3x) times; that expansion is the operator's spec, not a plan
+    accident.
+    """
+    from openie_spark.datapipe.hashing import tokens_of
+
+    n_chunks = (
+        F.ceil(F.greatest(F.col("n_tok") - size, F.lit(0)) / stride) + 1
+    ).cast("int")
+    base = docs.select(
+        "doc_id", tokens_of(F.col("text")).alias("toks")
+    ).withColumn("n_tok", F.size("toks")).where(F.col("n_tok") > 0)
+    return (
+        base.select(
+            "doc_id", "toks",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+            .alias("chunk_idx", "_k"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * stride + 1).alias("token_start"),
+            F.slice("toks", F.col("chunk_idx") * stride + 1, size).alias("c"),
+        )
+        .select(
+            "doc_id", "chunk_idx",
+            F.col("token_start").cast("long"),
+            F.size("c").cast("long").alias("n_tokens"),
+            F.array_join("c", " ").alias("chunk_text"),
+        )
+    )
+
+
 CURATE_MIN_QUALITY = 0.70
 
 

@@ -869,3 +869,26 @@ SELECT doc_id, n_grams, n_hit,
        CAST({ppm} AS BIGINT) AS contam_ppm,
        ({ppm}) >= {DECON_CONTAM_PPM} AS contaminated
 FROM agg"""
+
+
+def chunk_documents_sql() -> str:
+    """Twin of quality.chunk_documents — same tokenization, same
+    pinned window/stride coverage rule."""
+    from openie_spark.datapipe.quality import (
+        CHUNK_SIZE_TOKENS as SIZE,
+        CHUNK_STRIDE_TOKENS as STRIDE,
+    )
+
+    toks = _TOKS.format(c="text")
+    return f"""WITH b AS (
+  SELECT doc_id, {toks} AS toks, len({toks}) AS n
+  FROM documents WHERE len({toks}) > 0
+)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS chunk_idx,
+       CAST(k * {STRIDE} + 1 AS BIGINT) AS token_start,
+       CAST(len(list_slice(toks, k * {STRIDE} + 1, k * {STRIDE} + {SIZE}))
+            AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, k * {STRIDE} + 1, k * {STRIDE} + {SIZE}), ' ')
+         AS chunk_text
+FROM b, UNNEST(range(0, (greatest(n - {SIZE}, 0) + {STRIDE} - 1) // {STRIDE} + 1)) AS u(k)"""

@@ -204,3 +204,62 @@ def test_curated_corpus_funnel(spark):
     for r in out.values():
         assert r["kept"] == (r["is_unique"] and r["passes_quality"]
                              and r["in_sample"])
+
+
+# ---------------------------------------------------------- chunking
+
+def test_chunk_documents_hand_values(spark):
+    from openie_spark.datapipe.quality import chunk_documents
+
+    text80 = " ".join(f"t{i}" for i in range(80))
+    rows = [(1, "a b c"), (2, text80), (3, ""), (4, None), (5, "   ")]
+    out = chunk_documents(_docs(spark, rows)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # zero-token docs emit nothing
+    assert set(by_doc) == {1, 2}
+    # short doc: one whole-doc chunk
+    [c] = by_doc[1]
+    assert (c.chunk_idx, c.token_start, c.n_tokens, c.chunk_text) == (
+        0, 1, 3, "a b c")
+    # 80 tokens, size 32 / stride 24 -> starts 1, 25, 49 (k = ceil(48/24))
+    cs = sorted(by_doc[2], key=lambda r: r.chunk_idx)
+    assert [(c.chunk_idx, c.token_start, c.n_tokens) for c in cs] == [
+        (0, 1, 32), (1, 25, 32), (2, 49, 32)]
+    toks = text80.split()
+    assert cs[1].chunk_text == " ".join(toks[24:56])
+    assert cs[2].chunk_text == " ".join(toks[48:80])
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Every token position is covered, consecutive chunks overlap by
+    exactly size-stride (except a short tail), and no chunk is empty —
+    across lengths straddling every boundary case."""
+    from openie_spark.datapipe.quality import (
+        CHUNK_SIZE_TOKENS as SIZE,
+        CHUNK_STRIDE_TOKENS as STRIDE,
+        chunk_documents,
+    )
+
+    rows = [(n, " ".join(f"w{i}" for i in range(n)))
+            for n in [1, SIZE - 1, SIZE, SIZE + 1, SIZE + STRIDE,
+                      SIZE + STRIDE + 1, 3 * STRIDE + SIZE, 97]]
+    out = chunk_documents(_docs(spark, rows)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, _ in rows:
+        cs = sorted(by_doc[n], key=lambda r: r.chunk_idx)
+        covered = set()
+        for c in cs:
+            assert 1 <= c.n_tokens <= SIZE
+            covered |= set(range(c.token_start, c.token_start + c.n_tokens))
+        assert covered == set(range(1, n + 1)), n
+        # chunk k starts exactly at 1 + k*stride
+        assert [c.token_start for c in cs] == [
+            1 + k * STRIDE for k in range(len(cs))]
+        # the LAST chunk must be needed: it reaches past the previous one
+        if len(cs) > 1:
+            prev_end = cs[-2].token_start + cs[-2].n_tokens - 1
+            assert cs[-1].token_start + cs[-1].n_tokens - 1 > prev_end
