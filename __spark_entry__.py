@@ -658,6 +658,15 @@ def _q_dp_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_pairs(planted_embeddings(_emb(spark, sf_dir)))
 
 
+def _q_dp_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTERS over the sign-LSH pair graph with
+    keeper selection (min vec_id) — the embedding-space twin of
+    dp_neardup_groups; every planted twin collapses into a 2-group."""
+    from openie_spark.datapipe.similarity import embedding_groups, planted_embeddings
+
+    return embedding_groups(planted_embeddings(_emb(spark, sf_dir)))
+
+
 def _q_dp_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram featurizer over opaque media blobs (mapInPandas),
     exploded to scalar (media_id, kind, n_bytes, bin_idx, n) rows so
@@ -722,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_embedding_ivf": _q_dp_embedding_ivf,
         "dp_embedding_lsh": _q_dp_embedding_lsh,
         "dp_embedding_pairs": _q_dp_embedding_pairs,
+        "dp_embedding_groups": _q_dp_embedding_groups,
         "dp_media_features": _q_dp_media_features,
         "dp_media_frames": _q_dp_media_frames,
         "dp_ev_sessions": _q_dp_ev_sessions,
@@ -778,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_embedding_ivf": dp.ivf_topk_sql(),
         "dp_embedding_lsh": dp.lsh_topk_sql(),
         "dp_embedding_pairs": dp.embedding_pairs_sql(),
+        "dp_embedding_groups": dp.embedding_groups_sql(),
         "dp_media_features": dp.media_features_sql(),
         "dp_media_frames": dp.media_frames_sql(),
         "dp_ev_sessions": dp.session_stats_sql(),

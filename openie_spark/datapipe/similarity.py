@@ -485,3 +485,41 @@ def embedding_pairs_exact(emb: DataFrame, threshold: float = NEAR_DUP_COSINE) ->
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def embedding_groups(emb: DataFrame) -> DataFrame:
+    """(vec_id, group_id, group_size, is_keeper): SEMANTIC near-dup
+    clusters — connected components over the embedding_pairs graph
+    (sign-LSH candidates + exact cosine rescore), group label = min
+    member vec_id, keeper = that member. Vectors in no pair are
+    singleton keepers.
+
+    The embedding-space twin of dedup.neardup_groups (same component
+    machinery, same keeper policy): pairs alone don't dedup a corpus —
+    a~b, b~c must collapse to ONE representative before training.
+    Scale shape: the pair graph is near-dup-sparse by construction and
+    components run on ids only; the vector table never enters the
+    iteration.
+    """
+    from openie_spark.kg.canon import connected_components
+
+    pairs = embedding_pairs(emb).select("a", "b")
+    comp = connected_components(pairs).select(
+        F.col("norm").alias("vec_id"), F.col("component").alias("group_id"))
+    labeled = (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col("vec_id")))
+        .localCheckpoint(eager=False)   # consumed twice (sizes + join)
+    )
+    sizes = labeled.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size"))
+    return (
+        labeled.join(sizes, "group_id")
+        .withColumn("is_keeper", F.col("vec_id") == F.col("group_id"))
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("group_id").cast("long"),
+            "group_size", "is_keeper",
+        )
+    )

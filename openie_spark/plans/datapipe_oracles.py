@@ -892,3 +892,29 @@ SELECT doc_id,
        array_to_string(list_slice(toks, k * {STRIDE} + 1, k * {STRIDE} + {SIZE}), ' ')
          AS chunk_text
 FROM b, UNNEST(range(0, (greatest(n - {SIZE}, 0) + {STRIDE} - 1) // {STRIDE} + 1)) AS u(k)"""
+
+
+def embedding_groups_sql() -> str:
+    """Twin of similarity.embedding_groups over the planted vectors:
+    the LSH pair query runs as a subquery (its own WITH scope), the
+    component label is the min reachable vec_id via a recursive CTE,
+    singletons coalesce to themselves — same structure as
+    neardup_groups_sql."""
+    return f"""WITH RECURSIVE {_PLANTED_EMB_CTE},
+ep AS MATERIALIZED (
+  SELECT a, b FROM ({embedding_pairs_sql()})
+),
+edges AS (SELECT a, b FROM ep UNION SELECT b, a FROM ep),
+reach(node, r) AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+comp AS (SELECT node AS vec_id, min(r) AS group_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT p.vec_id, coalesce(c.group_id, p.vec_id) AS group_id
+  FROM pe p LEFT JOIN comp c ON p.vec_id = c.vec_id
+),
+sizes AS (SELECT group_id, count(*) AS group_size FROM labeled GROUP BY group_id)
+SELECT l.vec_id, l.group_id, s.group_size, l.vec_id = l.group_id AS is_keeper
+FROM labeled l JOIN sizes s ON l.group_id = s.group_id"""

@@ -300,3 +300,26 @@ def test_neardup_groups_transitive_clusters(spark):
 
     keepers = Counter(r["group_id"] for r in out.values() if r["is_keeper"])
     assert all(v == 1 for v in keepers.values())
+
+
+def test_embedding_groups_transitive_collapse(spark):
+    """a~b, b~c chains collapse to one keeper; isolated vectors are
+    singleton keepers of themselves."""
+    from openie_spark.datapipe.similarity import embedding_groups
+
+    dim = 8
+    def v(*scale):
+        base = [1.0] + [0.1] * (dim - 1)
+        return [x * s for x, s in zip(base, [scale[0]] + [1.0] * (dim - 1))]
+    rows = [
+        (1, v(1.00)), (2, v(1.02)), (3, v(1.04)),   # near-identical chain
+        (4, [0.0] * (dim - 1) + [1.0]),             # orthogonal singleton
+    ]
+    out = {r.vec_id: (r.group_id, r.group_size, r.is_keeper)
+           for r in embedding_groups(
+               spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+           ).collect()}
+    assert out[1] == (1, 3, True)
+    assert out[2] == (1, 3, False)
+    assert out[3] == (1, 3, False)
+    assert out[4] == (4, 1, True)
