@@ -396,6 +396,20 @@ def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_nodes(canon), build_edges(triples, canon, strategy="broadcast"))
 
 
+def _q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS (K=3) from a deterministic md5-ticket seed slice over
+    the undirected canonical entity graph: min hop distance per
+    reachable entity. One frontier equi-join + settled anti-join per
+    level, frontiers localCheckpointed so level j never re-derives
+    levels < j."""
+    from openie_spark.kg.analytics import khop_distances
+    from openie_spark.kg.graph import build_edges, build_nodes
+
+    triples, _, _, canon = _kg_parts(spark, sf_dir)
+    return khop_distances(
+        build_nodes(canon), build_edges(triples, canon, strategy="broadcast"))
+
+
 # ------------------------------------------------- datapipe (documents)
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations": _q_kg_relations,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
+        "kg_khop": _q_kg_khop,
         "turn_text_invariant": _q_turn_invariant,
         "dp_exact_dedup": _q_dp_exact_dedup,
         "dp_ngram_pairs": _q_dp_ngram_pairs,
@@ -764,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_relations": o.kg_relations_sql(),
         "kg_pagerank": o.kg_pagerank_sql(),
         "kg_triangles": o.kg_triangles_sql(),
+        "kg_khop": o.kg_khop_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
         "dp_exact_dedup": dp.exact_dedup_sql(),
         "dp_ngram_pairs": dp.ngram_pairs_sql(),

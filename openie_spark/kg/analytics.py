@@ -182,3 +182,58 @@ def relation_weights(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_mentions"),
         F.countDistinct("conv_id").alias("n_convs"),
     )
+
+
+KHOP_K = 3
+KHOP_SEED_MOD = 40          # ~2.5% of entities are seeds
+KHOP_SALT = "khop-v1"
+
+
+def seed_entities(nodes: DataFrame, seed_mod: int = KHOP_SEED_MOD) -> DataFrame:
+    """Deterministic md5-ticket seed slice of the entity set (the
+    engine-portable stand-in for a user-supplied seed list)."""
+    from openie_spark.datapipe.hashing import md5h60
+
+    return nodes.select("entity_id").where(
+        md5h60(F.concat(F.lit(f"{KHOP_SALT}#"), F.col("entity_id")))
+        % seed_mod == 0)
+
+
+def khop_distances(nodes: DataFrame, edges: DataFrame,
+                   k: int = KHOP_K,
+                   seed_mod: int = KHOP_SEED_MOD) -> DataFrame:
+    """(entity_id, dist): minimum hop distance (0..k) from the seed
+    set over the UNDIRECTED simple entity graph; entities farther than
+    k hops are absent. Min-distance is set-deterministic, so the
+    unrolled-CTE DuckDB oracle matches bit-for-bit.
+
+    BFS as k rounds of frontier-equi-join + left-anti against the
+    settled set — the canonical distributed BFS: per round ONE shuffle
+    join on entity hash (frontier x adjacency) + one anti join;
+    frontier and settled tables are id-only and localCheckpointed so
+    round j's plan never re-derives rounds < j. Power-law hubs fan a
+    frontier out, never a driver loop — AQE splits skewed frontier
+    partitions like any other join.
+    """
+    und = undirected_edges(edges)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    dist = (
+        seed_entities(nodes, seed_mod)
+        .select("entity_id", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("entity_id")
+    for level in range(1, k + 1):
+        nxt = (
+            frontier.join(sym, frontier.entity_id == sym.a)
+            .select(F.col("b").alias("entity_id"))
+            .distinct()
+            .join(dist.select("entity_id"), "entity_id", "left_anti")
+            .select("entity_id", F.lit(level).alias("dist"))
+            .localCheckpoint(eager=False)    # feeds union AND next frontier
+        )
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("entity_id")
+    return dist

@@ -434,3 +434,35 @@ pern AS (
         UNION ALL SELECT z FROM tris)
   GROUP BY 1)""",
     )
+
+
+def kg_khop_sql() -> str:
+    """Twin of kg.analytics.khop_distances: min hop distance (0..K)
+    from the md5-ticket seed slice, BFS unrolled level by level —
+    d_j = neighbors(d_{j-1}) minus all earlier levels."""
+    from openie_spark.kg.analytics import KHOP_K, KHOP_SALT, KHOP_SEED_MOD
+
+    ticket = (f"CAST(concat('0x', substr(md5('{KHOP_SALT}#' || entity_id), "
+              f"1, 15)) AS BIGINT)")
+    lvl_ctes, lvl_selects = [], ["SELECT entity_id, 0 AS dist FROM d0"]
+    prior = "SELECT entity_id FROM d0"
+    for j in range(1, KHOP_K + 1):
+        lvl_ctes.append(f"""
+d{j} AS MATERIALIZED (
+  SELECT DISTINCT s.b AS entity_id
+  FROM d{j - 1} f JOIN sym s ON s.a = f.entity_id
+  WHERE s.b NOT IN ({prior}))""")
+        lvl_selects.append(f"SELECT entity_id, {j} AS dist FROM d{j}")
+        prior += f" UNION ALL SELECT entity_id FROM d{j}"
+    return _with_kg(
+        "\nUNION ALL\n".join(lvl_selects),
+        extra_ctes=f"""
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id),
+sym AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+d0 AS MATERIALIZED (
+  SELECT entity_id FROM nodes WHERE {ticket} % {KHOP_SEED_MOD} = 0),"""
+        + ",".join(lvl_ctes),
+    )

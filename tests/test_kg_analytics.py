@@ -139,3 +139,49 @@ def test_relation_weights(spark):
     got = {(r.src_id, r.dst_id, r.pred): (r.n_mentions, r.n_convs)
            for r in relation_weights(e).collect()}
     assert got == {("a", "b", "likes"): (3, 2), ("b", "c", "knows"): (1, 1)}
+
+
+# --------------------------------------------------------------- khop
+
+def _khop_ticket(eid: str) -> int:
+    import hashlib
+
+    from openie_spark.kg.analytics import KHOP_SALT
+    h = hashlib.md5(f"{KHOP_SALT}#{eid}".encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+def test_khop_distances_path_and_min_dist(spark):
+    from openie_spark.kg.analytics import KHOP_SEED_MOD, khop_distances
+
+    ids = [f"e{i}" for i in range(4000)]
+    seeds = [e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD == 0]
+    non = [e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD != 0]
+    s, n1, n2, n3, n4, iso_non = seeds[0], *non[:5]
+    iso_seed = seeds[1]
+    # path s-n1-n2-n3-n4, plus a shortcut s-n2 (min dist wins),
+    # plus two isolated nodes (one seed, one not)
+    edges = spark.createDataFrame(
+        [(s, n1), (n1, n2), (n2, n3), (n3, n4), (s, n2)],
+        "src_id string, dst_id string")
+    nodes = spark.createDataFrame(
+        [(e,) for e in [s, n1, n2, n3, n4, iso_non, iso_seed]],
+        "entity_id string")
+    got = {r.entity_id: r.dist for r in khop_distances(nodes, edges).collect()}
+    assert got == {s: 0, iso_seed: 0, n1: 1, n2: 1, n3: 2, n4: 3}
+
+
+def test_khop_unreachable_beyond_k(spark):
+    from openie_spark.kg.analytics import KHOP_SEED_MOD, khop_distances
+
+    ids = [f"x{i}" for i in range(4000)]
+    seeds = [e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD == 0]
+    non = [e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD != 0]
+    s, chain = seeds[0], non[:5]
+    path = [s] + chain           # s at dist 0, chain at 1..5
+    edges = spark.createDataFrame(
+        list(zip(path, path[1:])), "src_id string, dst_id string")
+    nodes = spark.createDataFrame([(e,) for e in path], "entity_id string")
+    got = {r.entity_id: r.dist
+           for r in khop_distances(nodes, edges, k=3).collect()}
+    assert got == {s: 0, chain[0]: 1, chain[1]: 2, chain[2]: 3}
