@@ -609,6 +609,15 @@ def _q_dp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 
 
+def _q_dp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report (per lang x source doc/token counts
+    and exact-ppm shares): one partial-agg groupBy to stratum
+    granularity, share window over the tiny aggregate only."""
+    from openie_spark.datapipe.quality import corpus_mixture
+
+    return corpus_mixture(_docs(spark, sf_dir))
+
+
 def _q_dp_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-train-doc distinct word-8-gram
     overlap against a deterministic md5-ticket eval slice; the planted
@@ -741,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_pii_scrub": _q_dp_pii_scrub,
         "dp_decontam": _q_dp_decontam,
         "dp_chunks": _q_dp_chunks,
+        "dp_mixture": _q_dp_mixture,
         "dp_embedding_topk": _q_dp_embedding_topk,
         "dp_embedding_topk_np": _q_dp_embedding_topk_np,
         "dp_embedding_ivf": _q_dp_embedding_ivf,
@@ -799,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_pii_scrub": dp.pii_scrub_sql(),
         "dp_decontam": dp.decontaminate_sql(),
         "dp_chunks": dp.chunk_documents_sql(),
+        "dp_mixture": dp.corpus_mixture_sql(),
         "dp_embedding_topk": dp.brute_topk_sql_oracle(),
         "dp_embedding_topk_np": dp.brute_topk_sql_oracle(),
         "dp_embedding_ivf": dp.ivf_topk_sql(),

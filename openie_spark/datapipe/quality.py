@@ -437,3 +437,31 @@ def curated_corpus(docs: DataFrame,
         .withColumn("kept", F.col("is_unique") & F.col("passes_quality")
                     & F.col("in_sample"))
     )
+
+
+def corpus_mixture(docs: DataFrame) -> DataFrame:
+    """Corpus composition report for data-mixing decisions:
+    (lang, source, n_docs, n_tokens, doc_ppm, token_ppm) — each
+    stratum's exact integer-ppm share of documents and of tokens.
+
+    Scale shape: ONE partial-aggregated groupBy collapses the corpus
+    to stratum granularity (|langs| x |sources| rows); the share
+    window then runs over that TINY aggregate — the unpartitioned
+    window is safe precisely because it sees post-agg rows, never the
+    corpus."""
+    from openie_spark.datapipe.hashing import tokens_of
+
+    per = (
+        docs.select(
+            "lang", "source",
+            F.size(tokens_of(F.col("text"))).alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "lang", "source", "n_docs", "n_tokens",
+        _ppm(F.col("n_docs"), F.sum("n_docs").over(w)).alias("doc_ppm"),
+        _ppm(F.col("n_tokens"), F.sum("n_tokens").over(w)).alias("token_ppm"),
+    )

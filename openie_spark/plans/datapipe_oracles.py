@@ -918,3 +918,19 @@ labeled AS (
 sizes AS (SELECT group_id, count(*) AS group_size FROM labeled GROUP BY group_id)
 SELECT l.vec_id, l.group_id, s.group_size, l.vec_id = l.group_id AS is_keeper
 FROM labeled l JOIN sizes s ON l.group_id = s.group_id"""
+
+
+def corpus_mixture_sql() -> str:
+    """Twin of quality.corpus_mixture — same tokenization, same exact
+    integer-ppm share math."""
+    toks = _TOKS.format(c="text")
+    return f"""WITH per AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({toks})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens,
+       CAST({_ppm_sql('n_docs', 'sum(n_docs) OVER ()')} AS BIGINT) AS doc_ppm,
+       CAST({_ppm_sql('n_tokens', 'sum(n_tokens) OVER ()')} AS BIGINT) AS token_ppm
+FROM per"""

@@ -263,3 +263,21 @@ def test_chunk_documents_coverage_property(spark):
         if len(cs) > 1:
             prev_end = cs[-2].token_start + cs[-2].n_tokens - 1
             assert cs[-1].token_start + cs[-1].n_tokens - 1 > prev_end
+
+
+def test_corpus_mixture_hand_values(spark):
+    from openie_spark.datapipe.quality import corpus_mixture
+
+    rows = [
+        (1, "a b c", "en", "web"),     # 3 tokens
+        (2, "d e", "en", "web"),       # 2
+        (3, "f", "en", "book"),        # 1
+        (4, "", "zh", "web"),          # 0 tokens still counts as a doc
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {(r.lang, r.source): (r.n_docs, r.n_tokens, r.doc_ppm, r.token_ppm)
+           for r in corpus_mixture(df).collect()}
+    assert got[("en", "web")] == (2, 5, 500_000, 833_333)   # 5/6 tokens
+    assert got[("en", "book")] == (1, 1, 250_000, 166_667)  # round-half-up
+    assert got[("zh", "web")] == (1, 0, 250_000, 0)
