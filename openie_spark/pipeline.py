@@ -278,6 +278,7 @@ class KGPipeline:
 
     def run(self, resume: bool = True) -> dict:
         from openie_spark.kg.canon import canonical_map, connected_components
+        from openie_spark.kg.analytics import relation_weights
         from openie_spark.kg.graph import build_edges_from_norm, build_nodes, norm_triples
         from openie_spark.kg.linking import exact_pairs, minhash_pairs, skew_stats
         from openie_spark.kg.mentions import mention_vocab, mentions_from_norm
@@ -331,6 +332,15 @@ class KGPipeline:
             "src_id", ["triples_norm", "components"], resume,
         )
 
+        # compact weighted sink: what a KG consumer reads instead of
+        # the occurrence-scale provenance edges (north rule: "finally
+        # materializing node/edge tables")
+        relations = self._run_stage(
+            "relations",
+            lambda: relation_weights(edges.drop("bucket")),
+            "src_id", ["edges"], resume,
+        )
+
         total = round(time.time() - t_total, 3)
         n_triples = next(r.rows for r in self.results if r.name == "triples")
         summary = {
@@ -340,6 +350,7 @@ class KGPipeline:
             "triples": n_triples,
             "nodes": nodes.count(),
             "edges": edges.count(),
+            "relations": relations.count(),
             "triples_per_sec": round(n_triples / max(total, 1e-9), 1),
             "model_version": model_version(self.backend),
         }

@@ -28,12 +28,13 @@ def test_pipeline_summary_counts(pipeline_out):
     assert summary["edges"] > 0
     assert summary["triples_per_sec"] > 0
     assert set(summary["stages"]) == {
-        "triples", "triples_norm", "vocab", "pairs", "components", "nodes", "edges"}
+        "triples", "triples_norm", "vocab", "pairs", "components", "nodes", "edges",
+        "relations"}
 
 
 def test_manifests_lineage(pipeline_out):
     out, summary = pipeline_out
-    for stage in ("triples", "vocab", "components", "nodes", "edges"):
+    for stage in ("triples", "vocab", "components", "nodes", "edges", "relations"):
         with open(os.path.join(out, stage, "_manifest.json")) as f:
             man = json.load(f)
         assert man["status"] == "complete"
