@@ -323,3 +323,18 @@ def test_embedding_groups_transitive_collapse(spark):
     assert out[2] == (1, 3, False)
     assert out[3] == (1, 3, False)
     assert out[4] == (4, 1, True)
+
+
+def test_embedding_groups_no_pairs_all_singletons(spark):
+    """A corpus with no near-duplicates (orthogonal vectors) must hit
+    the empty-pair-graph path: every vector a singleton keeper."""
+    from openie_spark.datapipe.similarity import embedding_groups
+
+    dim = 8
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(dim)])
+            for i in range(4)]
+    out = {r.vec_id: (r.group_id, r.group_size, r.is_keeper)
+           for r in embedding_groups(
+               spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+           ).collect()}
+    assert out == {i: (i, 1, True) for i in range(4)}

@@ -185,3 +185,15 @@ def test_khop_unreachable_beyond_k(spark):
     got = {r.entity_id: r.dist
            for r in khop_distances(nodes, edges, k=3).collect()}
     assert got == {s: 0, chain[0]: 1, chain[1]: 2, chain[2]: 3}
+
+
+def test_khop_empty_edge_set(spark):
+    """No edges at all: only the seed slice comes back, at dist 0."""
+    from openie_spark.kg.analytics import KHOP_SEED_MOD, khop_distances
+
+    ids = [f"z{i}" for i in range(2000)]
+    nodes = spark.createDataFrame([(e,) for e in ids], "entity_id string")
+    edges = spark.createDataFrame([], "src_id string, dst_id string")
+    got = {r.entity_id: r.dist for r in khop_distances(nodes, edges).collect()}
+    want = {e: 0 for e in ids if _khop_ticket(e) % KHOP_SEED_MOD == 0}
+    assert got == want and len(want) > 0
