@@ -140,12 +140,13 @@ class KGPipeline:
 
     def __init__(self, spark: SparkSession, input_dir: str, output_dir: str,
                  backend: str = "rule", pair_mode: str = "exact",
-                 table_io=None):
+                 table_io=None, analytics: bool = False):
         self.spark = spark
         self.input_dir = input_dir
         self.output_dir = output_dir
         self.backend = backend
         self.pair_mode = pair_mode
+        self.analytics = analytics
         self.io = table_io if table_io is not None else make_table_io(spark, output_dir)
         self.results: list[StageResult] = []
 
@@ -340,6 +341,27 @@ class KGPipeline:
             lambda: relation_weights(edges.drop("bucket")),
             "src_id", ["edges"], resume,
         )
+
+        if self.analytics:
+            # optional stage-I analytics over the materialized graph —
+            # resumable like every other stage, reading the
+            # already-written nodes/edges tables (not re-deriving)
+            from openie_spark.kg.analytics import (
+                khop_distances,
+                pagerank,
+                triangle_counts,
+            )
+
+            n_df, e_df = nodes.drop("bucket"), edges.drop("bucket")
+            self._run_stage(
+                "pagerank", lambda: pagerank(n_df, e_df),
+                "entity_id", ["nodes", "edges"], resume)
+            self._run_stage(
+                "triangles", lambda: triangle_counts(n_df, e_df),
+                "entity_id", ["nodes", "edges"], resume)
+            self._run_stage(
+                "khop", lambda: khop_distances(n_df, e_df),
+                "entity_id", ["nodes", "edges"], resume)
 
         total = round(time.time() - t_total, 3)
         n_triples = next(r.rows for r in self.results if r.name == "triples")

@@ -119,3 +119,25 @@ def test_table_io_seam_defaults_to_parquet(spark, tmp_path):
             tmp_path / "triples" / "_manifest.json")
     finally:
         spark.conf.unset("spark.openie.catalog")
+
+
+def test_pipeline_analytics_stages_and_resume(spark, tmp_path_factory):
+    """--analytics materializes pagerank/triangles/khop as resumable
+    stages: manifests written, rows stable across a resumed re-run."""
+    from openie_spark.pipeline import KGPipeline
+
+    out = str(tmp_path_factory.mktemp("kga"))
+    s1 = KGPipeline(spark, SF, out, analytics=True).run(resume=True)
+    for st in ("pagerank", "triangles", "khop"):
+        assert st in s1["stages"] and s1["stages"][st]["rows"] > 0
+        man = json.load(open(os.path.join(out, st, "_manifest.json")))
+        assert man["rows"] == s1["stages"][st]["rows"]
+    # pagerank/triangles cover every node; khop only the <=K-hop ball
+    assert s1["stages"]["pagerank"]["rows"] == s1["nodes"]
+    assert s1["stages"]["triangles"]["rows"] == s1["nodes"]
+    assert 0 < s1["stages"]["khop"]["rows"] <= s1["nodes"]
+    s2 = KGPipeline(spark, SF, out, analytics=True).run(resume=True)
+    assert all(s2["stages"][st]["resumed"]
+               for st in ("pagerank", "triangles", "khop"))
+    assert {st: s2["stages"][st]["rows"] for st in s2["stages"]} == \
+           {st: s1["stages"][st]["rows"] for st in s1["stages"]}

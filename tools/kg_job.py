@@ -40,6 +40,9 @@ def main() -> None:
                     choices=["rule", "rule_arrow", "neural", "neural_staged", "neural_fused"])
     ap.add_argument("--pair-mode", default="exact", choices=["exact", "minhash"])
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--analytics", action="store_true",
+                    help="Also materialize stage-I graph analytics tables "
+                         "(pagerank, triangles, khop) with manifests.")
     ap.add_argument("--master", default=None,
                     help="Override master (local runs). Under spark-submit leave unset.")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -82,7 +85,8 @@ def main() -> None:
     if "://" not in args.output:        # remote warehouse paths are
         os.makedirs(args.output, exist_ok=True)  # created by the FS writers
     pipe = KGPipeline(spark, args.input, args.output,
-                      backend=args.backend, pair_mode=args.pair_mode)
+                      backend=args.backend, pair_mode=args.pair_mode,
+                      analytics=args.analytics)
     summary = pipe.run(resume=not args.no_resume)
     print(json.dumps(summary, sort_keys=True))
     spark.stop()
