@@ -396,6 +396,18 @@ def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_nodes(canon), build_edges(triples, canon, strategy="broadcast"))
 
 
+def _q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph health metrics (tidy metric/value rows): node/edge counts
+    per granularity, isolated entities, max/total degree — the report
+    a pipeline run publishes next to its manifests."""
+    from openie_spark.kg.analytics import graph_summary
+    from openie_spark.kg.graph import build_edges, build_nodes
+
+    triples, _, _, canon = _kg_parts(spark, sf_dir)
+    return graph_summary(
+        build_nodes(canon), build_edges(triples, canon, strategy="broadcast"))
+
+
 def _q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-hop BFS (K=3) from a deterministic md5-ticket seed slice over
     the undirected canonical entity graph: min hop distance per
@@ -731,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_khop": _q_kg_khop,
+        "kg_summary": _q_kg_summary,
         "turn_text_invariant": _q_turn_invariant,
         "dp_exact_dedup": _q_dp_exact_dedup,
         "dp_ngram_pairs": _q_dp_ngram_pairs,
@@ -790,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": o.kg_pagerank_sql(),
         "kg_triangles": o.kg_triangles_sql(),
         "kg_khop": o.kg_khop_sql(),
+        "kg_summary": o.kg_summary_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
         "dp_exact_dedup": dp.exact_dedup_sql(),
         "dp_ngram_pairs": dp.ngram_pairs_sql(),

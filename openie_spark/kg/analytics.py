@@ -30,9 +30,10 @@ Scale notes (10^12-turn KG):
     on src) + one partial-aggregated groupBy(dst) + one node-sized
     left join. Edges are hash-partitioned on src_id ONCE up front and
     localCheckpointed, so every iteration reuses the same exchange;
-    ranks are node-sized. Each iteration localCheckpoints the new
-    ranks — without lineage truncation the plan doubles per round and
-    the final job recompiles the whole chain.
+    ranks are node-sized. Iterations chain LAZILY (linear lineage —
+    ids/linked are pinned, each round references the previous ranks
+    once) into one fused job; see pagerank's docstring for the
+    checkpoint cadence rationale.
   * BIGINT headroom: total mass is n_nodes * SCALE; a single node's
     in-sum is bounded by total mass, and the 85x intermediate must
     stay under 2^63 — n_nodes * SCALE * 85 < 9.2e18, i.e. ~1e8 nodes
@@ -253,3 +254,44 @@ def khop_distances(nodes: DataFrame, edges: DataFrame,
         dist = dist.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("entity_id")
     return dist
+
+
+def graph_summary(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Graph health metrics -> (metric string, value long), the tidy
+    one-table report a pipeline run publishes next to its manifests:
+    node/edge counts at each granularity (provenance mentions, simple
+    directed, undirected), isolated-entity count, max and total
+    degree. All exact integers — hash-comparable across engines.
+
+    Scale shape: und/deg are computed once (checkpointed) and every
+    metric is a partial-aggregated count over id-width tables; the
+    union of seven 1-row aggregates is driver-trivial."""
+    und = undirected_edges(edges).localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("a").alias("entity_id"))
+        .unionAll(und.select(F.col("b").alias("entity_id")))
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+
+    def one(name: str, df: DataFrame, expr) -> DataFrame:
+        return df.agg(expr.alias("v")).select(
+            F.lit(name).alias("metric"),
+            F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("value"))
+
+    n = F.count(F.lit(1))
+    parts = [
+        one("n_nodes", nodes, n),
+        one("n_prov_edges", edges, n),
+        one("n_simple_edges", simple_edges(edges), n),
+        one("n_und_edges", und, n),
+        one("n_isolated",
+            nodes.select("entity_id").join(deg, "entity_id", "left_anti"), n),
+        one("max_degree", deg, F.max("deg")),
+        one("sum_degree", deg, F.sum("deg")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -466,3 +466,27 @@ d0 AS MATERIALIZED (
   SELECT entity_id FROM nodes WHERE {ticket} % {KHOP_SEED_MOD} = 0),"""
         + ",".join(lvl_ctes),
     )
+
+
+def kg_summary_sql() -> str:
+    """Twin of kg.analytics.graph_summary — same metric names, same
+    exact-integer definitions."""
+    return _with_kg(
+        """SELECT 'n_nodes' AS metric, CAST(count(*) AS BIGINT) AS value FROM nodes
+UNION ALL SELECT 'n_prov_edges', CAST(count(*) AS BIGINT) FROM kg_edges
+UNION ALL SELECT 'n_simple_edges', CAST(count(*) AS BIGINT)
+  FROM (SELECT DISTINCT src_id, dst_id FROM kg_edges WHERE src_id <> dst_id)
+UNION ALL SELECT 'n_und_edges', CAST(count(*) AS BIGINT) FROM s_und
+UNION ALL SELECT 'n_isolated', CAST(count(*) AS BIGINT)
+  FROM nodes n WHERE n.entity_id NOT IN (SELECT entity_id FROM s_deg)
+UNION ALL SELECT 'max_degree', CAST(coalesce(max(deg), 0) AS BIGINT) FROM s_deg
+UNION ALL SELECT 'sum_degree', CAST(coalesce(sum(deg), 0) AS BIGINT) FROM s_deg""",
+        extra_ctes="""
+s_und AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id),
+s_deg AS MATERIALIZED (
+  SELECT entity_id, count(*) AS deg
+  FROM (SELECT a AS entity_id FROM s_und UNION ALL SELECT b FROM s_und)
+  GROUP BY 1)""",
+    )

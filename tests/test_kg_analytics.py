@@ -197,3 +197,26 @@ def test_khop_empty_edge_set(spark):
     got = {r.entity_id: r.dist for r in khop_distances(nodes, edges).collect()}
     want = {e: 0 for e in ids if _khop_ticket(e) % KHOP_SEED_MOD == 0}
     assert got == want and len(want) > 0
+
+
+def test_graph_summary_hand_values(spark):
+    """Triangle + pendant + isolated node; one duplicated provenance
+    edge and one self-loop mention."""
+    from openie_spark.kg.analytics import graph_summary
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "d"),
+         ("a", "a")],                     # dup {a,b} + self-loop
+        "src_id string, dst_id string")
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], "entity_id string")
+    got = {r.metric: r.value for r in graph_summary(nodes, edges).collect()}
+    assert got == {
+        "n_nodes": 5,
+        "n_prov_edges": 6,
+        "n_simple_edges": 5,    # a->b, b->a, b->c, a->c, c->d
+        "n_und_edges": 4,       # {a,b}, {b,c}, {a,c}, {c,d}
+        "n_isolated": 1,        # e
+        "max_degree": 3,        # c
+        "sum_degree": 8,        # 2 * n_und_edges
+    }
