@@ -306,6 +306,29 @@ def _kg_parts(spark: SparkSession, sf_dir: str):
     return _KG_MEMO[key]
 
 
+_GRAPH_MEMO: dict = {}
+
+
+def _graph_parts(spark: SparkSession, sf_dir: str):
+    """Materialized (nodes, edges) — the analytics queries' input
+    tables, checkpointed ONCE per (application, sf_dir) exactly like
+    the pipeline materializes its nodes/edges stages (a warehouse
+    consumer reads the edge TABLE; it does not re-join triples per
+    query). kg_nodes / kg_edges themselves stay un-memoized so their
+    bench numbers reflect the real build cost."""
+    from openie_spark.kg.graph import build_edges, build_nodes
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _GRAPH_MEMO:
+        _evict_stale(_GRAPH_MEMO, key)
+        triples, _, _, canon = _kg_parts(spark, sf_dir)
+        _GRAPH_MEMO[key] = (
+            build_nodes(canon).localCheckpoint(eager=True),
+            build_edges(triples, canon, strategy="broadcast").localCheckpoint(eager=True),
+        )
+    return _GRAPH_MEMO[key]
+
+
 def _q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.kg.mentions import extract_mentions
 
@@ -351,10 +374,10 @@ def _q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_kg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from openie_spark.kg.graph import build_edges, degree_stats
+    from openie_spark.kg.graph import degree_stats
 
-    triples, _, _, canon = _kg_parts(spark, sf_dir)
-    return degree_stats(build_edges(triples, canon, strategy="broadcast"))
+    _, edges = _graph_parts(spark, sf_dir)
+    return degree_stats(edges)
 
 
 def _q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,24 +385,20 @@ def _q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact graph-materialize sink a KG consumer reads instead of the
     occurrence-scale provenance edges."""
     from openie_spark.kg.analytics import relation_weights
-    from openie_spark.kg.graph import build_edges
 
-    triples, _, _, canon = _kg_parts(spark, sf_dir)
-    return relation_weights(build_edges(triples, canon, strategy="broadcast"))
+    _, edges = _graph_parts(spark, sf_dir)
+    return relation_weights(edges)
 
 
 def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (5 iterations, rank units of 1e9) over
-    the canonical entity graph — iterative shuffle join + partial agg
-    per round, ranks localCheckpointed to truncate lineage. Integer
-    floor arithmetic makes the result partitioning-independent, so the
+    the canonical entity graph — per round one shuffle join + partial
+    agg, iterations chained lazily into one fused job. Integer floor
+    arithmetic makes the result partitioning-independent, so the
     DuckDB oracle (unrolled CTEs) matches bit-for-bit."""
     from openie_spark.kg.analytics import pagerank
-    from openie_spark.kg.graph import build_edges, build_nodes
 
-    triples, _, _, canon = _kg_parts(spark, sf_dir)
-    nodes = build_nodes(canon)
-    edges = build_edges(triples, canon, strategy="broadcast")
+    nodes, edges = _graph_parts(spark, sf_dir)
     return pagerank(nodes, edges)
 
 
@@ -389,11 +408,9 @@ def _q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub's out-list is O(sqrt(m)) and the triangle join fan-out is
     bounded even on power-law graphs)."""
     from openie_spark.kg.analytics import triangle_counts
-    from openie_spark.kg.graph import build_edges, build_nodes
 
-    triples, _, _, canon = _kg_parts(spark, sf_dir)
-    return triangle_counts(
-        build_nodes(canon), build_edges(triples, canon, strategy="broadcast"))
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return triangle_counts(nodes, edges)
 
 
 def _q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,11 +418,9 @@ def _q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     per granularity, isolated entities, max/total degree — the report
     a pipeline run publishes next to its manifests."""
     from openie_spark.kg.analytics import graph_summary
-    from openie_spark.kg.graph import build_edges, build_nodes
 
-    triples, _, _, canon = _kg_parts(spark, sf_dir)
-    return graph_summary(
-        build_nodes(canon), build_edges(triples, canon, strategy="broadcast"))
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return graph_summary(nodes, edges)
 
 
 def _q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,11 +430,9 @@ def _q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     level, frontiers localCheckpointed so level j never re-derives
     levels < j."""
     from openie_spark.kg.analytics import khop_distances
-    from openie_spark.kg.graph import build_edges, build_nodes
 
-    triples, _, _, canon = _kg_parts(spark, sf_dir)
-    return khop_distances(
-        build_nodes(canon), build_edges(triples, canon, strategy="broadcast"))
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return khop_distances(nodes, edges)
 
 
 # ------------------------------------------------- datapipe (documents)

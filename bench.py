@@ -66,6 +66,7 @@ def main() -> None:
     t0 = time.perf_counter()
     e._triples_memo(spark, sf_dir)
     e._kg_parts(spark, sf_dir)
+    e._graph_parts(spark, sf_dir)
     shared_sec = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}
