@@ -203,3 +203,25 @@ def test_carb_o2o_parity_vs_reference(spark, tmp_path):
                 round(summary["optimal_recall"], 3),
                 round(summary["optimal_f1"], 3)) == pytest.approx(
             tuple(float(v) for v in want_opt), abs=2e-3), seed
+
+
+def test_oie_eval_cli_self_perfect(tmp_path):
+    """The standalone eval CLI (reference evaluation.py twin):
+    self-comparison prints the perfect point in the reference's own
+    format plus a JSON line."""
+    import json
+    import subprocess
+    import sys
+
+    g = tmp_path / "gold.tsv"
+    g.write_text("John ate the cake .\tate\tJohn\tthe cake\n"
+                 "Mary ran home .\tran\tMary\thome\n")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/oie_eval.py",
+         "--gold", str(g), "--pred", str(g), "--master", "local[4]"],
+        capture_output=True, text=True, timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert any(ln.startswith("AUC:1.00000, P:1.00000") for ln in lines)
+    met = json.loads(lines[-1])
+    assert met["precision"] == met["recall"] == met["f1"] == 1.0
