@@ -404,16 +404,22 @@ CURATE_MIN_QUALITY = 0.70
 def curated_corpus(docs: DataFrame,
                    min_quality: float = CURATE_MIN_QUALITY) -> DataFrame:
     """The full curation funnel in one plan: exact-dedup keeper →
-    quality threshold → stratified mixing sample, with per-stage
-    flags so the funnel is auditable (how many docs each stage drops).
-    ``kept`` = survives all three. Each stage is an already-oracled
-    operator — this is composition, not new semantics.
+    quality threshold → stratified mixing sample → benchmark
+    decontamination, with per-stage flags so the funnel is auditable
+    (how many docs each stage drops). ``kept`` = survives all four.
+    Each stage is an already-oracled operator — this is composition,
+    not new semantics.
 
     The quality stage is textstats.doc_stats' corpus-calibrated score
     (not the Gopher pass flag: the paper's ≥2-stopword rule zeroes
     this synthetic corpus — gopher_signals stays available as its own
-    operator for corpora it fits).
-    Returns (doc_id, is_unique, passes_quality, in_sample, kept)."""
+    operator for corpora it fits). The decontamination stage marks a
+    doc clean iff it is a TRAIN-slice doc with no contamination flag —
+    the eval holdout slice itself is by definition excluded from a
+    training corpus, so eval docs get is_clean = False.
+    Returns (doc_id, is_unique, passes_quality, in_sample, is_clean,
+    kept)."""
+    from openie_spark.datapipe.decontam import decontaminate
     from openie_spark.datapipe.dedup import exact_dedup_groups
     from openie_spark.datapipe.textstats import doc_stats
 
@@ -423,19 +429,23 @@ def curated_corpus(docs: DataFrame,
         "doc_id", (F.col("quality") >= min_quality).alias("passes_quality"))
     sampled = stratified_sample(docs).select(
         "doc_id", F.lit(True).alias("in_sample"))
+    clean = decontaminate(docs).select(
+        "doc_id", (~F.col("contaminated")).alias("is_clean"))
     return (
         docs.select("doc_id")
         .join(keepers, "doc_id", "left")
         .join(quality, "doc_id", "left")
         .join(sampled, "doc_id", "left")
+        .join(clean, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("is_unique", F.lit(False)).alias("is_unique"),
             F.coalesce("passes_quality", F.lit(False)).alias("passes_quality"),
             F.coalesce("in_sample", F.lit(False)).alias("in_sample"),
+            F.coalesce("is_clean", F.lit(False)).alias("is_clean"),
         )
         .withColumn("kept", F.col("is_unique") & F.col("passes_quality")
-                    & F.col("in_sample"))
+                    & F.col("in_sample") & F.col("is_clean"))
     )
 
 

@@ -769,17 +769,23 @@ quality AS (
   FROM ({doc_stats_sql()})
 ),
 sampled AS (SELECT doc_id FROM ({stratified_sample_sql()})),
+clean AS (
+  SELECT doc_id, NOT contaminated AS is_clean FROM ({decontaminate_sql()})
+),
 flags AS (
   SELECT d.doc_id,
          k.doc_id IS NOT NULL AS is_unique,
          coalesce(q.passes_gopher, FALSE) AS passes_quality,
-         s.doc_id IS NOT NULL AS in_sample
+         s.doc_id IS NOT NULL AS in_sample,
+         coalesce(c.is_clean, FALSE) AS is_clean
   FROM documents d
   LEFT JOIN keepers k ON d.doc_id = k.doc_id
   LEFT JOIN quality q ON d.doc_id = q.doc_id
   LEFT JOIN sampled s ON d.doc_id = s.doc_id
+  LEFT JOIN clean c ON d.doc_id = c.doc_id
 )
-SELECT *, is_unique AND passes_quality AND in_sample AS kept FROM flags"""
+SELECT *, is_unique AND passes_quality AND in_sample AND is_clean AS kept
+FROM flags"""
 
 
 def asof_last_ref_sql() -> str:

@@ -203,7 +203,28 @@ def test_curated_corpus_funnel(spark):
     assert not out[3]["passes_quality"] and not out[3]["kept"]
     for r in out.values():
         assert r["kept"] == (r["is_unique"] and r["passes_quality"]
-                             and r["in_sample"])
+                             and r["in_sample"] and r["is_clean"])
+
+
+def test_curated_funnel_decontam_stage(spark):
+    """Eval-slice docs are excluded (is_clean False); a train doc that
+    duplicates an eval doc is contaminated; a unique train doc is
+    clean."""
+    from openie_spark.datapipe.decontam import DECON_HOLDOUT_PPM
+    from tests.test_decontam import _ticket
+
+    ev = next(i for i in range(10_000) if _ticket(i) < DECON_HOLDOUT_PPM)
+    tr = [i for i in range(10_000) if _ticket(i) >= DECON_HOLDOUT_PPM]
+    text = "a perfectly reasonable document with plenty of words in it"
+    other = "an entirely different body of text about some other topic"
+    docs = spark.createDataFrame(
+        [(ev, text, "de", "s0"), (tr[0], text, "de", "s0"),
+         (tr[1], other, "de", "s0")],
+        "doc_id long, text string, lang string, source string")
+    out = {r["doc_id"]: r for r in q.curated_corpus(docs).collect()}
+    assert not out[ev]["is_clean"]          # holdout slice never kept
+    assert not out[tr[0]]["is_clean"]       # duplicates the eval doc
+    assert out[tr[1]]["is_clean"]
 
 
 # ---------------------------------------------------------- chunking
