@@ -661,17 +661,17 @@ def _q_dp_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dp_embedding_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numpy-GEMM top-k (mapInPandas over broadcast corpus, gated on a
+    """Numpy top-k (mapInPandas over broadcast corpus, gated on a
     corpus-size check) — row-identical to dp_embedding_topk, so it
     shares the brute-force SQL oracle.
 
-    Known boundary risk at larger sf: the GEMM sums in a different
-    order than the oracle's sequential list_inner_product, and
-    np.round is half-to-even while DuckDB round is half-away — a
-    ~1e-14 summation difference can straddle a round-6 boundary and
-    flip one rank. Passes exactly at the shipped sf dirs; at a new
-    larger sf prefer comparing with a small tolerance (or rows-only)
-    for this _np variant rather than chasing a phantom mismatch."""
+    The former round-boundary risk is closed: the kernel now folds
+    dims sequentially in _dot_fixed's exact float64 operation order
+    and rounds HALF_UP (copysign/floor(+0.5)), so its cosines are
+    bit-identical to the SQL path and the oracle at ANY sf — no
+    tolerance needed. Zero-norm embeddings (NaN units) are excluded
+    on both paths and in the oracle; under ANSI mode the unguarded
+    divide would otherwise abort the job on one bad vector."""
     from openie_spark.datapipe.similarity import brute_topk_np
 
     return brute_topk_np(_emb(spark, sf_dir))

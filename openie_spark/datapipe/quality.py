@@ -286,7 +286,11 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float] | None = None,
     rates = SAMPLE_RATES if rates is None else rates
     rate = F.lit(default_ppm)
     for lang, r in sorted(rates.items()):
-        rate = F.when(F.col("lang") == lang, int(r * 1_000_000)).otherwise(rate)
+        # round, don't truncate: int(0.29 * 1e6) is 289999 (the float
+        # is 289999.99999…), one ppm under the stated rate — the
+        # shipped dyadic defaults hide it, a user-supplied rate won't.
+        rate = F.when(F.col("lang") == lang,
+                      int(round(r * 1_000_000))).otherwise(rate)
     ticket = md5h60(
         F.concat(F.lit(f"{SAMPLE_SALT}#"), F.col("doc_id").cast("string"))
     ) % 1_000_000
@@ -469,9 +473,21 @@ def corpus_mixture(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tok").cast("long").alias("n_tokens"))
     )
+    from openie_spark.datapipe.textstats import _ppm_wide
+
+    # _ppm_wide, not _ppm: these are the only corpus-scale numerators
+    # in the repo (a dominant stratum of a 100 TB corpus is ~1e13
+    # tokens — past both _ppm's double-exactness bound and its int64
+    # intermediate). Totals are staged as named columns because DIV
+    # only exists as a SQL operator.
     w = Window.partitionBy()
-    return per.select(
+    tot = per.select(
+        "*",
+        F.sum("n_docs").over(w).alias("tot_docs"),
+        F.sum("n_tokens").over(w).alias("tot_tokens"),
+    )
+    return tot.select(
         "lang", "source", "n_docs", "n_tokens",
-        _ppm(F.col("n_docs"), F.sum("n_docs").over(w)).alias("doc_ppm"),
-        _ppm(F.col("n_tokens"), F.sum("n_tokens").over(w)).alias("token_ppm"),
+        _ppm_wide("n_docs", "tot_docs").alias("doc_ppm"),
+        _ppm_wide("n_tokens", "tot_tokens").alias("token_ppm"),
     )

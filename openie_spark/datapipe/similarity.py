@@ -102,9 +102,19 @@ def with_unit(df: DataFrame, vec: str = "embedding",
     nc, vc = "_wu_nrm", "_wu_v"
     nrm = (F.sqrt(_dot_fixed(F.col(vc), F.col(vc), dim))
            if dim is not None else _norm(F.col(vc)))
+    # Zero-norm guard: under ANSI mode (Spark 4 default) x/0.0 is a
+    # job-killing DIVIDE_BY_ZERO — ONE zero embedding in a 100 TB
+    # corpus would abort every similarity query. Emit an explicit NaN
+    # unit instead: IEEE 0.0/0.0 is what DuckDB computes natively, and
+    # both engines order NaN greater than any double under desc, so
+    # the oracles stay bit-for-bit (see brute_topk_np's NaN key map).
+    unit = F.when(
+        F.col(nc) != 0.0,
+        F.transform(F.col(vc), lambda x: x / F.col(nc)),
+    ).otherwise(F.transform(F.col(vc), lambda x: F.lit(float("nan"))))
     return (df.withColumn(vc, v)
             .withColumn(nc, nrm)
-            .withColumn("unit", F.transform(F.col(vc), lambda x: x / F.col(nc)))
+            .withColumn("unit", unit)
             .drop(vc, nc))
 
 
@@ -120,12 +130,24 @@ def _queries(emb: DataFrame, query_mod: int) -> DataFrame:
 
 def brute_topk_sql(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) -> DataFrame:
     """(q_id, rank, vec_id, cos): exact top-k by cosine, self-match
-    excluded; ties broken by vec_id for determinism."""
+    excluded; ties broken by vec_id for determinism.
+
+    Zero-norm/NULL/empty embeddings are EXCLUDED (query and corpus
+    side): a zero vector has no direction, so its cosine is undefined
+    — left in, its NaN unit would rank FIRST for every query (Spark
+    and DuckDB both order NaN greatest) and poison every result list.
+    The oracle (plans.brute_topk_sql_oracle) applies the same filter."""
     dim = _dim_of(emb)
     # two consumers (query sample + corpus side of the cross join) —
     # materialize the normalized vectors once instead of re-scanning
-    # and re-normalizing per side
-    e = with_unit(emb, dim=dim).select("vec_id", "unit").localCheckpoint(eager=False)
+    # and re-normalizing per side. ~isnan(unit[0]) drops zero-norm
+    # (NaN unit), NULL and empty embeddings in one predicate.
+    e = (
+        with_unit(emb, dim=dim)
+        .select("vec_id", "unit")
+        .where(~F.isnan(F.get(F.col("unit"), 0)))
+        .localCheckpoint(eager=False)
+    )
     q = _queries(e, query_mod)
     corpus = e.select("vec_id", "unit")
     scored = (
@@ -157,7 +179,9 @@ def brute_topk_np(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     import numpy as np
     import pandas as pd
 
-    e = with_unit(emb, dim=_dim_of(emb))
+    # same zero-norm/NULL exclusion as brute_topk_sql (see its doc)
+    e = (with_unit(emb, dim=_dim_of(emb))
+         .where(~F.isnan(F.get(F.col("unit"), 0))))
     if e.limit(max_broadcast_vecs + 1).count() > max_broadcast_vecs:
         return brute_topk_sql(emb, k, query_mod)
     corpus_rows = e.select("vec_id", "unit").collect()
@@ -174,13 +198,34 @@ def brute_topk_np(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
             if len(pdf) == 0:
                 continue
             qm = np.array(list(pdf["q_vec"]), dtype=np.float64)
-            scores = qm @ b_mat.value.T                      # (Q, N)
+            corpus = b_mat.value
+            # Sequential ascending-d fold with a 0.0 seed — the SAME
+            # float64 operation order as _dot_fixed's codegen'd fold,
+            # so the sums are bit-identical to brute_topk_sql's. (A
+            # GEMM sums in an implementation-defined order; a last-ulp
+            # difference can straddle a round-6 boundary and flip a
+            # rank near a tie.) Same FLOPs as the GEMM it replaces.
+            scores = np.zeros((len(qm), corpus.shape[0]), dtype=np.float64)
+            for d in range(corpus.shape[1]):
+                scores = scores + np.multiply.outer(qm[:, d], corpus[:, d])
+            # HALF_UP round-6 (JVM F.round / DuckDB round semantics),
+            # NOT np.round's IEEE half-to-even — same kernel as
+            # ivf_topk._sims below.
+            scores = np.copysign(np.floor(np.abs(scores) * 1e6 + 0.5),
+                                 scores) / 1e6
             out = []
             for qi, q_id in enumerate(pdf["q_id"]):
-                s = np.round(scores[qi], 6)
+                s = scores[qi]
                 mask = b_ids.value != q_id
-                # sort by (-cos, vec_id): lexsort keys in reverse priority
-                order = np.lexsort((b_ids.value[mask], -s[mask]))[:k]
+                # sort by (-cos, vec_id): lexsort keys in reverse
+                # priority. Zero-norm vectors are filtered above;
+                # defense-in-depth for any residual NaN (a NaN
+                # ELEMENT inside a nonzero-norm vector): Spark orders
+                # NaN GREATER than any double under desc('cos') while
+                # lexsort sorts NaN last — map NaN to -inf in the
+                # negated key so both paths agree even then.
+                neg = np.where(np.isnan(s[mask]), -np.inf, -s[mask])
+                order = np.lexsort((b_ids.value[mask], neg))[:k]
                 cand_ids = b_ids.value[mask][order]
                 cand_s = s[mask][order]
                 for rank, (vid, cs) in enumerate(zip(cand_ids, cand_s), 1):

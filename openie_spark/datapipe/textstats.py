@@ -28,8 +28,36 @@ TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 def _ppm(num, den):
     """round-half-up(num/den * 1e6) in exact integer arithmetic —
     engine-portable (double rounding of x.xxxxxx5 values differs
-    between Spark and DuckDB; integer floor((2a+b)/2b) does not)."""
+    between Spark and DuckDB; integer floor((2a+b)/2b) does not).
+
+    PER-DOC numerators only: Spark's ``/`` is double division, so the
+    floor is exact only while 2*num*1e6+den < 2^53 (num <~ 4.5e9) —
+    fine for every per-document ratio here, wrong for corpus-scale
+    sums. Those use ``_ppm_wide``."""
     return F.floor((2 * num.cast("long") * 1_000_000 + den) / (2 * den)).cast("long")
+
+
+def _ppm_wide(num: str, den: str):
+    """round-half-up(num/den * 1e6) in PURE BIGINT arithmetic for
+    corpus-scale operands (num <= den <= ~4.6e15, i.e. ~18 PB of text
+    at 4 bytes/token — comfortably past the 100 TB design point where
+    _ppm's double division loses exactness at num ~4.5e9 and its
+    2*num*1e6 intermediate wraps int64 at num ~4.6e12).
+
+    Identity:  num*1e6/den = a*1000 + ra*1000/den
+    with a = (num*1000) DIV den, ra = (num*1000) % den — adding the
+    integer a*1000 commutes with round-half-up, and every intermediate
+    stays under 2^63: num*1000 <= 4.6e18 and 2*ra*1000+den <
+    2*den*1000 + den <= 9.2e18. DIV/% on BIGINT are engine-portable
+    (DuckDB ``//``/``%`` — plans mirror this via _ppm_wide_sql).
+
+    Takes SQL fragment strings (DIV only exists as a SQL operator);
+    callers stage num/den as named columns first."""
+    return F.expr(
+        f"((({num}) * 1000) DIV ({den})) * 1000"
+        f" + (2 * ((({num}) * 1000) % ({den})) * 1000 + ({den}))"
+        f" DIV (2 * ({den}))"
+    ).cast("long")
 
 
 def doc_stats(docs: DataFrame) -> DataFrame:

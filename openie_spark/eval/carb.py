@@ -35,7 +35,6 @@ Reference quirks preserved:
 from __future__ import annotations
 
 import string
-from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -153,7 +152,20 @@ def sentence_scores(gold: DataFrame, pred: DataFrame,
     [precision, recall]-returning matcher from eval.matcher (E4 binary
     lenient by default — the reference's pinned choice,
     eval/evaluation.py:36; E7 alternatives: tuple_match,
-    simple_tuple_match, binary_tuple_match)."""
+    simple_tuple_match, binary_tuple_match).
+
+    Documented deviation — post-normalization key collisions: two RAW
+    sentences that normalize to the same key (differ only in spaces /
+    punctuation / PTB escapes) are cogrouped here, so their extraction
+    lists UNION. The reference's normalizeDict
+    (eval/oie_eval/carb.py:263-266) rebuilds a dict, so the collider
+    whose raw key was inserted LAST (file read order) silently wins.
+    That order has no distributed analogue — a cluster read has no
+    stable "last" — so we pin the order-independent union semantics
+    instead. Verified zero collisions on the shipped corpora (distinct
+    sentences == distinct norm keys at every sf dir), so results are
+    identical today; on a colliding corpus the reference drops gold
+    tuples nondeterministically by input order and we keep them."""
     g = _with_key(gold.select("sent", "pred", "args"))
     p = _with_key(pred.select("sent", "pred", "args"))
     return (

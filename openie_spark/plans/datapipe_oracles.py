@@ -178,6 +178,16 @@ def _ppm_sql(num: str, den: str) -> str:
     return f"(2 * CAST({num} AS BIGINT) * 1000000 + {den}) // (2 * {den})"
 
 
+def _ppm_wide_sql(num: str, den: str) -> str:
+    """Twin of textstats._ppm_wide: round-half-up ppm in pure BIGINT
+    arithmetic, exact for corpus-scale operands (den <= ~4.6e15) where
+    _ppm_sql's 2*num*1e6 intermediate would overflow BIGINT (DuckDB
+    errors, Spark wraps)."""
+    a = f"((({num}) * 1000) // ({den}))"
+    ra = f"((({num}) * 1000) % ({den}))"
+    return f"{a} * 1000 + (2 * {ra} * 1000 + ({den})) // (2 * ({den}))"
+
+
 def doc_stats_sql() -> str:
     stops = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
     alpha_ppm = _ppm_sql("alpha", "greatest(n_chars, 1)")
@@ -264,15 +274,19 @@ un AS MATERIALIZED (
 
 
 def brute_topk_sql_oracle() -> str:
-    return f"""WITH {_UNIT_CTE.format(src='embeddings')}
+    # unz: the zero-norm/NULL exclusion twin of brute_topk_sql's
+    # ~isnan(unit[0]) filter (a zero vector's unit is all-NaN and
+    # would rank first for every query under NaN-greatest ordering).
+    return f"""WITH {_UNIT_CTE.format(src='embeddings')},
+unz AS (SELECT vec_id, unit FROM un WHERE NOT isnan(unit[1]))
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
   SELECT q.q_id, c.vec_id,
          round(list_inner_product(q.q_vec, c.unit), 6) AS cos,
          row_number() OVER (PARTITION BY q.q_id
                             ORDER BY round(list_inner_product(q.q_vec, c.unit), 6) DESC,
                                      c.vec_id ASC) AS rank
-  FROM (SELECT vec_id AS q_id, unit AS q_vec FROM un WHERE vec_id % {QUERY_MOD} = 0) q
-  CROSS JOIN un c
+  FROM (SELECT vec_id AS q_id, unit AS q_vec FROM unz WHERE vec_id % {QUERY_MOD} = 0) q
+  CROSS JOIN unz c
   WHERE c.vec_id <> q.q_id
 ) WHERE rank <= {TOPK}"""
 
@@ -723,7 +737,7 @@ def stratified_sample_sql() -> str:
     )
 
     whens = " ".join(
-        f"WHEN lang = '{lang}' THEN {int(r * 1_000_000)}"
+        f"WHEN lang = '{lang}' THEN {int(round(r * 1_000_000))}"
         for lang, r in sorted(SAMPLE_RATES.items()))
     ticket = _md5h60(f"'{SAMPLE_SALT}#' || CAST(doc_id AS VARCHAR)")
     return f"""SELECT doc_id, lang, source, {ticket} % 1000000 AS ticket
@@ -937,6 +951,6 @@ def corpus_mixture_sql() -> str:
   FROM documents GROUP BY lang, source
 )
 SELECT lang, source, n_docs, n_tokens,
-       CAST({_ppm_sql('n_docs', 'sum(n_docs) OVER ()')} AS BIGINT) AS doc_ppm,
-       CAST({_ppm_sql('n_tokens', 'sum(n_tokens) OVER ()')} AS BIGINT) AS token_ppm
+       CAST({_ppm_wide_sql('n_docs', 'sum(n_docs) OVER ()')} AS BIGINT) AS doc_ppm,
+       CAST({_ppm_wide_sql('n_tokens', 'sum(n_tokens) OVER ()')} AS BIGINT) AS token_ppm
 FROM per"""

@@ -73,14 +73,42 @@ def test_simhash_near_dups(docs):
 # -------------------------------------------------------- similarity
 
 def test_brute_topk_sql_vs_np(emb):
+    """BIT-identical, not approx: the numpy kernel folds dims in
+    _dot_fixed's exact float64 operation order and rounds HALF_UP,
+    so cosines match the SQL path to the last bit at any sf."""
     from openie_spark.datapipe.similarity import brute_topk_np, brute_topk_sql
 
     sql_rows = {(r.q_id, r.rank): (r.vec_id, r.cos) for r in brute_topk_sql(emb, k=5, query_mod=10).collect()}
     np_rows = {(r.q_id, r.rank): (r.vec_id, r.cos) for r in brute_topk_np(emb, k=5, query_mod=10).collect()}
-    assert sql_rows.keys() == np_rows.keys()
-    for key in sql_rows:
-        assert sql_rows[key][0] == np_rows[key][0], key
-        assert sql_rows[key][1] == pytest.approx(np_rows[key][1], abs=2e-6)
+    assert sql_rows == np_rows
+
+
+def test_brute_topk_zero_vector_excluded_both_paths(spark, emb):
+    """A zero embedding normalizes to an all-NaN unit; under ANSI mode
+    the naive x/0.0 divide would abort the whole job, and left in, the
+    NaN cosine would rank FIRST for every query (Spark and DuckDB both
+    order NaN greatest). with_unit's guard emits the NaN marker
+    without crashing and both top-k paths exclude it — planting a zero
+    vector (as corpus vector AND as a query id: 999_990 % 10 == 0)
+    must not change the result set at all, on either path."""
+    from openie_spark.datapipe.similarity import brute_topk_np, brute_topk_sql
+
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    zeros = spark.createDataFrame(
+        [(999_990, [0.0] * dim), (999_999, [0.0] * dim)],
+        "vec_id long, embedding array<double>")
+    corpus = base.unionByName(zeros)
+
+    clean = sorted((r.q_id, r.rank, r.vec_id, r.cos)
+                   for r in brute_topk_sql(base, k=5, query_mod=10).collect())
+    sql_rows = sorted((r.q_id, r.rank, r.vec_id, r.cos)
+                      for r in brute_topk_sql(corpus, k=5, query_mod=10).collect())
+    np_rows = sorted((r.q_id, r.rank, r.vec_id, r.cos)
+                     for r in brute_topk_np(corpus, k=5, query_mod=10).collect())
+    assert sql_rows == clean
+    assert np_rows == clean
 
 
 def test_lsh_topk_finds_planted_neighbors(emb):
