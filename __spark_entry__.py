@@ -654,6 +654,18 @@ def _q_dp_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(_docs(spark, sf_dir))
 
 
+def _q_dp_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate scrub (RefinedWeb/CCNet-style): word
+    8-grams in >= BOILER_MIN_DOCS distinct docs are boilerplate; a
+    fixed banner planted on every 5th doc is the ground truth. Shares
+    decontam's gram plan — one doc_id shuffle for the gram build, one
+    partial-aggregated count over 8-byte gram hashes (map-side combine
+    absorbs exactly the hot-gram skew the operator exists to find)."""
+    from openie_spark.datapipe.decontam import boilerplate_stats, planted_boilerplate
+
+    return boilerplate_stats(planted_boilerplate(_docs(spark, sf_dir)))
+
+
 def _q_dp_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.similarity import brute_topk_sql
 
@@ -775,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_tfidf_terms": _q_dp_tfidf_terms,
         "dp_pii_scrub": _q_dp_pii_scrub,
         "dp_decontam": _q_dp_decontam,
+        "dp_boilerplate": _q_dp_boilerplate,
         "dp_chunks": _q_dp_chunks,
         "dp_mixture": _q_dp_mixture,
         "dp_embedding_topk": _q_dp_embedding_topk,
@@ -835,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_tfidf_terms": dp.tfidf_top_terms_sql(),
         "dp_pii_scrub": dp.pii_scrub_sql(),
         "dp_decontam": dp.decontaminate_sql(),
+        "dp_boilerplate": dp.boilerplate_sql(),
         "dp_chunks": dp.chunk_documents_sql(),
         "dp_mixture": dp.corpus_mixture_sql(),
         "dp_embedding_topk": dp.brute_topk_sql_oracle(),

@@ -105,3 +105,64 @@ def decontaminate(docs: DataFrame,
             (ppm >= contam_ppm).alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------- boilerplate scrub
+
+# Fixed banner phrase planted as deterministic ground truth (the
+# dedup-family pattern: planted_docs plants near-dup twins, this
+# plants sub-document boilerplate). 13 tokens -> 6 full-width 8-grams
+# live entirely inside the banner and recur across every planted doc;
+# grams straddling the doc-tail/banner boundary stay doc-unique.
+BOILER_BANNER = ("subscribe to our newsletter terms of service apply "
+                 "all rights reserved click here")
+BOILER_EVERY = 5             # every 5th doc carries the banner
+BOILER_MIN_DOCS = 3          # a gram in >= this many docs is boilerplate
+BOILER_FLAG_PPM = 20_000     # >=2% boilerplate grams flags the doc
+
+
+def planted_boilerplate(docs: DataFrame, every: int = BOILER_EVERY) -> DataFrame:
+    """docs with BOILER_BANNER appended to every ``every``-th doc_id —
+    deterministic boilerplate ground truth (NULL text stays NULL:
+    concat propagates it)."""
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % every == 0,
+               F.concat(F.col("text"), F.lit(" " + BOILER_BANNER)))
+        .otherwise(F.col("text")).alias("text"))
+
+
+def boilerplate_stats(docs: DataFrame,
+                      min_docs: int = BOILER_MIN_DOCS,
+                      flag_ppm: int = BOILER_FLAG_PPM) -> DataFrame:
+    """Sub-document boilerplate detection (the RefinedWeb/CCNet-style
+    hygiene pass at n-gram granularity): a word 8-gram occurring in
+    >= ``min_docs`` DISTINCT documents is boilerplate; per doc report
+    (doc_id, n_grams, n_boiler, boiler_ppm, flagged).
+
+    Scale shape (100 TB): gram build is the shared gram_hashes plan
+    (posexplode + window lead, one doc_id shuffle, 8-byte gram hashes);
+    the document-frequency table is ONE partial-aggregated groupBy(gh)
+    count — grams are distinct per doc, so count(*) IS the
+    distinct-doc count, and hot boilerplate grams are exactly the skew
+    map-side combine absorbs. The probe is an equi-join on the
+    uniformly-distributed hash; the boilerplate side is tiny (grams
+    over the df floor) so AQE broadcasts it.
+    """
+    grams = gram_hashes(docs).localCheckpoint(eager=False)
+    boiler = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("gh", F.lit(1).alias("b"))
+    )
+    ppm = _ppm(F.col("n_boiler"), F.greatest(F.col("n_grams"), F.lit(1)))
+    return (
+        grams.join(boiler, "gh", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.coalesce("b", F.lit(0))).alias("n_boiler"))
+        .select("doc_id", "n_grams", "n_boiler",
+                ppm.alias("boiler_ppm"),
+                (ppm >= flag_ppm).alias("flagged"))
+    )

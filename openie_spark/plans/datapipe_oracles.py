@@ -843,6 +843,29 @@ FROM events r JOIN events e
 WHERE r.event_type = '{ASOF_REF_TYPE}'"""
 
 
+def _grams_cte(src_sql: str, n: int) -> str:
+    """Shared t/grams CTE pair: distinct (doc_id, md5h60 gram hash) of
+    word ``n``-grams over ``src_sql`` (doc_id, text) — the twin of
+    decontam.gram_hashes (whole-token-list fallback under n tokens,
+    NULL text keeps one NULL-gh row)."""
+    toks = _TOKS.format(c="text")
+    gh = _md5h60("g")
+    return f"""t AS (
+  SELECT doc_id, {toks} AS toks FROM ({src_sql})
+),
+grams AS (
+  SELECT DISTINCT doc_id, {gh} AS gh FROM (
+    SELECT doc_id,
+           array_to_string(list_slice(toks, i, i + {n - 1}), ' ') AS g
+    FROM t, UNNEST(range(1, len(toks) - {n - 2})) AS u(i)
+    WHERE len(toks) >= {n}
+    UNION ALL
+    SELECT doc_id, array_to_string(toks, ' ') AS g
+    FROM t WHERE len(toks) < {n} OR toks IS NULL
+  )
+)"""
+
+
 def decontaminate_sql() -> str:
     """Twin of decontam.decontaminate — same 8-gram build (whole-list
     fallback under N tokens), same md5h60 gram hashes and salted eval
@@ -854,24 +877,9 @@ def decontaminate_sql() -> str:
         DECON_SALT,
     )
 
-    toks = _TOKS.format(c="text")
-    gh = _md5h60("g")
     ticket = _md5h60(f"'{DECON_SALT}#' || CAST(doc_id AS VARCHAR)")
     ppm = _ppm_sql("n_hit", "greatest(n_grams, 1)")
-    return f"""WITH t AS (
-  SELECT doc_id, {toks} AS toks FROM documents
-),
-grams AS (
-  SELECT DISTINCT doc_id, {gh} AS gh FROM (
-    SELECT doc_id,
-           array_to_string(list_slice(toks, i, i + {DECON_N - 1}), ' ') AS g
-    FROM t, UNNEST(range(1, len(toks) - {DECON_N - 2})) AS u(i)
-    WHERE len(toks) >= {DECON_N}
-    UNION ALL
-    SELECT doc_id, array_to_string(toks, ' ') AS g
-    FROM t WHERE len(toks) < {DECON_N} OR toks IS NULL
-  )
-),
+    return f"""WITH {_grams_cte("SELECT doc_id, text FROM documents", DECON_N)},
 ev AS (
   SELECT DISTINCT gh FROM grams
   WHERE {ticket} % 1000000 < {DECON_HOLDOUT_PPM}
@@ -888,6 +896,42 @@ agg AS (
 SELECT doc_id, n_grams, n_hit,
        CAST({ppm} AS BIGINT) AS contam_ppm,
        ({ppm}) >= {DECON_CONTAM_PPM} AS contaminated
+FROM agg"""
+
+
+def boilerplate_sql() -> str:
+    """Twin of decontam.boilerplate_stats over planted_boilerplate —
+    same banner planting, same shared gram CTE, same df floor and
+    integer-ppm flag math."""
+    from openie_spark.datapipe.decontam import (
+        BOILER_BANNER,
+        BOILER_EVERY,
+        BOILER_FLAG_PPM,
+        BOILER_MIN_DOCS,
+        DECON_N,
+    )
+
+    planted = (
+        "SELECT doc_id, CASE WHEN doc_id % {every} = 0 "
+        "THEN text || ' {banner}' ELSE text END AS text FROM documents"
+    ).format(every=BOILER_EVERY, banner=BOILER_BANNER)
+    ppm = _ppm_sql("n_boiler", "greatest(n_grams, 1)")
+    return f"""WITH {_grams_cte(planted, DECON_N)},
+boiler AS (
+  SELECT gh FROM (SELECT gh, count(*) AS df FROM grams GROUP BY gh)
+  WHERE df >= {BOILER_MIN_DOCS}
+),
+agg AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM grams g LEFT JOIN boiler b ON g.gh = b.gh
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_boiler,
+       CAST({ppm} AS BIGINT) AS boiler_ppm,
+       ({ppm}) >= {BOILER_FLAG_PPM} AS flagged
 FROM agg"""
 
 

@@ -107,3 +107,65 @@ def test_repeated_gram_counted_once(spark):
     toks = text.split()
     assert row.n_grams == len({" ".join(toks[i:i + DECON_N])
                                for i in range(len(toks) - DECON_N + 1)})
+
+
+def _brute_boiler(rows, min_docs, flag_ppm):
+    from collections import Counter
+
+    gsets = {doc_id: (_grams(text) if text is not None else None)
+             for doc_id, text in rows}
+    df = Counter()
+    for gs in gsets.values():
+        if gs is not None:
+            for g in gs:
+                df[g] += 1
+    out = {}
+    for doc_id, gs in gsets.items():
+        if gs is None:
+            # NULL text -> one NULL-gh row; NULL never joins boiler
+            out[doc_id] = (1, 0, 0, False)
+            continue
+        n = len(gs)
+        n_b = sum(1 for g in gs if df[g] >= min_docs)
+        ppm = (2 * n_b * 1_000_000 + max(n, 1)) // (2 * max(n, 1))
+        out[doc_id] = (n, n_b, ppm, ppm >= flag_ppm)
+    return out
+
+
+def test_boilerplate_matches_brute_force_randomized(spark):
+    from openie_spark.datapipe.decontam import boilerplate_stats
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    banner = " ".join(f"b{i}" for i in range(9))   # 9 tokens -> 2 full grams
+    rows = []
+    for doc_id in range(60):
+        n = rng.randint(0, 30)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        if doc_id % 4 == 0:                        # 15 docs carry the banner
+            text = (text + " " + banner).strip()
+        rows.append((doc_id, text))
+    rows.append((1000, None))
+    got = {r.doc_id: (r.n_grams, r.n_boiler, r.boiler_ppm, r.flagged)
+           for r in boilerplate_stats(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               min_docs=3, flag_ppm=200_000).collect()}
+    assert got == _brute_boiler(rows, 3, 200_000)
+    # the planted banner actually fired: every banner doc has hits
+    assert all(got[d][1] >= 2 for d in range(0, 60, 4))
+
+
+def test_planted_boilerplate_banner(spark):
+    from openie_spark.datapipe.decontam import (
+        BOILER_BANNER,
+        planted_boilerplate,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "c d"), (5, "e f"), (10, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text for r in planted_boilerplate(df).collect()}
+    assert out[0] == "a b " + BOILER_BANNER
+    assert out[1] == "c d"                 # 1 % 5 != 0: untouched
+    assert out[5] == "e f " + BOILER_BANNER
+    assert out[10] is None                 # concat propagates NULL
