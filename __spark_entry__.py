@@ -390,6 +390,70 @@ def _q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relation_weights(edges)
 
 
+def _conv_parity(col: str = "conv_id") -> F.Column:
+    """Deterministic 2-way conv split (md5 last hex digit parity) —
+    engine-portable, used to stage the incremental-equivalence
+    queries."""
+    return F.conv(F.substring(F.md5(col), 32, 1), 16, 10).cast("int") % 2
+
+
+def _incremental_parts(spark: SparkSession, sf_dir: str):
+    """Build the KG on the even-parity half of the conversations, then
+    MERGE the odd half through the incremental algebra
+    (kg/incremental.py). The consuming queries' oracles are the
+    FULL-recompute SQL — a hash match IS the proof that
+    incremental(old ⊎ delta) ≡ full(old ∪ delta)."""
+    from openie_spark.kg.canon import canonical_map, connected_components
+    from openie_spark.kg.incremental import (
+        incremental_exact_pairs,
+        merge_components,
+        merge_vocab,
+    )
+    from openie_spark.kg.linking import exact_pairs
+    from openie_spark.kg.mentions import extract_mentions, mention_vocab
+
+    triples = _triples_memo(spark, sf_dir)
+    old_t = triples.filter(_conv_parity() == 0)
+    delta_t = triples.filter(_conv_parity() == 1)
+
+    vocab_old = mention_vocab(extract_mentions(old_t)).localCheckpoint(eager=False)
+    pairs_old = exact_pairs(vocab_old).localCheckpoint(eager=False)
+    canon_old = canonical_map(vocab_old, connected_components(pairs_old)) \
+        .localCheckpoint(eager=False)
+
+    vocab_m = merge_vocab(vocab_old, mention_vocab(extract_mentions(delta_t)))
+    pairs_m = incremental_exact_pairs(pairs_old, vocab_old, vocab_m)
+    canon_m = canonical_map(vocab_m, merge_components(canon_old, pairs_m)) \
+        .localCheckpoint(eager=False)
+    return old_t, delta_t, canon_old, canon_m
+
+
+def _q_kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node table built INCREMENTALLY (even-conv graph + odd-conv
+    delta merged via touched-block pair recompute + seeded component
+    merge) — oracle = the full-recompute kg_nodes SQL, so hash-green
+    means the incremental algebra is exact."""
+    from openie_spark.kg.graph import build_nodes
+
+    _, _, _, canon_m = _incremental_parts(spark, sf_dir)
+    return build_nodes(canon_m).select("entity_id", "canonical", "n_aliases", "freq")
+
+
+def _q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge table built incrementally: old-half edges rewritten with a
+    broadcast entity-id remap (map-only — old occurrence data is never
+    re-normalized or re-joined), delta-half edges built against the
+    merged canon, unioned. Oracle = full-recompute kg_edges SQL."""
+    from openie_spark.kg.graph import build_edges
+    from openie_spark.kg.incremental import entity_remap, remap_edges
+
+    old_t, delta_t, canon_old, canon_m = _incremental_parts(spark, sf_dir)
+    old_edges = build_edges(old_t, canon_old, strategy="broadcast")
+    remap = entity_remap(canon_old, canon_m)
+    delta_edges = build_edges(delta_t, canon_m, strategy="broadcast")
+    return remap_edges(old_edges, remap).unionByName(delta_edges)
+
+
 def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (5 iterations, rank units of 1e9) over
     the canonical entity graph — per round one shuffle join + partial
@@ -765,6 +829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_degree": _q_kg_degree,
         "kg_relations": _q_kg_relations,
+        "kg_nodes_incremental": _q_kg_nodes_incremental,
+        "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_khop": _q_kg_khop,
@@ -826,6 +892,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": o.kg_edges_sql(),
         "kg_degree": o.kg_degree_sql(),
         "kg_relations": o.kg_relations_sql(),
+        "kg_nodes_incremental": o.kg_nodes_sql(),
+        "kg_edges_incremental": o.kg_edges_sql(),
         "kg_pagerank": o.kg_pagerank_sql(),
         "kg_triangles": o.kg_triangles_sql(),
         "kg_khop": o.kg_khop_sql(),

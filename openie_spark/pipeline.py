@@ -224,8 +224,10 @@ class KGPipeline:
 
     def _run_stage(self, name: str, build, bucket_col: str | None,
                    upstream: list[str], resume: bool,
-                   extra_metrics=None) -> DataFrame:
+                   extra_metrics=None, extra_fp: dict | None = None) -> DataFrame:
         fp = self._stage_fingerprint(name, upstream)
+        if extra_fp:
+            fp = {**fp, **extra_fp}
         man = self._read_manifest(name)
         sd = self.io.location(name)
         if resume and man and man.get("status") == "complete" and man.get("fingerprint") == fp:
@@ -370,6 +372,156 @@ class KGPipeline:
                        for r in self.results},
             "total_seconds": total,
             "triples": n_triples,
+            "nodes": nodes.count(),
+            "edges": edges.count(),
+            "relations": relations.count(),
+            "triples_per_sec": round(n_triples / max(total, 1e-9), 1),
+            "model_version": model_version(self.backend),
+        }
+        self._write_text(os.path.join(self.output_dir, "_pipeline_summary.json"),
+                         json.dumps(summary, indent=1, sort_keys=True))
+        return summary
+
+    # --------------------------------------------------- incremental
+
+    def run_incremental(self, prior_dir: str, resume: bool = True,
+                        check_disjoint: bool = True,
+                        prior_io=None) -> dict:
+        """Merge a DELTA of new conversations (``self.input_dir``) into
+        a completed prior pipeline output (``prior_dir``) — see
+        kg/incremental.py for the per-stage merge algebra and its
+        equivalence proof. The output dir is self-contained (merged
+        vocab/pairs/components/nodes/edges/relations; delta-only
+        triples/triples_norm) so increments CHAIN: the next increment
+        points its prior_dir here.
+
+        Contract: delta conv_ids are disjoint from every prior
+        increment (new conversations only). ``check_disjoint`` guards
+        it with one column-pruned semi-join against the prior edge
+        table's conv_id column; disable on deployments where the
+        upstream ingestion already guarantees it.
+
+        Stage resume fingerprints additionally pin the prior tables'
+        write_ids, so pointing the same output at a rebuilt prior
+        re-runs the merge rather than false-resuming."""
+        from openie_spark.kg.graph import build_edges_from_norm, build_nodes, norm_triples
+        from openie_spark.kg.incremental import (
+            entity_remap,
+            incremental_exact_pairs,
+            merge_components,
+            merge_relations,
+            merge_vocab,
+            remap_edges,
+        )
+        from openie_spark.kg.canon import canonical_map
+        from openie_spark.kg.linking import skew_stats
+        from openie_spark.kg.mentions import mention_vocab, mentions_from_norm
+        from openie_spark.operators.extract import extract_triples
+        from openie_spark.sources.transcripts import read_transcripts
+
+        if self.pair_mode != "exact":
+            raise ValueError(
+                "run_incremental supports pair_mode='exact' (the "
+                "touched-block recompute is defined on blocking keys; "
+                "the same pattern applies to minhash band buckets but "
+                "is not wired here)")
+
+        t_total = time.time()
+        spark = self.spark
+        pio = prior_io if prior_io is not None else ParquetTableIO(prior_dir)
+
+        def prior(name: str) -> DataFrame:
+            df = pio.read(spark, name)
+            return df.drop("bucket") if "bucket" in df.columns else df
+
+        def prior_write_id(name: str) -> str | None:
+            raw = self._read_text(os.path.join(prior_dir, name, "_manifest.json"))
+            return None if raw is None else json.loads(raw).get("write_id")
+
+        def fp_of(*names: str) -> dict:
+            return {"prior_dir": prior_dir, "delta": True,
+                    "prior": {n: prior_write_id(n) for n in names}}
+
+        triples = self._run_stage(
+            "triples",
+            lambda: extract_triples(read_transcripts(spark, self.input_dir), backend=self.backend),
+            "conv_id", [], resume, extra_fp=fp_of(),
+        )
+        if check_disjoint:
+            overlap = (
+                triples.select("conv_id").distinct()
+                .join(prior("edges").select("conv_id").distinct(), "conv_id", "semi")
+                .limit(1).count()
+            )
+            if overlap:
+                raise ValueError(
+                    "run_incremental: delta shares conv_ids with the prior "
+                    "graph — increments must carry NEW conversations only "
+                    "(n_convs support merges additively under that contract)")
+        tnorm = self._run_stage(
+            "triples_norm",
+            lambda: norm_triples(triples.drop("bucket")),
+            "conv_id", ["triples"], resume, extra_fp=fp_of(),
+        )
+        vocab = self._run_stage(
+            "vocab",
+            lambda: merge_vocab(
+                prior("vocab"),
+                mention_vocab(mentions_from_norm(tnorm.drop("bucket")))),
+            "norm", ["triples_norm"], resume, extra_fp=fp_of("vocab"),
+            extra_metrics=lambda out: {
+                "skew": skew_stats(out.drop("bucket")).collect()[0].asDict()
+            },
+        )
+        pairs = self._run_stage(
+            "pairs",
+            lambda: incremental_exact_pairs(
+                prior("pairs"), prior("vocab"), vocab.drop("bucket")),
+            "a", ["vocab"], resume, extra_fp=fp_of("vocab", "pairs"),
+        )
+        components = self._run_stage(
+            "components",
+            lambda: canonical_map(
+                vocab.drop("bucket"),
+                merge_components(prior("components"), pairs.drop("bucket"))),
+            "component", ["vocab", "pairs"], resume,
+            extra_fp=fp_of("components"),
+        )
+        nodes = self._run_stage(
+            "nodes",
+            lambda: build_nodes(components.drop("bucket")),
+            "entity_id", ["components"], resume, extra_fp=fp_of(),
+        )
+        remap = entity_remap(prior("components"), components.drop("bucket")) \
+            .localCheckpoint(eager=True)
+        delta_edges = build_edges_from_norm(
+            tnorm.drop("bucket"), components.drop("bucket"),
+            strategy="broadcast",
+        )
+        edges = self._run_stage(
+            "edges",
+            lambda: remap_edges(prior("edges"), remap).unionByName(delta_edges),
+            "src_id", ["triples_norm", "components"], resume,
+            extra_fp=fp_of("edges", "components"),
+        )
+        relations = self._run_stage(
+            "relations",
+            lambda: merge_relations(
+                prior("relations"), remap,
+                delta_edges, edges.drop("bucket")),
+            "src_id", ["edges"], resume,
+            extra_fp=fp_of("relations", "edges", "components"),
+        )
+
+        total = round(time.time() - t_total, 3)
+        n_triples = next(r.rows for r in self.results if r.name == "triples")
+        summary = {
+            "mode": "incremental",
+            "prior_dir": prior_dir,
+            "stages": {r.name: {"rows": r.rows, "seconds": r.seconds, "resumed": r.resumed}
+                       for r in self.results},
+            "total_seconds": total,
+            "delta_triples": n_triples,
             "nodes": nodes.count(),
             "edges": edges.count(),
             "relations": relations.count(),

@@ -43,6 +43,11 @@ def main() -> None:
     ap.add_argument("--analytics", action="store_true",
                     help="Also materialize stage-I graph analytics tables "
                          "(pagerank, triangles, khop) with manifests.")
+    ap.add_argument("--prior", default=None,
+                    help="Incremental mode: merge --input (NEW conv_ids "
+                         "only) into the completed pipeline output at this "
+                         "dir (kg/incremental.py); the output dir is "
+                         "self-contained and chains as the next --prior.")
     ap.add_argument("--master", default=None,
                     help="Override master (local runs). Under spark-submit leave unset.")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -87,7 +92,11 @@ def main() -> None:
     pipe = KGPipeline(spark, args.input, args.output,
                       backend=args.backend, pair_mode=args.pair_mode,
                       analytics=args.analytics)
-    summary = pipe.run(resume=not args.no_resume)
+    if args.prior:
+        summary = pipe.run_incremental(prior_dir=args.prior,
+                                       resume=not args.no_resume)
+    else:
+        summary = pipe.run(resume=not args.no_resume)
     print(json.dumps(summary, sort_keys=True))
     spark.stop()
 
