@@ -390,6 +390,26 @@ def _q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relation_weights(edges)
 
 
+def _q_kg_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG edges: relation validity intervals [first_us,
+    last_us] from the turn timestamps — one equi-join on the
+    (conv_id, turn_idx) provenance key plus one grouped aggregate."""
+    from openie_spark.kg.analytics import temporal_relations
+    from openie_spark.sources.transcripts import read_transcripts
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return temporal_relations(edges, read_transcripts(_tune(spark), sf_dir))
+
+
+def _q_kg_export_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples export sink: node-label + distinct-relation lines,
+    map-only over the materialized graph tables."""
+    from openie_spark.kg.analytics import export_ntriples
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return export_ntriples(nodes, edges)
+
+
 def _conv_parity(col: str = "conv_id") -> F.Column:
     """Deterministic 2-way conv split (md5 last hex digit parity) —
     engine-portable, used to stage the incremental-equivalence
@@ -623,6 +643,14 @@ def _q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_dp_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training pair counts: word-frequency collapse
+    then vocab-sized pair explode — top pairs by corpus weight."""
+    from openie_spark.datapipe.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir))
+
+
 def _q_dp_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation funnel composed in one plan (exact-dedup
     keeper ∧ quality threshold ∧ mixing sample) with auditable
@@ -829,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_degree": _q_kg_degree,
         "kg_relations": _q_kg_relations,
+        "kg_temporal": _q_kg_temporal,
+        "kg_export_nt": _q_kg_export_nt,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_pagerank": _q_kg_pagerank,
@@ -845,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_lang_id": _q_dp_lang_id,
         "dp_token_count": _q_dp_token_count,
         "dp_fingerprint": _q_dp_fingerprint,
+        "dp_bpe_pairs": _q_dp_bpe_pairs,
         "dp_sample": _q_dp_sample,
         "dp_pack": _q_dp_pack,
         "dp_curated": _q_dp_curated,
@@ -892,6 +923,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": o.kg_edges_sql(),
         "kg_degree": o.kg_degree_sql(),
         "kg_relations": o.kg_relations_sql(),
+        "kg_temporal": o.kg_temporal_sql(),
+        "kg_export_nt": o.kg_export_nt_sql(),
         "kg_nodes_incremental": o.kg_nodes_sql(),
         "kg_edges_incremental": o.kg_edges_sql(),
         "kg_pagerank": o.kg_pagerank_sql(),
@@ -908,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_lang_id": dp.lang_id_sql(),
         "dp_token_count": dp.token_count_sql(),
         "dp_fingerprint": dp.fingerprint_sql(),
+        "dp_bpe_pairs": dp.bpe_pairs_sql(),
         "dp_sample": dp.stratified_sample_sql(),
         "dp_pack": dp.pack_sequences_sql(),
         "dp_curated": dp.curated_corpus_sql(),

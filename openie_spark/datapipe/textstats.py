@@ -146,3 +146,41 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         lambda acc, t: (acc * FP_MULT + md5h60(t) % FP_PRIME) % FP_PRIME,
     )
     return docs.select("doc_id", fp.alias("fp"))
+
+
+BPE_TOP_PAIRS = 200
+BPE_EOW = ">"   # end-of-word sentinel; words are [a-z]+ so it cannot collide
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = BPE_TOP_PAIRS) -> DataFrame:
+    """The inner loop of BPE tokenizer training: corpus-weighted
+    adjacent-symbol pair counts over the initial character vocabulary
+    (Sennrich et al. 2016 — public algorithm), top-``k`` pairs by
+    (count desc, pair asc).
+
+    Scale shape: the pair explode runs over the DISTINCT-WORD table,
+    not the corpus — ``groupBy(word)`` first collapses 100 TB of text
+    to a Heaps'-law vocabulary (~10^7 rows), and per-pair counts are
+    weighted by word frequency. Word counting itself is one shuffle
+    with map-side partial aggregation; the final top-k is
+    TakeOrderedAndProject (per-partition top-k, no global sort). This
+    is exactly how production BPE trainers scale (word-count then
+    pair-count over the vocab), so adding a merge loop on top is a
+    driver-side iteration over a vocab-sized table.
+    """
+    words = (
+        docs.select(F.explode(F.regexp_extract_all(
+            F.lower("text"), F.lit("[a-z]+"), 0)).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("n"))
+        .withColumn("word", F.concat(F.col("word"), F.lit(BPE_EOW)))
+    )
+    pair = F.explode(F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.substring(F.col("word"), i, F.lit(2)),
+    )).alias("pair")
+    return (
+        words.select(pair, "n")
+        .groupBy("pair").agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

@@ -201,6 +201,71 @@ def relation_weights(edges: DataFrame) -> DataFrame:
     )
 
 
+def temporal_relations(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Temporal KG edges: per canonical relation (src_id, dst_id, pred)
+    the mention count, distinct-conversation support, and the VALIDITY
+    INTERVAL [first_us, last_us] (epoch microseconds) over which the
+    relation was observed — the standard temporal-KG materialization a
+    downstream consumer needs for time-sliced queries ("what did we
+    know by T?") and for recency-weighted ranking.
+
+    Scale shape: provenance edges already carry (conv_id, turn_idx);
+    ts is functionally dependent on that key, so one equi-join against
+    the turn-timestamp projection (two-column slice of the transcripts
+    scan — column pruning reaches the parquet reader) followed by one
+    partial-aggregated groupBy. No window, no skew axis beyond the
+    relation key itself (same as relation_weights). Epoch-micros
+    integers instead of timestamps keep the output engine-portable."""
+    ts = transcripts.select(
+        "conv_id", "turn_idx", F.unix_micros("ts").alias("ts_us"))
+    return (
+        edges.join(ts, ["conv_id", "turn_idx"])
+        .groupBy("src_id", "dst_id", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.min("ts_us").alias("first_us"),
+            F.max("ts_us").alias("last_us"),
+        )
+    )
+
+
+def export_ntriples(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Serialize the canonical graph as N-Triples lines — the
+    interchange sink that makes the materialized KG loadable by any
+    RDF store. One line per node label plus one per distinct
+    (src, pred, dst) relation:
+
+        <urn:kg:ent:ID> <urn:kg:label> "canonical" .
+        <urn:kg:ent:SRC> <urn:kg:rel:pred_words> <urn:kg:ent:DST> .
+
+    Canonical strings and predicates are already normalized to
+    [a-z0-9 ] / lexicon words by the mention/extraction stages, so the
+    N-Triples escaping reduces to the space→'_' predicate-IRI mangle
+    (asserted upstream; no general escaper pretends to run here).
+
+    Scale shape: map-only string projection over the nodes table plus
+    one distinct() on the relation key (the only shuffle) — the export
+    is embarrassingly parallel and writes straight to a text sink."""
+    node_lines = nodes.select(
+        F.concat(
+            F.lit("<urn:kg:ent:"), F.col("entity_id"),
+            F.lit("> <urn:kg:label> \""), F.col("canonical"),
+            F.lit("\" ."),
+        ).alias("nt"))
+    rel_lines = (
+        edges.select("src_id", "dst_id", "pred").distinct()
+        .select(F.concat(
+            F.lit("<urn:kg:ent:"), F.col("src_id"),
+            F.lit("> <urn:kg:rel:"),
+            F.regexp_replace("pred", " ", "_"),
+            F.lit("> <urn:kg:ent:"), F.col("dst_id"),
+            F.lit("> ."),
+        ).alias("nt"))
+    )
+    return node_lines.unionAll(rel_lines)
+
+
 KHOP_K = 3
 KHOP_SEED_MOD = 40          # ~2.5% of entities are seeds
 KHOP_SALT = "khop-v1"

@@ -251,6 +251,25 @@ def token_count_sql() -> str:
 FROM documents"""
 
 
+def bpe_pairs_sql() -> str:
+    """Twin of textstats.bpe_pair_counts: word-frequency collapse,
+    end-of-word sentinel, adjacent-character pair counts weighted by
+    word count, deterministic top-k by (n desc, pair asc)."""
+    from openie_spark.datapipe.textstats import BPE_EOW, BPE_TOP_PAIRS
+
+    return f"""WITH words AS (
+  SELECT w || '{BPE_EOW}' AS word, count(*) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(sum(n) AS BIGINT) AS n
+  FROM words, unnest(range(1, length(word))) AS r(i)
+  GROUP BY 1
+)
+SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}"""
+
+
 def fingerprint_sql() -> str:
     return f"""WITH t AS (
   SELECT doc_id,

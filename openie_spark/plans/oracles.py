@@ -366,6 +366,33 @@ SELECT src_id, dst_id, pred,
 FROM kg_edges GROUP BY 1, 2, 3""")
 
 
+def kg_temporal_sql() -> str:
+    """Twin of kg.analytics.temporal_relations: provenance edges
+    joined to the (conv_id, turn_idx)-keyed turn timestamps, validity
+    interval as epoch-microsecond BIGINTs."""
+    return _with_kg("""
+SELECT e.src_id, e.dst_id, e.pred,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT e.conv_id) AS BIGINT) AS n_convs,
+       CAST(min(epoch_us(t.ts)) AS BIGINT) AS first_us,
+       CAST(max(epoch_us(t.ts)) AS BIGINT) AS last_us
+FROM kg_edges e
+JOIN transcripts t ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx
+GROUP BY 1, 2, 3""")
+
+
+def kg_export_nt_sql() -> str:
+    """Twin of kg.analytics.export_ntriples (node labels + distinct
+    relations as N-Triples lines)."""
+    return _with_kg("""
+SELECT '<urn:kg:ent:' || entity_id || '> <urn:kg:label> "' || canonical || '" .' AS nt
+FROM nodes
+UNION ALL
+SELECT '<urn:kg:ent:' || src_id || '> <urn:kg:rel:' || replace(pred, ' ', '_')
+       || '> <urn:kg:ent:' || dst_id || '> .' AS nt
+FROM (SELECT DISTINCT src_id, dst_id, pred FROM kg_edges)""")
+
+
 def kg_pagerank_sql() -> str:
     """Twin of kg.analytics.pagerank: the same integer-exact
     recurrence unrolled to PAGERANK_ITERS CTEs (r0..rK). Integer floor

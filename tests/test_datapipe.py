@@ -366,3 +366,30 @@ def test_embedding_groups_no_pairs_all_singletons(spark):
                spark.createDataFrame(rows, "vec_id long, embedding array<float>")
            ).collect()}
     assert out == {i: (i, 1, True) for i in range(4)}
+
+
+def test_bpe_pair_counts_hand_values(spark):
+    """Tiny corpus golden for the BPE pair-count kernel: word
+    frequencies collapse first, pairs carry the end-of-word sentinel,
+    ordering is (count desc, pair asc)."""
+    from openie_spark.datapipe.textstats import bpe_pair_counts
+
+    corpus = spark.createDataFrame(
+        [(0, "ab ab! cd"), (1, "AB c"), (2, "")],
+        "doc_id long, text string")
+    # words: ab x3, cd x1, c x1  ->  marked: ab> cd> c>
+    # pairs: 'ab'*3, 'b>'*3, 'cd'*1, 'd>'*1, 'c>'*1
+    got = [(r.pair, r.n) for r in bpe_pair_counts(corpus).collect()]
+    assert got == [("ab", 3), ("b>", 3), ("c>", 1), ("cd", 1), ("d>", 1)]
+
+
+def test_bpe_pair_counts_limit_and_determinism(spark, docs):
+    from openie_spark.datapipe.textstats import BPE_TOP_PAIRS, bpe_pair_counts
+
+    a = bpe_pair_counts(docs).collect()
+    b = bpe_pair_counts(docs.repartition(7)).collect()
+    assert [(r.pair, r.n) for r in a] == [(r.pair, r.n) for r in b]
+    assert len(a) <= BPE_TOP_PAIRS
+    # counts are non-increasing in the emitted order
+    ns = [r.n for r in a]
+    assert ns == sorted(ns, reverse=True)

@@ -220,3 +220,55 @@ def test_graph_summary_hand_values(spark):
         "max_degree": 3,        # c
         "sum_degree": 8,        # 2 * n_und_edges
     }
+
+
+# ---------------------------------------------------- temporal edges
+
+def test_temporal_relations_hand_values(spark):
+    """Validity interval = [min ts, max ts] of the provenance
+    mentions, epoch-microsecond integers; support counts match
+    relation_weights semantics."""
+    import datetime as dt
+
+    from openie_spark.kg.analytics import temporal_relations
+
+    pairs = [("a", "b"), ("a", "b"), ("b", "c")]
+    preds = {("a", "b"): "likes", ("b", "c"): "knows"}
+    e = _edges(spark, pairs, preds)
+    # spread the (a,b) mentions across convs/turns with known times
+    e = (e.withColumn("conv_id",
+                      F.when(F.col("ext_idx") == 1, F.lit("c1"))
+                       .otherwise(F.col("conv_id")))
+          .withColumn("turn_idx",
+                      F.when(F.col("ext_idx") == 1, F.lit(5))
+                       .otherwise(F.col("turn_idx"))))
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    tr = spark.createDataFrame(
+        [("c0", 0, t0), ("c1", 5, dt.datetime(2024, 1, 2, 0, 0, 0))],
+        "conv_id string, turn_idx int, ts timestamp")
+    got = {(r.src_id, r.dst_id, r.pred):
+           (r.n_mentions, r.n_convs, r.first_us, r.last_us)
+           for r in temporal_relations(e, tr).collect()}
+    us0 = int(t0.timestamp() * 1_000_000)
+    day = 86_400 * 1_000_000
+    assert got == {
+        ("a", "b", "likes"): (2, 2, us0, us0 + day),
+        ("b", "c", "knows"): (1, 1, us0, us0),
+    }
+
+
+def test_export_ntriples_lines(spark):
+    from openie_spark.kg.analytics import export_ntriples
+
+    nodes = spark.createDataFrame(
+        [("e1", "acme corp"), ("e2", "bob")],
+        "entity_id string, canonical string")
+    edges = spark.createDataFrame(
+        [("e1", "e2", "was founded by"), ("e1", "e2", "was founded by")],
+        "src_id string, dst_id string, pred string")
+    got = sorted(r.nt for r in export_ntriples(nodes, edges).collect())
+    assert got == [
+        '<urn:kg:ent:e1> <urn:kg:label> "acme corp" .',
+        '<urn:kg:ent:e1> <urn:kg:rel:was_founded_by> <urn:kg:ent:e2> .',
+        '<urn:kg:ent:e2> <urn:kg:label> "bob" .',
+    ]
