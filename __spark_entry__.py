@@ -792,6 +792,16 @@ def _q_dp_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_emb(spark, sf_dir))
 
 
+def _q_dp_embedding_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN top-k: IVF cells bound candidates, product-
+    quantization codes rank them with an ids+codes-only shuffle; full
+    vectors re-attach only for the bounded exact-rescore shortlist.
+    md5-deterministic codebooks make it fully DuckDB-recomputable."""
+    from openie_spark.datapipe.similarity import ivfpq_topk
+
+    return ivfpq_topk(_emb(spark, sf_dir))
+
+
 def _q_dp_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN over planted twins — full DuckDB oracle
     (lsh_topk_sql recomputes planes → sketches → buckets → rescore),
@@ -890,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_embedding_topk": _q_dp_embedding_topk,
         "dp_embedding_topk_np": _q_dp_embedding_topk_np,
         "dp_embedding_ivf": _q_dp_embedding_ivf,
+        "dp_embedding_ivfpq": _q_dp_embedding_ivfpq,
         "dp_embedding_lsh": _q_dp_embedding_lsh,
         "dp_embedding_pairs": _q_dp_embedding_pairs,
         "dp_embedding_groups": _q_dp_embedding_groups,
@@ -956,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_embedding_topk": dp.brute_topk_sql_oracle(),
         "dp_embedding_topk_np": dp.brute_topk_sql_oracle(),
         "dp_embedding_ivf": dp.ivf_topk_sql(),
+        "dp_embedding_ivfpq": dp.ivfpq_topk_sql(),
         "dp_embedding_lsh": dp.lsh_topk_sql(),
         "dp_embedding_pairs": dp.embedding_pairs_sql(),
         "dp_embedding_groups": dp.embedding_groups_sql(),

@@ -466,6 +466,173 @@ def ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     )
 
 
+PQ_SUBSPACES = 4        # m: subvector count (dim must divide evenly)
+PQ_CODES = 16           # ks: codebook entries per subspace (1 byte >= this)
+PQ_CAND = 20            # exact-rescore set per query (4x TOPK)
+PQ_SALT = "pq-v1"       # decorrelates the PQ sample from the IVF centroids
+
+
+def ivfpq_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
+               n_centroids: int = IVF_CENTROIDS, nprobe: int = IVF_NPROBE,
+               m: int = PQ_SUBSPACES, ks: int = PQ_CODES,
+               n_cand: int = PQ_CAND) -> DataFrame:
+    """IVFPQ: IVF coarse cells bound the candidate set, PRODUCT-
+    QUANTIZATION codes rank candidates without touching full vectors
+    (Jégou et al. 2011, public algorithm).
+
+    Each vector is encoded once as ``m`` sub-codebook indices: split
+    the unit vector into m subvectors, assign each to its nearest of
+    ``ks`` sampled sub-centroids (argmin L2 == argmax x·c − ½‖c‖², so
+    the already engine-pinned inner-product kernel is the only
+    primitive). Asymmetric-distance (ADC) score of query q vs code =
+    Σ_m (q_m · centroid[m][code_m]), each term in exact round-6
+    INTEGER micro-units so the m-way sum is order-free and
+    engine-portable.
+
+    Why this is the 10^9-vector path: the inverted-list candidate join
+    shuffles (cell, vec_id, codes) — m bytes of code per vector, not
+    the dim×8-byte unit (64x smaller at dim 64) — and full vectors are
+    re-attached by id-join ONLY for the top-``n_cand`` ADC winners per
+    query before the exact rescore. Codebooks are md5-deterministic
+    samples (like ivf_topk's centroids) so the whole structure is
+    DuckDB-recomputable.
+    """
+    import numpy as np
+
+    from openie_spark.functions.partitioning import spread
+
+    dim = _dim_of(emb)
+    if dim % m:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    e = with_unit(spread(emb, "vec_id"), dim=dim).localCheckpoint(eager=False)
+
+    # coarse centroids: identical sampling rule to ivf_topk
+    cent_rows = sorted(
+        e.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_vec"))
+        .withColumn("h", md5h60(F.col("c_id").cast("string")))
+        .orderBy("h", "c_id").limit(n_centroids).drop("h").collect(),
+        key=lambda r: r.c_id)
+    cent_ids = np.array([r.c_id for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r.c_vec for r in cent_rows], dtype=np.float64)
+    npb = min(nprobe, len(cent_rows))
+
+    # PQ codebook: ks md5-sampled vectors (salted — independent of the
+    # IVF sample), code j = rank j in (md5, vec_id) order; sub-centroid
+    # [m][j] = subvector m of sample j. Bounded collect (ks rows).
+    pq_rows = (
+        e.select("vec_id", "unit")
+        .withColumn("h", md5h60(F.concat(F.lit(f"{PQ_SALT}#"),
+                                         F.col("vec_id").cast("string"))))
+        .orderBy("h", "vec_id").limit(ks).drop("h").collect())
+    cb = np.array([r.unit for r in pq_rows], dtype=np.float64)  # (ks, dim)
+    # per-subspace score offset: -0.5*||c||^2 (sequential fold, like
+    # the oracle's list_inner_product)
+    cb_half = np.empty((m, ks), dtype=np.float64)
+    for mm in range(m):
+        for j in range(ks):
+            acc = 0.0
+            for d in range(sub):
+                acc = acc + cb[j, mm * sub + d] * cb[j, mm * sub + d]
+            cb_half[mm, j] = 0.5 * acc
+
+    def _seq_dots(x: "np.ndarray", mat: "np.ndarray") -> "np.ndarray":
+        """Sequential-order dot of rows of x against rows of mat —
+        replays DuckDB's list_inner_product fold exactly."""
+        out = np.empty((x.shape[0], mat.shape[0]), dtype=np.float64)
+        for c in range(mat.shape[0]):
+            acc = np.zeros(x.shape[0], dtype=np.float64)
+            for d in range(x.shape[1]):
+                acc = acc + x[:, d] * mat[c, d]
+            out[:, c] = acc
+        return out
+
+    def _round6(a: "np.ndarray") -> "np.ndarray":
+        return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+    def _micro(a: "np.ndarray") -> "np.ndarray":
+        """round-half-away(a*1e6) as exact int64 micro-units."""
+        return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a).astype(np.int64)
+
+    def _encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["cell"] = np.array([], dtype=np.int64)
+                pdf["codes"] = [[] for _ in range(0)]
+                yield pdf[["vec_id", "cell", "codes"]]
+                continue
+            x = np.array(list(pdf["unit"]), dtype=np.float64)
+            sims = _round6(_seq_dots(x, cent_mat))
+            pdf["cell"] = cent_ids[np.argmax(sims, axis=1)]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for mm in range(m):
+                xs = x[:, mm * sub:(mm + 1) * sub]
+                score = _round6(_seq_dots(xs, cb[:, mm * sub:(mm + 1) * sub])
+                                - cb_half[mm])
+                codes[:, mm] = np.argmax(score, axis=1)   # first-max = lowest code
+            pdf["codes"] = list(codes)
+            yield pdf[["vec_id", "cell", "codes"]]
+
+    def _probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sims = _round6(_seq_dots(
+                np.array(list(pdf["q_vec"]), dtype=np.float64), cent_mat))
+            out = []
+            for i in range(len(pdf)):
+                for c in np.argsort(-sims[i], kind="stable")[:npb]:
+                    out.append((pdf["q_id"].iloc[i], pdf["q_vec"].iloc[i],
+                                int(cent_ids[c])))
+            yield pd.DataFrame(out, columns=["q_id", "q_vec", "cell"])
+
+    def _adc(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["adc"] = np.array([], dtype=np.int64)
+                yield pdf[["q_id", "vec_id", "adc"]]
+                continue
+            q = np.array(list(pdf["q_vec"]), dtype=np.float64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            adc = np.zeros(len(pdf), dtype=np.int64)
+            for mm in range(m):    # Σ_m in fixed order; integer => order-free
+                t = _micro(_seq_dots(q[:, mm * sub:(mm + 1) * sub],
+                                     cb[:, mm * sub:(mm + 1) * sub]))
+                adc = adc + t[np.arange(len(pdf)), codes[:, mm]]
+            pdf["adc"] = adc
+            yield pdf[["q_id", "vec_id", "adc"]]
+
+    codes_t = e.select("vec_id", "unit").mapInPandas(
+        _encode, "vec_id long, cell long, codes array<int>")
+    probes = _queries(e, query_mod).mapInPandas(
+        _probe, "q_id long, q_vec array<double>, cell long").localCheckpoint(eager=False)
+    ranked = (
+        probes.join(codes_t, "cell")                 # ids+codes only
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .mapInPandas(_adc, "q_id long, vec_id long, adc long")
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    shortlist = (ranked.withColumn("arank", F.row_number().over(wa))
+                 .filter(F.col("arank") <= n_cand).select("q_id", "vec_id"))
+    # full vectors re-attach by id-join for the bounded rescore set
+    rescored = (
+        shortlist
+        .join(probes.select("q_id", "q_vec").distinct(), "q_id")
+        .join(e.select("vec_id", "unit"), "vec_id")
+        .withColumn("cos", F.round(_dot_fixed(F.col("q_vec"), F.col("unit"), dim), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos")
+    )
+
+
 def planted_embeddings(emb: DataFrame) -> DataFrame:
     """emb ∪ near-identical twins (dim 0 scaled by 1.05; vec_id +=
     PLANT_VEC_OFFSET) — deterministic cos≈0.999 ground truth for the

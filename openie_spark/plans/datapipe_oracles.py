@@ -348,6 +348,88 @@ SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
 ) WHERE rank <= {TOPK}"""
 
 
+def ivfpq_topk_sql() -> str:
+    """Recomputes the full IVFPQ structure (similarity.ivfpq_topk):
+    md5-sampled coarse centroids + cell assignment (same CTEs as IVF),
+    salted md5-sampled PQ codebooks, per-subspace code assignment by
+    argmax(x·c − ½‖c‖², round-6, lowest-code tiebreak), ADC as an
+    order-free BIGINT micro-unit sum, exact rescore of the top
+    PQ_CAND shortlist."""
+    from openie_spark.datapipe.similarity import (
+        PQ_CAND,
+        PQ_CODES,
+        PQ_SALT,
+        PQ_SUBSPACES,
+    )
+
+    m, ks = PQ_SUBSPACES, PQ_CODES
+    sub = _EMB_DIM // m
+    pq_h = _md5h60(f"'{PQ_SALT}#' || CAST(vec_id AS VARCHAR)")
+    return f"""WITH {_UNIT_CTE.format(src='embeddings')},
+cent AS MATERIALIZED (
+  SELECT vec_id AS c_id, unit AS c_vec FROM un
+  ORDER BY {_md5h60("CAST(vec_id AS VARCHAR)")}, vec_id
+  LIMIT {IVF_CENTROIDS}
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, unit, c_id AS cell FROM (
+    SELECT u.vec_id, u.unit, c.c_id,
+           row_number() OVER (PARTITION BY u.vec_id
+             ORDER BY round(list_inner_product(u.unit, c.c_vec), 6) DESC,
+                      c.c_id ASC) AS rn
+    FROM un u CROSS JOIN cent c) WHERE rn = 1
+),
+pqs AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, unit
+  FROM (SELECT vec_id, unit, {pq_h} AS h FROM un ORDER BY h, vec_id LIMIT {ks})
+),
+cb AS MATERIALIZED (
+  SELECT mm.m, p.code, p.unit[mm.m*{sub}+1 : (mm.m+1)*{sub}] AS cvec
+  FROM pqs p, (SELECT unnest(range(0, {m})) AS m) mm
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT a.vec_id, a.cell, c.m, c.code,
+           row_number() OVER (PARTITION BY a.vec_id, c.m
+             ORDER BY round(list_inner_product(a.unit[c.m*{sub}+1 : (c.m+1)*{sub}], c.cvec)
+                      - 0.5 * list_inner_product(c.cvec, c.cvec), 6) DESC,
+                      c.code ASC) AS rn
+    FROM assign a CROSS JOIN cb c) WHERE rn = 1
+),
+probe AS MATERIALIZED (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT q.vec_id AS q_id, q.unit AS q_vec, c.c_id AS cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_inner_product(q.unit, c.c_vec), 6) DESC,
+                      c.c_id ASC) AS rn
+    FROM un q CROSS JOIN cent c WHERE q.vec_id % {QUERY_MOD} = 0) WHERE rn <= {IVF_NPROBE}
+),
+adc AS (
+  SELECT p.q_id, k.vec_id,
+         CAST(sum(CAST(round(list_inner_product(
+             p.q_vec[k.m*{sub}+1 : (k.m+1)*{sub}], b.cvec) * 1000000.0) AS BIGINT)) AS BIGINT) AS adc
+  FROM probe p
+  JOIN codes k ON p.cell = k.cell
+  JOIN cb b ON b.m = k.m AND b.code = k.code
+  WHERE k.vec_id <> p.q_id
+  GROUP BY p.q_id, k.vec_id
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= {PQ_CAND}
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+  SELECT s.q_id, s.vec_id,
+         round(list_inner_product(q.unit, u.unit), 6) AS cos,
+         row_number() OVER (PARTITION BY s.q_id
+           ORDER BY round(list_inner_product(q.unit, u.unit), 6) DESC,
+                    s.vec_id ASC) AS rank
+  FROM short s JOIN un q ON q.vec_id = s.q_id JOIN un u ON u.vec_id = s.vec_id
+) WHERE rank <= {TOPK}"""
+
+
 _PLANTED_EMB_CTE = f"""
 pe AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings

@@ -393,3 +393,36 @@ def test_bpe_pair_counts_limit_and_determinism(spark, docs):
     # counts are non-increasing in the emitted order
     ns = [r.n for r in a]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_ivfpq_topk_exact_twin_rank1(emb):
+    """An exact-duplicate vector shares its original's cell and PQ
+    codes, so ADC ranks it first and the exact rescore returns it at
+    rank 1 with cos 1.0 — end-to-end coverage of encode → inverted
+    list → ADC shortlist → rescore."""
+    from openie_spark.datapipe.similarity import ivfpq_topk
+
+    base = emb.select("vec_id", "embedding")
+    twins = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding"))
+    got = ivfpq_topk(base.unionByName(twins), k=1, query_mod=10).collect()
+    orig = [r for r in got if r.q_id < 100000]
+    assert orig, "query sample empty"
+    for r in orig:
+        assert r.vec_id == r.q_id + 100000 and r.cos == 1.0, r
+
+
+def test_ivfpq_topk_deterministic_and_rescored(emb):
+    """Partitioning-independent results; every reported cos equals the
+    brute-force exact cosine for that (q, vec) pair (the rescore is
+    exact — only the CANDIDATE SET is approximate)."""
+    from openie_spark.datapipe.similarity import brute_topk_sql, ivfpq_topk
+
+    a = ivfpq_topk(emb).orderBy("q_id", "rank").collect()
+    b = ivfpq_topk(emb.repartition(13)).orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # exact cosines for all (q, vec) pairs via the brute path at k=corpus
+    exact = {(r.q_id, r.vec_id): r.cos
+             for r in brute_topk_sql(emb, k=10**9).collect()}
+    for r in a:
+        assert exact[(r.q_id, r.vec_id)] == r.cos
