@@ -410,6 +410,32 @@ def _q_kg_export_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_ntriples(nodes, edges)
 
 
+def _q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention graph (same-conversation association pairs,
+    per-conv entity cap bounding the self-join fan-out)."""
+    from openie_spark.kg.analytics import comention_pairs
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return comention_pairs(edges)
+
+
+def _q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tail-corruption negative samples for KGE
+    training (md5 hash-ring pick, broadcast representative table)."""
+    from openie_spark.kg.analytics import negative_samples
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return negative_samples(nodes, edges)
+
+
+def _q_dp_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase) — one
+    shuffle: running-min windows + a grouped aggregate."""
+    from openie_spark.datapipe.events import funnel_progress
+
+    return funnel_progress(_events(spark, sf_dir))
+
+
 def _conv_parity(col: str = "conv_id") -> F.Column:
     """Deterministic 2-way conv split (md5 last hex digit parity) —
     engine-portable, used to stage the incremental-equivalence
@@ -869,6 +895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations": _q_kg_relations,
         "kg_temporal": _q_kg_temporal,
         "kg_export_nt": _q_kg_export_nt,
+        "kg_comention": _q_kg_comention,
+        "kg_negatives": _q_kg_negatives,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_pagerank": _q_kg_pagerank,
@@ -912,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ev_props": _q_dp_ev_props,
         "dp_ev_asof": _q_dp_ev_asof,
         "dp_ev_intervals": _q_dp_ev_intervals,
+        "dp_ev_funnel": _q_dp_ev_funnel,
     }
 
 
@@ -936,6 +965,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_relations": o.kg_relations_sql(),
         "kg_temporal": o.kg_temporal_sql(),
         "kg_export_nt": o.kg_export_nt_sql(),
+        "kg_comention": o.kg_comention_sql(),
+        "kg_negatives": o.kg_negatives_sql(),
         "kg_nodes_incremental": o.kg_nodes_sql(),
         "kg_edges_incremental": o.kg_edges_sql(),
         "kg_pagerank": o.kg_pagerank_sql(),
@@ -979,4 +1010,5 @@ def oracle_sql() -> dict[str, str]:
         "dp_ev_props": dp.props_k_sql(),
         "dp_ev_asof": dp.asof_last_ref_sql(),
         "dp_ev_intervals": dp.interval_events_sql(),
+        "dp_ev_funnel": dp.funnel_sql(),
     }

@@ -271,3 +271,52 @@ def interval_events(events: DataFrame, ref_type: str = ASOF_REF_TYPE,
             (F.col("us") - F.col("start_us")).alias("offset_us"),
         )
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_progress(events: DataFrame,
+                    steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered-sequence funnel per user: t1 = first ``steps[0]`` event,
+    t_i = first ``steps[i]`` event STRICTLY AFTER t_{i-1}. Emits one
+    row per user who reached step 1: (user_id, t1_us…tK_us nullable,
+    reached).
+
+    ONE shuffle total: a running-min window per step flags each event
+    with "the earliest completion time of the previous step before
+    me" (rows-unbounded-preceding window over (user_id, ts, event_id)
+    ordering), so step-i candidacy is a per-row predicate; the final
+    groupBy(user_id) reuses the window's hash partitioning. This is
+    the textbook funnel without per-user event-list materialization —
+    state per user is K running minima, never the event list, so a
+    power-law user is a straggler, not an OOM.
+
+    Tie semantics are pinned: "after" is strict on the event's
+    microsecond timestamp (equal-ts events cannot chain), matching the
+    oracle bit-for-bit."""
+    e = _with_tz(events).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev_col = None
+    cand_cols = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            cand = F.when(F.col("event_type") == step, F.col("us"))
+        else:
+            run_prev = F.min(prev_col).over(w)
+            cand = F.when(
+                (F.col("event_type") == step) & (F.col("us") > run_prev),
+                F.col("us"))
+        e = e.withColumn(f"_c{i}", cand)
+        prev_col = F.col(f"_c{i}")
+        cand_cols.append(f"_c{i}")
+    aggs = [F.min(c).alias(f"t{i + 1}_us") for i, c in enumerate(cand_cols)]
+    out = e.groupBy("user_id").agg(*aggs)
+    reached = F.lit(0)
+    for i in range(len(steps)):
+        reached = F.when(F.col(f"t{i + 1}_us").isNotNull(), i + 1).otherwise(reached)
+    return (out.withColumn("reached", reached.cast("int"))
+            .where(F.col("t1_us").isNotNull()))

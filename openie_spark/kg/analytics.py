@@ -46,7 +46,7 @@ Scale notes (10^12-turn KG):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PAGERANK_ITERS = 5
@@ -227,6 +227,96 @@ def temporal_relations(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
             F.min("ts_us").alias("first_us"),
             F.max("ts_us").alias("last_us"),
         )
+    )
+
+
+COMENTION_CAP = 64      # max entities per conversation entering the pair join
+
+
+def comention_pairs(edges: DataFrame, cap: int = COMENTION_CAP) -> DataFrame:
+    """Entity co-mention graph: undirected pairs (a < b) of canonical
+    entities mentioned in the SAME conversation, weighted by
+    conversation support — the relation-free association signal KG
+    consumers use for entity relatedness / embedding training.
+
+    Scale shape: the per-conversation entity set is deduped FIRST
+    (one shuffle), so the self-join fan-out is E_conv², with E_conv
+    bounded by ``cap`` (deterministic keep-lowest-entity_id rule, the
+    same hot-key philosophy as linking.py's MAX_BLOCK): a pathological
+    conversation mentioning 10^4 entities would otherwise emit 10^8
+    pairs all by itself. Dropped-entity observability comes free — the
+    rank column is computed before the filter, so callers can count
+    rank > cap. The pair aggregation is partial (map-side combine on
+    the (a, b) key)."""
+    ents = (
+        edges.select("conv_id", F.col("src_id").alias("e"))
+        .unionAll(edges.select("conv_id", F.col("dst_id").alias("e")))
+        .distinct()
+    )
+    w = Window.partitionBy("conv_id").orderBy("e")
+    capped = (ents.withColumn("r", F.row_number().over(w))
+              .where(F.col("r") <= cap).drop("r")
+              .localCheckpoint(eager=False))   # self-join: don't recompute per side
+    l = capped.select("conv_id", F.col("e").alias("a"))
+    r = capped.select("conv_id", F.col("e").alias("b"))
+    return (
+        l.join(r, "conv_id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+    )
+
+
+NEG_BUCKETS = 64        # hash-ring granularity for corruption picks
+NEG_PER_POS = 2         # negatives emitted per positive triple
+NEG_SALT = "neg-v1"
+
+
+def negative_samples(nodes: DataFrame, edges: DataFrame,
+                     n_buckets: int = NEG_BUCKETS,
+                     per_pos: int = NEG_PER_POS) -> DataFrame:
+    """Deterministic tail-corruption negative sampling for KG-embedding
+    training data: each distinct positive (src, pred, dst) emits up to
+    ``per_pos`` corrupted rows (src, pred, dst, neg_dst, neg_idx) where
+    neg_dst is a pseudo-random entity chosen WITHOUT RNG state —
+    md5(edge, neg_idx) picks one of ``n_buckets`` hash buckets and the
+    bucket's minimum entity_id is the sample (consistent-hashing-style
+    pick). Collisions with the true dst or the src are dropped, so the
+    negatives are guaranteed false under the closed-world assumption
+    used by every KGE trainer.
+
+    Scale shape: the bucket→representative table is ``n_buckets`` rows
+    (one partial-aggregated groupBy over nodes, then a BROADCAST join
+    onto the positives) — no global entity rank, no shuffle of the
+    positives at all, deterministic at any parallelism. Raise
+    n_buckets for sample diversity; the table stays broadcast-sized
+    up to millions of buckets."""
+    from openie_spark.datapipe.hashing import md5h60
+
+    reps = (
+        nodes.select("entity_id")
+        .withColumn(
+            "bucket",
+            md5h60(F.concat(F.lit(f"{NEG_SALT}e#"), F.col("entity_id"))) % n_buckets)
+        .groupBy("bucket").agg(F.min("entity_id").alias("neg_dst"))
+    )
+    pos = (
+        edges.select("src_id", "pred", "dst_id").distinct()
+        .withColumn("neg_idx", F.explode(F.array(
+            *[F.lit(j) for j in range(per_pos)])))
+        .withColumn(
+            "bucket",
+            md5h60(F.concat(
+                F.lit(f"{NEG_SALT}#"), F.col("neg_idx").cast("string"),
+                F.lit("#"), F.col("src_id"), F.lit("#"), F.col("pred"),
+                F.lit("#"), F.col("dst_id"))) % n_buckets)
+    )
+    return (
+        pos.join(F.broadcast(reps), "bucket")
+        .where((F.col("neg_dst") != F.col("dst_id"))
+               & (F.col("neg_dst") != F.col("src_id")))
+        .select("src_id", "pred", "dst_id", "neg_dst",
+                F.col("neg_idx").cast("int").alias("neg_idx"))
     )
 
 

@@ -944,6 +944,36 @@ FROM events r JOIN events e
 WHERE r.event_type = '{ASOF_REF_TYPE}'"""
 
 
+def funnel_sql() -> str:
+    """Twin of events.funnel_progress: running-min windows chain the
+    strictly-after constraints, one grouped aggregate per user."""
+    from openie_spark.datapipe.events import FUNNEL_STEPS
+
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+s0 AS (
+  SELECT *, CASE WHEN event_type = '{s1}' THEN us END AS c0 FROM e
+),
+s1 AS (
+  SELECT *, CASE WHEN event_type = '{s2}' AND us > min(c0) OVER w THEN us END AS c1
+  FROM s0
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+),
+s2 AS (
+  SELECT *, CASE WHEN event_type = '{s3}' AND us > min(c1) OVER w THEN us END AS c2
+  FROM s1
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id,
+       min(c0) AS t1_us, min(c1) AS t2_us, min(c2) AS t3_us,
+       CAST(CASE WHEN min(c2) IS NOT NULL THEN 3
+                 WHEN min(c1) IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS reached
+FROM s2 GROUP BY user_id HAVING min(c0) IS NOT NULL"""
+
+
 def _grams_cte(src_sql: str, n: int) -> str:
     """Shared t/grams CTE pair: distinct (doc_id, md5h60 gram hash) of
     word ``n``-grams over ``src_sql`` (doc_id, text) — the twin of

@@ -393,6 +393,54 @@ SELECT '<urn:kg:ent:' || src_id || '> <urn:kg:rel:' || replace(pred, ' ', '_')
 FROM (SELECT DISTINCT src_id, dst_id, pred FROM kg_edges)""")
 
 
+def kg_comention_sql() -> str:
+    """Twin of kg.analytics.comention_pairs (per-conv entity dedup,
+    keep-lowest-entity_id cap, undirected pair counts)."""
+    from openie_spark.kg.analytics import COMENTION_CAP
+
+    return _with_kg("""
+SELECT a, b, CAST(count(*) AS BIGINT) AS n_convs FROM (
+  SELECT l.conv_id, l.e AS a, r.e AS b
+  FROM capped l JOIN capped r ON l.conv_id = r.conv_id AND l.e < r.e
+) GROUP BY 1, 2""", extra_ctes=f"""
+coment_ents AS (
+  SELECT DISTINCT conv_id, e FROM (
+    SELECT conv_id, src_id AS e FROM kg_edges
+    UNION ALL SELECT conv_id, dst_id AS e FROM kg_edges)
+),
+capped AS MATERIALIZED (
+  SELECT conv_id, e FROM (
+    SELECT conv_id, e,
+           row_number() OVER (PARTITION BY conv_id ORDER BY e) AS r
+    FROM coment_ents)
+  WHERE r <= {COMENTION_CAP}
+)""")
+
+
+def kg_negatives_sql() -> str:
+    """Twin of kg.analytics.negative_samples (md5 hash-ring bucket →
+    min-entity representative, broadcast pick, collision drop)."""
+    from openie_spark.kg.analytics import NEG_BUCKETS, NEG_PER_POS, NEG_SALT
+
+    h = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+    ebucket = h.format(x=f"'{NEG_SALT}e#' || entity_id") + f" % {NEG_BUCKETS}"
+    pbucket = (h.format(
+        x=f"'{NEG_SALT}#' || CAST(neg_idx AS VARCHAR) || '#' || src_id"
+          f" || '#' || pred || '#' || dst_id") + f" % {NEG_BUCKETS}")
+    return _with_kg(f"""
+SELECT p.src_id, p.pred, p.dst_id, r.neg_dst, CAST(p.neg_idx AS INT) AS neg_idx
+FROM (
+  SELECT src_id, pred, dst_id, neg_idx, {pbucket} AS bucket
+  FROM (SELECT DISTINCT src_id, pred, dst_id FROM kg_edges),
+       (SELECT unnest(range(0, {NEG_PER_POS})) AS neg_idx)
+) p
+JOIN (
+  SELECT {ebucket} AS bucket, min(entity_id) AS neg_dst
+  FROM nodes GROUP BY 1
+) r ON p.bucket = r.bucket
+WHERE r.neg_dst <> p.dst_id AND r.neg_dst <> p.src_id""")
+
+
 def kg_pagerank_sql() -> str:
     """Twin of kg.analytics.pagerank: the same integer-exact
     recurrence unrolled to PAGERANK_ITERS CTEs (r0..rK). Integer floor

@@ -197,3 +197,51 @@ def test_asof_matches_duckdb_oracle(ev_asof, spark):
              else int(row.us_since_ref))
         w = tuple(None if x != x or x is None else int(x) for x in w)
         assert g == w, (row.event_id, g, w)
+
+
+def test_funnel_progress_hand_values(spark):
+    """Sequential funnel semantics: each step must be STRICTLY after
+    the previous step's earliest completion; same-ts events cannot
+    chain; users with no step-1 event emit nothing."""
+    import datetime as dt
+
+    from openie_spark.datapipe.events import funnel_progress
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: full funnel in order
+        (0, at(0), 1, "view", 0.0, "{}"),
+        (1, at(1), 1, "click", 0.0, "{}"),
+        (2, at(2), 1, "purchase", 0.0, "{}"),
+        # user 2: click precedes the only view; purchase after view but
+        # no click-after-view -> reached 1
+        (3, at(0), 2, "click", 0.0, "{}"),
+        (4, at(1), 2, "view", 0.0, "{}"),
+        (5, at(2), 2, "purchase", 0.0, "{}"),
+        # user 3: clicks only -> filtered out entirely
+        (6, at(0), 3, "click", 0.0, "{}"),
+        # user 4: view and click share a timestamp -> strict 'after'
+        # rejects the chain
+        (7, at(0), 4, "view", 0.0, "{}"),
+        (8, at(0), 4, "click", 0.0, "{}"),
+        # user 5: view, click, purchase-before-click, purchase-after
+        (9, at(0), 5, "view", 0.0, "{}"),
+        (10, at(1), 5, "purchase", 0.0, "{}"),
+        (11, at(2), 5, "click", 0.0, "{}"),
+        (12, at(3), 5, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.user_id: r for r in funnel_progress(ev).collect()}
+    us = lambda m: int(at(m).timestamp() * 1_000_000)  # noqa: E731
+    assert set(got) == {1, 2, 4, 5}
+    assert (got[1].t1_us, got[1].t2_us, got[1].t3_us, got[1].reached) == \
+        (us(0), us(1), us(2), 3)
+    assert (got[2].t1_us, got[2].t2_us, got[2].reached) == (us(1), None, 1)
+    assert (got[4].t2_us, got[4].reached) == (None, 1)
+    assert (got[5].t2_us, got[5].t3_us, got[5].reached) == (us(2), us(3), 3)

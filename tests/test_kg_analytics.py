@@ -272,3 +272,66 @@ def test_export_ntriples_lines(spark):
         '<urn:kg:ent:e1> <urn:kg:rel:was_founded_by> <urn:kg:ent:e2> .',
         '<urn:kg:ent:e2> <urn:kg:label> "bob" .',
     ]
+
+
+def test_comention_pairs_hand_values(spark):
+    from openie_spark.kg.analytics import comention_pairs
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "b")]
+    convs = {("b", "c"): "c0"}   # default conv c0; move one (a,b) to c1
+    e = _edges(spark, pairs, convs=convs)
+    e = e.withColumn(
+        "conv_id",
+        F.when(F.col("ext_idx") == 2, F.lit("c1")).otherwise(F.col("conv_id")))
+    got = {(r.a, r.b): r.n_convs for r in comention_pairs(e).collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_comention_cap_bounds_fanout(spark):
+    """cap=3 keeps the 3 lowest entity_ids per conversation — exactly
+    C(3,2)=3 pairs survive from a 6-entity conversation."""
+    from openie_spark.kg.analytics import comention_pairs
+
+    e = _edges(spark, [("e0", "e1"), ("e2", "e3"), ("e4", "e5")])
+    got = {(r.a, r.b) for r in comention_pairs(e, cap=3).collect()}
+    assert got == {("e0", "e1"), ("e0", "e2"), ("e1", "e2")}
+
+
+def test_negative_samples_ring_pick(spark):
+    """Negatives match a pure-python recompute of the md5 hash-ring
+    pick, never collide with src/dst, and are partitioning-stable."""
+    import hashlib
+
+    from openie_spark.kg.analytics import (
+        NEG_BUCKETS,
+        NEG_PER_POS,
+        NEG_SALT,
+        negative_samples,
+    )
+
+    ids = [f"ent{i:02d}" for i in range(30)]
+    nodes = _nodes(spark, ids)
+    pairs = [("ent00", "ent01"), ("ent02", "ent03"), ("ent04", "ent05")]
+    e = _edges(spark, pairs)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    reps = {}
+    for eid in ids:
+        b = h60(f"{NEG_SALT}e#{eid}") % NEG_BUCKETS
+        reps[b] = min(reps.get(b, eid), eid)
+    expected = set()
+    for src, dst in pairs:
+        for j in range(NEG_PER_POS):
+            b = h60(f"{NEG_SALT}#{j}#{src}#rel#{dst}") % NEG_BUCKETS
+            neg = reps.get(b)
+            if neg is not None and neg != dst and neg != src:
+                expected.add((src, "rel", dst, neg, j))
+    got = {(r.src_id, r.pred, r.dst_id, r.neg_dst, r.neg_idx)
+           for r in negative_samples(nodes, e).collect()}
+    assert got == expected and expected
+    again = {(r.src_id, r.pred, r.dst_id, r.neg_dst, r.neg_idx)
+             for r in negative_samples(nodes.repartition(5),
+                                       e.repartition(3)).collect()}
+    assert again == got
