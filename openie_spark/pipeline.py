@@ -140,13 +140,15 @@ class KGPipeline:
 
     def __init__(self, spark: SparkSession, input_dir: str, output_dir: str,
                  backend: str = "rule", pair_mode: str = "exact",
-                 table_io=None, analytics: bool = False):
+                 table_io=None, analytics: bool = False,
+                 export: bool = False):
         self.spark = spark
         self.input_dir = input_dir
         self.output_dir = output_dir
         self.backend = backend
         self.pair_mode = pair_mode
         self.analytics = analytics
+        self.export = export
         self.io = table_io if table_io is not None else make_table_io(spark, output_dir)
         self.results: list[StageResult] = []
 
@@ -364,6 +366,21 @@ class KGPipeline:
             self._run_stage(
                 "khop", lambda: khop_distances(n_df, e_df),
                 "entity_id", ["nodes", "edges"], resume)
+
+        if self.export:
+            # optional consumer-facing sinks: temporal relation
+            # intervals (time-sliced KG queries) and the N-Triples
+            # interchange table — resumable stages like everything else
+            from openie_spark.kg.analytics import export_ntriples, temporal_relations
+
+            n_df, e_df = nodes.drop("bucket"), edges.drop("bucket")
+            self._run_stage(
+                "temporal",
+                lambda: temporal_relations(e_df, read_transcripts(spark, self.input_dir)),
+                "src_id", ["edges"], resume)
+            self._run_stage(
+                "export_nt", lambda: export_ntriples(n_df, e_df),
+                "nt", ["nodes", "edges"], resume)
 
         total = round(time.time() - t_total, 3)
         n_triples = next(r.rows for r in self.results if r.name == "triples")

@@ -141,3 +141,25 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path_factory):
                for st in ("pagerank", "triangles", "khop"))
     assert {st: s2["stages"][st]["rows"] for st in s2["stages"]} == \
            {st: s1["stages"][st]["rows"] for st in s1["stages"]}
+
+
+def test_pipeline_export_stages_and_resume(spark, tmp_path_factory):
+    """--export materializes the temporal-interval and N-Triples sinks
+    as resumable stages; line counts are consistent with nodes +
+    distinct relations, intervals are well-formed."""
+    from openie_spark.pipeline import KGPipeline
+
+    out = str(tmp_path_factory.mktemp("kge"))
+    s1 = KGPipeline(spark, SF, out, export=True).run(resume=True)
+    for st in ("temporal", "export_nt"):
+        assert st in s1["stages"] and s1["stages"][st]["rows"] > 0
+        man = json.load(open(os.path.join(out, st, "_manifest.json")))
+        assert man["rows"] == s1["stages"][st]["rows"]
+    nt = spark.read.parquet(os.path.join(out, "export_nt"))
+    rel_lines = nt.where(~nt.nt.contains("<urn:kg:label>")).count()
+    assert nt.count() == s1["nodes"] + rel_lines
+    tmp = spark.read.parquet(os.path.join(out, "temporal"))
+    assert tmp.where("first_us > last_us").count() == 0
+    assert s1["stages"]["temporal"]["rows"] == s1["relations"]
+    s2 = KGPipeline(spark, SF, out, export=True).run(resume=True)
+    assert all(s2["stages"][st]["resumed"] for st in ("temporal", "export_nt"))

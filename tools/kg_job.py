@@ -43,6 +43,9 @@ def main() -> None:
     ap.add_argument("--analytics", action="store_true",
                     help="Also materialize stage-I graph analytics tables "
                          "(pagerank, triangles, khop) with manifests.")
+    ap.add_argument("--export", action="store_true",
+                    help="Also materialize consumer-facing sinks: temporal "
+                         "relation intervals and the N-Triples table.")
     ap.add_argument("--prior", default=None,
                     help="Incremental mode: merge --input (NEW conv_ids "
                          "only) into the completed pipeline output at this "
@@ -91,7 +94,7 @@ def main() -> None:
         os.makedirs(args.output, exist_ok=True)  # created by the FS writers
     pipe = KGPipeline(spark, args.input, args.output,
                       backend=args.backend, pair_mode=args.pair_mode,
-                      analytics=args.analytics)
+                      analytics=args.analytics, export=args.export)
     if args.prior:
         summary = pipe.run_incremental(prior_dir=args.prior,
                                        resume=not args.no_resume)
