@@ -443,12 +443,25 @@ def _conv_parity(col: str = "conv_id") -> F.Column:
     return F.conv(F.substring(F.md5(col), 32, 1), 16, 10).cast("int") % 2
 
 
+_INCR_MEMO: dict = {}
+
+
 def _incremental_parts(spark: SparkSession, sf_dir: str):
     """Build the KG on the even-parity half of the conversations, then
     MERGE the odd half through the incremental algebra
     (kg/incremental.py). The consuming queries' oracles are the
     FULL-recompute SQL — a hash match IS the proof that
-    incremental(old ⊎ delta) ≡ full(old ∪ delta)."""
+    incremental(old ⊎ delta) ≡ full(old ∪ delta).
+
+    Memoized per (application, sf_dir) like _kg_parts: the nodes and
+    edges queries consume the SAME merged canonical map, and without
+    the memo each re-ran the whole prior-graph build + merge (the two
+    queries cost 18 s + 22 s in the r3 bench; the shared build is paid
+    once, by whichever consumer runs first)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _INCR_MEMO:
+        return _INCR_MEMO[key]
+    _evict_stale(_INCR_MEMO, key)
     from openie_spark.kg.canon import canonical_map, connected_components
     from openie_spark.kg.incremental import (
         incremental_exact_pairs,
@@ -471,7 +484,8 @@ def _incremental_parts(spark: SparkSession, sf_dir: str):
     pairs_m = incremental_exact_pairs(pairs_old, vocab_old, vocab_m)
     canon_m = canonical_map(vocab_m, merge_components(canon_old, pairs_m)) \
         .localCheckpoint(eager=False)
-    return old_t, delta_t, canon_old, canon_m
+    _INCR_MEMO[key] = (old_t, delta_t, canon_old, canon_m)
+    return _INCR_MEMO[key]
 
 
 def _q_kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,9 +813,10 @@ def _q_dp_embedding_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims sequentially in _dot_fixed's exact float64 operation order
     and rounds HALF_UP (copysign/floor(+0.5)), so its cosines are
     bit-identical to the SQL path and the oracle at ANY sf — no
-    tolerance needed. Zero-norm embeddings (NaN units) are excluded
-    on both paths and in the oracle; under ANSI mode the unguarded
-    divide would otherwise abort the job on one bad vector."""
+    tolerance needed. Zero-norm embeddings (NULL units from
+    with_unit's guard; all-NaN units in the oracle's native math) are
+    excluded on both paths and in the oracle; under ANSI mode the
+    unguarded divide would otherwise abort the job on one bad vector."""
     from openie_spark.datapipe.similarity import brute_topk_np
 
     return brute_topk_np(_emb(spark, sf_dir))

@@ -67,6 +67,11 @@ def main() -> None:
     e._triples_memo(spark, sf_dir)
     e._kg_parts(spark, sf_dir)
     e._graph_parts(spark, sf_dir)
+    # the incremental pair's shared prior-graph + merge build (lazy
+    # checkpoints — force them so the cost lands here, not in whichever
+    # incremental query runs first)
+    for df in e._incremental_parts(spark, sf_dir):
+        df.write.mode("overwrite").format("noop").save()
     shared_sec = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}

@@ -90,32 +90,94 @@ def with_unit(df: DataFrame, vec: str = "embedding",
               dim: int | None = None) -> DataFrame:
     """Pre-normalize to unit length (double precision) — cosine becomes
     a plain dot product; normalization happens once per vector, not
-    once per pair. Pass ``dim`` to unroll the norm to codegen'd
-    expressions (same fold order — see _dot_fixed).
+    once per pair.
 
-    The norm is staged as its OWN column before the element-wise
-    divide: inlined into the transform lambda it is re-evaluated per
-    element (dim² interpreted work per row — measured 25x slower at
-    dim 64; Catalyst's subexpression elimination does not hoist
-    subtrees out of higher-order-function bodies)."""
-    v = F.transform(F.col(vec), lambda x: x.cast("double"))
-    nc, vc = "_wu_nrm", "_wu_v"
-    nrm = (F.sqrt(_dot_fixed(F.col(vc), F.col(vc), dim))
-           if dim is not None else _norm(F.col(vc)))
-    # Zero-norm guard: under ANSI mode (Spark 4 default) x/0.0 is a
-    # job-killing DIVIDE_BY_ZERO — ONE zero embedding in a 100 TB
-    # corpus would abort every similarity query. Emit an explicit NaN
-    # unit instead: IEEE 0.0/0.0 is what DuckDB computes natively, and
-    # both engines order NaN greater than any double under desc, so
-    # the oracles stay bit-for-bit (see brute_topk_np's NaN key map).
-    unit = F.when(
-        F.col(nc) != 0.0,
-        F.transform(F.col(vc), lambda x: x / F.col(nc)),
-    ).otherwise(F.transform(F.col(vc), lambda x: F.lit(float("nan"))))
-    return (df.withColumn(vc, v)
-            .withColumn(nc, nrm)
-            .withColumn("unit", unit)
-            .drop(vc, nc))
+    With ``dim`` (every internal caller): ONE vectorized numpy pass per
+    Arrow batch via mapInPandas. The norm folds dims sequentially
+    (acc += x[:,d]·x[:,d]) — the same left-to-right IEEE float64 order
+    as the expression fold and the DuckDB oracles' list reduce — and
+    np.sqrt / elementwise divide are correctly-rounded IEEE like their
+    JVM twins, so the units (and every downstream round-6 cosine) are
+    bit-identical to the old expression path.
+
+    Why not column expressions: the staged-norm form was quadratically
+    re-evaluated by consumers — CollapseProject/filter-pushdown inline
+    the norm AND the cast-array subtree into each of the dim lambda
+    elements of the unit transform (lambda-body references are not
+    counted when Catalyst decides an alias is cheap to inline), so a
+    mere ``isnan(unit[0])`` filter on top cost ~15 ms/row at dim 64
+    (measured: 30 s for a 2,000-row corpus). The mapInPandas node is
+    both linear and an optimizer barrier, so no consumer can re-inline
+    the normalization.
+
+    Degenerate-vector guard: under ANSI mode (Spark 4 default) x/0.0
+    in an expression is a job-killing DIVIDE_BY_ZERO — ONE zero
+    embedding in a 100 TB corpus would abort every similarity query.
+    A vector with no direction (zero norm, NaN elements, NULL, or
+    shorter than ``dim``) gets a NULL ``unit`` instead: NaN markers
+    cannot ride an Arrow list column (the pandas→Arrow conversion
+    masks NaN list elements to null), so NULL is the one marker that
+    round-trips, and every consumer drops these rows with a plain
+    ``unit IS NOT NULL`` before scoring. The oracles recompute units
+    natively from the raw embeddings and exclude the same rows, so
+    result sets stay bit-for-bit.
+
+    ``dim=None`` keeps the legacy HOF expression path (NaN-unit
+    marker) for callers that cannot know the width up front."""
+    if dim is None:
+        v = F.transform(F.col(vec), lambda x: x.cast("double"))
+        nc, vc = "_wu_nrm", "_wu_v"
+        unit = F.when(
+            F.col(nc) != 0.0,
+            F.transform(F.col(vc), lambda x: x / F.col(nc)),
+        ).otherwise(F.transform(F.col(vc), lambda x: F.lit(float("nan"))))
+        return (df.withColumn(vc, v)
+                .withColumn(nc, _norm(F.col(vc)))
+                .withColumn("unit", unit)
+                .drop(vc, nc))
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["unit array<double>"])
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = [None if v is None else np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec]]
+            units: list = [None] * len(vals)
+            fast = [i for i, v in enumerate(vals)
+                    if v is not None and v.shape[0] == dim]
+            if fast:
+                x = np.stack([vals[i] for i in fast])  # (n, dim)
+                s = np.zeros(len(fast), dtype=np.float64)
+                for d in range(dim):
+                    s = s + x[:, d] * x[:, d]
+                nrm = np.sqrt(s)
+                ok = np.isfinite(nrm) & (nrm != 0.0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    u = x / nrm[:, None]
+                for j, i in enumerate(fast):
+                    if ok[j]:
+                        units[i] = u[j]
+            for i, v in enumerate(vals):
+                if v is None or units[i] is not None or v.shape[0] <= dim:
+                    continue  # degenerate rows stay None
+                # overlong row: norm over the first dim elements (the
+                # expression fold's semantics), divide every element
+                s = 0.0
+                for d in range(dim):
+                    s = s + v[d] * v[d]
+                n = np.sqrt(s)
+                if np.isfinite(n) and n != 0.0:
+                    units[i] = v / n
+            pdf["unit"] = pd.Series(units, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
 
 
 def _dim_of(emb: DataFrame) -> int:
@@ -133,19 +195,19 @@ def brute_topk_sql(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD) ->
     excluded; ties broken by vec_id for determinism.
 
     Zero-norm/NULL/empty embeddings are EXCLUDED (query and corpus
-    side): a zero vector has no direction, so its cosine is undefined
-    — left in, its NaN unit would rank FIRST for every query (Spark
-    and DuckDB both order NaN greatest) and poison every result list.
-    The oracle (plans.brute_topk_sql_oracle) applies the same filter."""
+    side): a vector with no direction has no defined cosine — with_unit
+    marks such rows with a NULL unit and the `unit IS NOT NULL` filter
+    drops them. The oracle recomputes units natively (a zero vector's
+    unit is all-NaN in DuckDB) and excludes the SAME rows via
+    `NOT isnan(unit[1])`."""
     dim = _dim_of(emb)
     # two consumers (query sample + corpus side of the cross join) —
-    # materialize the normalized vectors once instead of re-scanning
-    # and re-normalizing per side. ~isnan(unit[0]) drops zero-norm
-    # (NaN unit), NULL and empty embeddings in one predicate.
+    # materialize the normalized units once instead of re-running the
+    # Arrow normalization per side; NULL units are the degenerate rows.
     e = (
-        with_unit(emb, dim=dim)
+        with_unit(emb.select("vec_id", "embedding"), dim=dim)
         .select("vec_id", "unit")
-        .where(~F.isnan(F.get(F.col("unit"), 0)))
+        .where(F.col("unit").isNotNull())
         .localCheckpoint(eager=False)
     )
     q = _queries(e, query_mod)
@@ -180,8 +242,9 @@ def brute_topk_np(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     import pandas as pd
 
     # same zero-norm/NULL exclusion as brute_topk_sql (see its doc)
-    e = (with_unit(emb, dim=_dim_of(emb))
-         .where(~F.isnan(F.get(F.col("unit"), 0))))
+    e = (with_unit(emb.select("vec_id", "embedding"), dim=_dim_of(emb))
+         .select("vec_id", "unit")
+         .where(F.col("unit").isNotNull()))
     if e.limit(max_broadcast_vecs + 1).count() > max_broadcast_vecs:
         return brute_topk_sql(emb, k, query_mod)
     corpus_rows = e.select("vec_id", "unit").collect()
@@ -218,12 +281,12 @@ def brute_topk_np(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
                 s = scores[qi]
                 mask = b_ids.value != q_id
                 # sort by (-cos, vec_id): lexsort keys in reverse
-                # priority. Zero-norm vectors are filtered above;
-                # defense-in-depth for any residual NaN (a NaN
-                # ELEMENT inside a nonzero-norm vector): Spark orders
-                # NaN GREATER than any double under desc('cos') while
-                # lexsort sorts NaN last — map NaN to -inf in the
-                # negated key so both paths agree even then.
+                # priority. Degenerate vectors are NULL-unit-filtered
+                # above (with_unit NULLs NaN-bearing rows too);
+                # defense-in-depth should a NaN score ever appear:
+                # Spark orders NaN GREATER than any double under
+                # desc('cos') while lexsort sorts NaN last — map NaN
+                # to -inf in the negated key so both paths agree.
                 neg = np.where(np.isnan(s[mask]), -np.inf, -s[mask])
                 order = np.lexsort((b_ids.value[mask], neg))[:k]
                 cand_ids = b_ids.value[mask][order]
@@ -313,7 +376,8 @@ def lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     # sketch table, which would otherwise be computed twice; id+unit
     # only — no raw embedding through Arrow or the checkpoint
     e = lsh_sketch(
-        with_unit(spread(emb, "vec_id"), dim=dim).select("vec_id", "unit"),
+        with_unit(spread(emb, "vec_id"), dim=dim).select("vec_id", "unit")
+        .where(F.col("unit").isNotNull()),
         dim, planes).localCheckpoint(eager=False)
 
     # ids-only through the band join and the dedup shuffle (the unit
@@ -349,8 +413,8 @@ def lsh_bucket_stats(emb: DataFrame, planes: int = LSH_PLANES,
     `embedding_pairs` job at a new scale — a max bucket ≈ corpus size
     means the band width no longer separates this corpus."""
     dim = _dim_of(emb)
-    e = lsh_sketch(with_unit(emb, dim=dim).select("vec_id", "unit"),
-                   dim, planes)
+    e = lsh_sketch(with_unit(emb, dim=dim).select("vec_id", "unit")
+                   .where(F.col("unit").isNotNull()), dim, planes)
     b = _banded(e, "vec_id", "unit", planes, bands)
     per_bucket = b.groupBy("band_idx", "band_val").agg(F.count("*").alias("sz"))
     return per_bucket.groupBy("band_idx").agg(
@@ -393,7 +457,8 @@ def ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     dim = _dim_of(emb)
     # two consumers (centroid scan, corpus/queries) — materialize the
     # normalized corpus once
-    e = with_unit(spread(emb, "vec_id"), dim=dim).localCheckpoint(eager=False)
+    e = (with_unit(spread(emb, "vec_id"), dim=dim)
+         .where(F.col("unit").isNotNull()).localCheckpoint(eager=False))
     cent = (
         e.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_vec"))
         .withColumn("h", md5h60(F.col("c_id").cast("string")))
@@ -505,7 +570,8 @@ def ivfpq_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     if dim % m:
         raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
     sub = dim // m
-    e = with_unit(spread(emb, "vec_id"), dim=dim).localCheckpoint(eager=False)
+    e = (with_unit(spread(emb, "vec_id"), dim=dim)
+         .where(F.col("unit").isNotNull()).localCheckpoint(eager=False))
 
     # coarse centroids: identical sampling rule to ivf_topk
     cent_rows = sorted(
@@ -662,7 +728,8 @@ def embedding_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COSINE,
 
     dim = _dim_of(emb)
     e = lsh_sketch(
-        with_unit(spread(emb, "vec_id"), dim=dim).select("vec_id", "unit"),
+        with_unit(spread(emb, "vec_id"), dim=dim).select("vec_id", "unit")
+        .where(F.col("unit").isNotNull()),
         dim, planes).localCheckpoint(eager=False)
     left = _banded(e, "a", "ua", planes, bands).select("band_idx", "band_val", "a")
     right = _banded(e, "b", "ub", planes, bands).select("band_idx", "band_val", "b")
@@ -688,7 +755,7 @@ def embedding_pairs_exact(emb: DataFrame, threshold: float = NEAR_DUP_COSINE) ->
     from openie_spark.functions.partitioning import spread
 
     dim = _dim_of(emb)
-    e = with_unit(spread(emb, "vec_id"), dim=dim)
+    e = with_unit(spread(emb, "vec_id"), dim=dim).where(F.col("unit").isNotNull())
     left = e.select(F.col("vec_id").alias("a"), F.col("unit").alias("ua"))
     right = e.select(F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
     return (

@@ -294,8 +294,9 @@ un AS MATERIALIZED (
 
 def brute_topk_sql_oracle() -> str:
     # unz: the zero-norm/NULL exclusion twin of brute_topk_sql's
-    # ~isnan(unit[0]) filter (a zero vector's unit is all-NaN and
-    # would rank first for every query under NaN-greatest ordering).
+    # `unit IS NOT NULL` filter. DuckDB computes the unit natively, so
+    # here a zero vector's unit is all-NaN (0.0/0.0) and the NaN test
+    # excludes exactly the rows Spark's NULL-unit marker drops.
     return f"""WITH {_UNIT_CTE.format(src='embeddings')},
 unz AS (SELECT vec_id, unit FROM un WHERE NOT isnan(unit[1]))
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (

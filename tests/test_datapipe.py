@@ -84,11 +84,11 @@ def test_brute_topk_sql_vs_np(emb):
 
 
 def test_brute_topk_zero_vector_excluded_both_paths(spark, emb):
-    """A zero embedding normalizes to an all-NaN unit; under ANSI mode
-    the naive x/0.0 divide would abort the whole job, and left in, the
-    NaN cosine would rank FIRST for every query (Spark and DuckDB both
-    order NaN greatest). with_unit's guard emits the NaN marker
-    without crashing and both top-k paths exclude it — planting a zero
+    """A zero embedding has no direction; under ANSI mode the naive
+    x/0.0 divide would abort the whole job, and left in, its undefined
+    cosine would poison every result list (NaN ranks first under
+    Spark's NaN-greatest ordering). with_unit marks such vectors with
+    a NULL unit and both top-k paths drop them — planting a zero
     vector (as corpus vector AND as a query id: 999_990 % 10 == 0)
     must not change the result set at all, on either path."""
     from openie_spark.datapipe.similarity import brute_topk_np, brute_topk_sql
