@@ -287,18 +287,28 @@ FROM t"""
 
 _UNIT_CTE = """
 ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM {src}),
-un AS MATERIALIZED (
+un_all AS (
   SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS unit FROM ve
+),
+un AS MATERIALIZED (
+  -- degenerate-vector exclusion, the twin of with_unit's NULL-unit
+  -- marker + `unit IS NOT NULL` filter on the Spark side: a zero-norm
+  -- or NaN-bearing vector's native unit is all-NaN here, and NULL or
+  -- empty embeddings make unit[1] NULL (isnan(NULL) is NULL -> row
+  -- dropped). Filtering INSIDE the CTE keeps every consumer -- bucket
+  -- builds, centroid sampling, rescoring -- on the same corpus the
+  -- Spark operators see, so a future sf dir with one bad vector
+  -- cannot silently skew one engine's candidate sets.
+  SELECT vec_id, unit FROM un_all WHERE NOT isnan(unit[1])
 )"""
 
 
 def brute_topk_sql_oracle() -> str:
-    # unz: the zero-norm/NULL exclusion twin of brute_topk_sql's
-    # `unit IS NOT NULL` filter. DuckDB computes the unit natively, so
-    # here a zero vector's unit is all-NaN (0.0/0.0) and the NaN test
-    # excludes exactly the rows Spark's NULL-unit marker drops.
+    # unz: kept as a named view of the (already filtered) unit CTE —
+    # the exclusion itself now lives in _UNIT_CTE so all five
+    # similarity oracles share it.
     return f"""WITH {_UNIT_CTE.format(src='embeddings')},
-unz AS (SELECT vec_id, unit FROM un WHERE NOT isnan(unit[1]))
+unz AS (SELECT vec_id, unit FROM un)
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
   SELECT q.q_id, c.vec_id,
          round(list_inner_product(q.q_vec, c.unit), 6) AS cos,
