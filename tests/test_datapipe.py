@@ -426,3 +426,51 @@ def test_ivfpq_topk_deterministic_and_rescored(emb):
              for r in brute_topk_sql(emb, k=10**9).collect()}
     for r in a:
         assert exact[(r.q_id, r.vec_id)] == r.cos
+
+
+def test_with_unit_degenerate_vectors_marked_null(spark):
+    """The NULL-unit contract (the only degenerate marker that
+    round-trips pandas→Arrow — NaN list elements are masked to null):
+    zero-norm, NULL, NaN-bearing, and too-short vectors all get a NULL
+    unit; well-formed vectors normalize exactly; overlong vectors
+    normalize by the first-dim norm (the old expression fold's
+    semantics)."""
+    from openie_spark.datapipe.similarity import with_unit
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, None),
+         (4, [1.0]), (5, [float("nan"), 1.0]), (6, [3.0, 4.0, 7.0])],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.unit for r in with_unit(df, dim=2).collect()}
+    assert out[1] is None and out[3] is None and out[4] is None \
+        and out[5] is None
+    assert out[2] == [0.6, 0.8]
+    assert out[6] == [0.6, 0.8, 1.4]  # norm over first 2 dims only
+
+
+def test_similarity_entry_points_drop_degenerate_vectors(spark, emb):
+    """Every bucketed ANN path (lsh / ivf / ivfpq) and the near-dup
+    pair graph must treat a planted zero vector as a non-event: same
+    results as the clean corpus, no ANSI divide-by-zero abort, and the
+    zero vec_id absent from candidates. (The brute paths have their
+    own planted-zero test above.)"""
+    from openie_spark.datapipe.similarity import (
+        embedding_pairs,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    corrupt = base.unionByName(spark.createDataFrame(
+        [(999_950, [0.0] * dim)], "vec_id long, embedding array<double>"))
+
+    for fn in (lsh_topk, ivf_topk, ivfpq_topk):
+        clean = sorted(map(tuple, fn(base, k=3, query_mod=100).collect()))
+        dirty = sorted(map(tuple, fn(corrupt, k=3, query_mod=100).collect()))
+        assert dirty == clean, fn.__name__
+    clean_p = sorted((r.a, r.b) for r in embedding_pairs(base).collect())
+    dirty_p = sorted((r.a, r.b) for r in embedding_pairs(corrupt).collect())
+    assert dirty_p == clean_p
