@@ -376,7 +376,8 @@ def lsh_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     # sketch table, which would otherwise be computed twice; id+unit
     # only — no raw embedding through Arrow or the checkpoint
     e = lsh_sketch(
-        with_unit(spread(emb, "vec_id"), dim=dim).select("vec_id", "unit")
+        with_unit(spread(emb.select("vec_id", "embedding"), "vec_id"),
+                  dim=dim).select("vec_id", "unit")
         .where(F.col("unit").isNotNull()),
         dim, planes).localCheckpoint(eager=False)
 
@@ -413,7 +414,8 @@ def lsh_bucket_stats(emb: DataFrame, planes: int = LSH_PLANES,
     `embedding_pairs` job at a new scale — a max bucket ≈ corpus size
     means the band width no longer separates this corpus."""
     dim = _dim_of(emb)
-    e = lsh_sketch(with_unit(emb, dim=dim).select("vec_id", "unit")
+    e = lsh_sketch(with_unit(emb.select("vec_id", "embedding"), dim=dim)
+                   .select("vec_id", "unit")
                    .where(F.col("unit").isNotNull()), dim, planes)
     b = _banded(e, "vec_id", "unit", planes, bands)
     per_bucket = b.groupBy("band_idx", "band_val").agg(F.count("*").alias("sz"))
@@ -457,7 +459,8 @@ def ivf_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     dim = _dim_of(emb)
     # two consumers (centroid scan, corpus/queries) — materialize the
     # normalized corpus once
-    e = (with_unit(spread(emb, "vec_id"), dim=dim)
+    e = (with_unit(spread(emb.select("vec_id", "embedding"), "vec_id"), dim=dim)
+         .select("vec_id", "unit")
          .where(F.col("unit").isNotNull()).localCheckpoint(eager=False))
     cent = (
         e.select(F.col("vec_id").alias("c_id"), F.col("unit").alias("c_vec"))
@@ -570,7 +573,8 @@ def ivfpq_topk(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     if dim % m:
         raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
     sub = dim // m
-    e = (with_unit(spread(emb, "vec_id"), dim=dim)
+    e = (with_unit(spread(emb.select("vec_id", "embedding"), "vec_id"), dim=dim)
+         .select("vec_id", "unit")
          .where(F.col("unit").isNotNull()).localCheckpoint(eager=False))
 
     # coarse centroids: identical sampling rule to ivf_topk
@@ -728,7 +732,8 @@ def embedding_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COSINE,
 
     dim = _dim_of(emb)
     e = lsh_sketch(
-        with_unit(spread(emb, "vec_id"), dim=dim).select("vec_id", "unit")
+        with_unit(spread(emb.select("vec_id", "embedding"), "vec_id"),
+                  dim=dim).select("vec_id", "unit")
         .where(F.col("unit").isNotNull()),
         dim, planes).localCheckpoint(eager=False)
     left = _banded(e, "a", "ua", planes, bands).select("band_idx", "band_val", "a")
@@ -755,7 +760,8 @@ def embedding_pairs_exact(emb: DataFrame, threshold: float = NEAR_DUP_COSINE) ->
     from openie_spark.functions.partitioning import spread
 
     dim = _dim_of(emb)
-    e = with_unit(spread(emb, "vec_id"), dim=dim).where(F.col("unit").isNotNull())
+    e = (with_unit(spread(emb.select("vec_id", "embedding"), "vec_id"), dim=dim)
+         .select("vec_id", "unit").where(F.col("unit").isNotNull()))
     left = e.select(F.col("vec_id").alias("a"), F.col("unit").alias("ua"))
     right = e.select(F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
     return (
