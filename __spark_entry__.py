@@ -691,6 +691,15 @@ def _q_dp_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir))
 
 
+def _q_dp_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch: estimated distinct word-3-gram count
+    per language from the k smallest md5 hashes (salted two-level
+    top-k; exact below k). Oracle recomputes the full sketch in SQL."""
+    from openie_spark.datapipe.textstats import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir))
+
+
 def _q_dp_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation funnel composed in one plan (exact-dedup
     keeper ∧ quality threshold ∧ mixing sample) with auditable
@@ -929,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_token_count": _q_dp_token_count,
         "dp_fingerprint": _q_dp_fingerprint,
         "dp_bpe_pairs": _q_dp_bpe_pairs,
+        "dp_kmv_distinct": _q_dp_kmv_distinct,
         "dp_sample": _q_dp_sample,
         "dp_pack": _q_dp_pack,
         "dp_curated": _q_dp_curated,
@@ -999,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_token_count": dp.token_count_sql(),
         "dp_fingerprint": dp.fingerprint_sql(),
         "dp_bpe_pairs": dp.bpe_pairs_sql(),
+        "dp_kmv_distinct": dp.kmv_distinct_sql(),
         "dp_sample": dp.stratified_sample_sql(),
         "dp_pack": dp.pack_sequences_sql(),
         "dp_curated": dp.curated_corpus_sql(),

@@ -8,7 +8,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from openie_spark.datapipe.hashing import md5h60, tokens_of
+from pyspark.sql.window import Window
+
+from openie_spark.datapipe.hashing import md5h60, tokens_of, word_ngrams
 
 # Tiny per-language stopword profiles for the n-gram/stopword-overlap
 # language heuristic (real deployments plug a fastText-style model into
@@ -183,4 +185,53 @@ def bpe_pair_counts(docs: DataFrame, k: int = BPE_TOP_PAIRS) -> DataFrame:
         .groupBy("pair").agg(F.sum("n").alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
+    )
+
+
+KMV_K = 64      # sketch size: relative stderr ~ 1/sqrt(k-2) ~ 12.7%
+KMV_SALTS = 32  # first-level top-k fan-out (skew spreading)
+
+
+def kmv_distinct(docs: DataFrame, k: int = KMV_K, salts: int = KMV_SALTS) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002,
+    public algorithm): estimated distinct word-3-gram count per
+    language from only the ``k`` smallest md5 hash values per group —
+    the mergeable cardinality estimator a corpus profiler runs where
+    an exact COUNT(DISTINCT) would shuffle every distinct gram.
+    Estimate = (k-1) / v_k with v_k the k-th smallest hash normalized
+    to (0,1]; groups with fewer than ``k`` distinct grams are exact.
+
+    Scale shape: one distinct shuffle on (lang, h) — map-side partial
+    aggregation collapses repeats before the wire, same cost class as
+    any distinct-count job — then a two-level top-k: the first
+    row_number window partitions by (lang, h % salts), so a single hot
+    language spreads over ``salts`` external-sort tasks instead of
+    one, and only salts*k survivors per language reach the final
+    (tiny) per-lang window. The k smallest of each salt bucket are a
+    superset of the global k smallest, so two-level == global top-k
+    at any parallelism. The estimate itself is engine-portable: FLOOR
+    of one exactly-representable double division ((k-1)*2^60 and the
+    60-bit hash convert exactly; no ROUND tie-break hazards).
+    """
+    grams = docs.select(
+        "lang", F.explode(word_ngrams(tokens_of(F.col("text")))).alias("gram")
+    ).select("lang", md5h60(F.col("gram")).alias("h"))
+    d = grams.distinct().withColumn("salt", F.pmod(F.col("h"), F.lit(salts)))
+    w1 = Window.partitionBy("lang", "salt").orderBy("h")
+    w2 = Window.partitionBy("lang").orderBy("h")
+    kept = (
+        d.withColumn("r", F.row_number().over(w1)).filter(F.col("r") <= k)
+        .select("lang", "h")
+        .withColumn("r", F.row_number().over(w2)).filter(F.col("r") <= k)
+    )
+    scale = float((k - 1) * (1 << 60))  # exact: 6-bit mantissa * 2^60
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").cast("int").alias("n_kept"), F.max("h").alias("kth_hash"))
+        .withColumn(
+            "est_distinct",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("long")).otherwise(
+                F.floor(F.lit(scale) / F.col("kth_hash").cast("double")).cast("long")
+            ),
+        )
     )

@@ -270,6 +270,37 @@ pairs AS (
 SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}"""
 
 
+def kmv_distinct_sql() -> str:
+    """Twin of textstats.kmv_distinct: distinct word-3-gram md5h60
+    hashes per lang, global k-smallest via row_number (two-level
+    salted top-k == global top-k, so the oracle skips the salt), KMV
+    estimate as FLOOR of the same exactly-representable double
+    division Spark evaluates."""
+    from openie_spark.datapipe.textstats import KMV_K
+
+    scale = (KMV_K - 1) << 60  # parsed as HUGEINT, casts to double exactly
+    return f"""WITH toks AS (
+  SELECT lang, {_TOKS.format(c='text')} AS toks FROM documents
+),
+grams AS (
+  SELECT lang, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS gram
+  FROM toks
+),
+d AS (SELECT DISTINCT lang, {_md5h60('gram')} AS h FROM grams),
+kept AS (
+  SELECT lang, h FROM (
+    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r FROM d
+  ) WHERE r <= {KMV_K}
+)
+SELECT lang, CAST(count(*) AS INT) AS n_kept, max(h) AS kth_hash,
+       CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+            ELSE floor(CAST({scale} AS DOUBLE) / CAST(max(h) AS DOUBLE)) END
+            AS BIGINT) AS est_distinct
+FROM kept GROUP BY lang"""
+
+
 def fingerprint_sql() -> str:
     return f"""WITH t AS (
   SELECT doc_id,

@@ -395,6 +395,43 @@ def test_bpe_pair_counts_limit_and_determinism(spark, docs):
     assert ns == sorted(ns, reverse=True)
 
 
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than k distinct grams report the exact
+    distinct count (n_kept == est_distinct == true distinct)."""
+    from openie_spark.datapipe.textstats import kmv_distinct
+
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e", "en"), (1, "a b c d e", "en"), (2, "x y", "de")],
+        "doc_id long, text string, lang string")
+    # en: grams {a b c, b c d, c d e} (doc dups collapse); de: {x y}
+    out = {r.lang: (r.n_kept, r.est_distinct) for r in kmv_distinct(corpus).collect()}
+    assert out == {"en": (3, 3), "de": (1, 1)}
+
+
+def test_kmv_estimator_accuracy_and_determinism(spark, docs):
+    """The KMV estimate lands within the k=64 error envelope of the
+    true distinct-3-gram count, is partitioning-independent, and the
+    salted two-level top-k equals the unsalted global top-k."""
+    from pyspark.sql import functions as F
+
+    from openie_spark.datapipe.hashing import tokens_of, word_ngrams
+    from openie_spark.datapipe.textstats import KMV_K, kmv_distinct
+
+    a = sorted(tuple(r) for r in kmv_distinct(docs).collect())
+    b = sorted(tuple(r) for r in kmv_distinct(docs.repartition(7)).collect())
+    assert a == b
+    unsalted = sorted(tuple(r) for r in kmv_distinct(docs, salts=1).collect())
+    assert a == unsalted
+    true = {r.lang: r.d for r in docs.select(
+        "lang", F.explode(word_ngrams(tokens_of(F.col("text")))).alias("g")
+    ).distinct().groupBy("lang").agg(F.countDistinct("g").alias("d")).collect()}
+    for lang, n_kept, _kth, est in a:
+        if n_kept < KMV_K:
+            assert est == true[lang]
+        else:  # ~12.7% stderr at k=64; 4 sigma
+            assert abs(est - true[lang]) / true[lang] < 0.5
+
+
 def test_ivfpq_topk_exact_twin_rank1(emb):
     """An exact-duplicate vector shares its original's cell and PQ
     codes, so ADC ranks it first and the exact rescore returns it at
