@@ -691,6 +691,14 @@ def _q_dp_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir))
 
 
+def _q_dp_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-word collocations ranked by exact-integer Dice ppm
+    (2*n_xy/(n_x+n_y)); min-count floor, deterministic top-k."""
+    from openie_spark.datapipe.textstats import collocations
+
+    return collocations(_docs(spark, sf_dir))
+
+
 def _q_dp_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality sketch: estimated distinct word-3-gram count
     per language from the k smallest md5 hashes (salted two-level
@@ -939,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_fingerprint": _q_dp_fingerprint,
         "dp_bpe_pairs": _q_dp_bpe_pairs,
         "dp_kmv_distinct": _q_dp_kmv_distinct,
+        "dp_collocations": _q_dp_collocations,
         "dp_sample": _q_dp_sample,
         "dp_pack": _q_dp_pack,
         "dp_curated": _q_dp_curated,
@@ -1010,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_fingerprint": dp.fingerprint_sql(),
         "dp_bpe_pairs": dp.bpe_pairs_sql(),
         "dp_kmv_distinct": dp.kmv_distinct_sql(),
+        "dp_collocations": dp.collocations_sql(),
         "dp_sample": dp.stratified_sample_sql(),
         "dp_pack": dp.pack_sequences_sql(),
         "dp_curated": dp.curated_corpus_sql(),

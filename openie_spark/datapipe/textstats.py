@@ -188,6 +188,60 @@ def bpe_pair_counts(docs: DataFrame, k: int = BPE_TOP_PAIRS) -> DataFrame:
     )
 
 
+COLLOC_MIN = 5    # min bigram count — kills the hapax-pair dice=1.0 noise
+COLLOC_TOP = 200
+
+
+def collocations(docs: DataFrame, min_count: int = COLLOC_MIN,
+                 k: int = COLLOC_TOP) -> DataFrame:
+    """Adjacent-word collocation extraction ranked by the Dice
+    coefficient 2*n_xy/(n_x+n_y) (Smadja 1993 — public measure),
+    top-``k`` by (dice desc, bigram asc) over pairs seen at least
+    ``min_count`` times. Dice over PMI on purpose: PMI's N*n_xy
+    numerator overflows BIGINT at corpus scale and needs a log that
+    is not correctly-rounded in either engine, while Dice's operands
+    stay at occurrence scale and ``_ppm_wide`` makes the score an
+    exact engine-portable integer.
+
+    Scale shape: bigram formation is map-only array work inside the
+    scan projection; bigram and unigram counting are each one shuffle
+    with map-side partial aggregation (Heaps'-law result sizes); the
+    two count joins run bigram-vocab x unigram-vocab, where AQE
+    broadcasts the unigram side iff it fits; the final top-k is
+    TakeOrderedAndProject (per-partition top-k, no global sort).
+    """
+    ws = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    n = F.size(ws)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("w1"),
+            F.element_at(ws, i + 1).alias("w2"),
+        ),
+    )).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        docs.select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("n_w"))
+    )
+    return (
+        pairs
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_x"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_y"), "w2")
+        .select(
+            "w1", "w2", "n_xy", "n_x", "n_y",
+            _ppm_wide("2 * n_xy", "n_x + n_y").alias("dice_ppm"),
+        )
+        .orderBy(F.desc("dice_ppm"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
 KMV_K = 64      # sketch size: relative stderr ~ 1/sqrt(k-2) ~ 12.7%
 KMV_SALTS = 32  # first-level top-k fan-out (skew spreading)
 

@@ -270,6 +270,34 @@ pairs AS (
 SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}"""
 
 
+def collocations_sql() -> str:
+    """Twin of textstats.collocations: adjacent [a-z]+ bigram counts,
+    unigram counts, Dice = 2*n_xy/(n_x+n_y) as _ppm_wide exact
+    integer, top-k by (dice desc, bigram asc), min-count floor."""
+    from openie_spark.datapipe.textstats import COLLOC_MIN, COLLOC_TOP
+
+    dice = _ppm_wide_sql("2 * p.n_xy", "x.n_w + y.n_w")
+    return f"""WITH words AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+),
+pairs AS (
+  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2,
+         CAST(count(*) AS BIGINT) AS n_xy
+  FROM words, unnest(range(1, len(ws))) AS r(i)
+  GROUP BY 1, 2
+  HAVING count(*) >= {COLLOC_MIN}
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w
+  FROM (SELECT unnest(ws) AS w FROM words)
+  GROUP BY 1
+)
+SELECT p.w1, p.w2, p.n_xy, x.n_w AS n_x, y.n_w AS n_y,
+       CAST({dice} AS BIGINT) AS dice_ppm
+FROM pairs p JOIN uni x ON p.w1 = x.w JOIN uni y ON p.w2 = y.w
+ORDER BY dice_ppm DESC, p.w1, p.w2 LIMIT {COLLOC_TOP}"""
+
+
 def kmv_distinct_sql() -> str:
     """Twin of textstats.kmv_distinct: distinct word-3-gram md5h60
     hashes per lang, global k-smallest via row_number (two-level

@@ -395,6 +395,37 @@ def test_bpe_pair_counts_limit_and_determinism(spark, docs):
     assert ns == sorted(ns, reverse=True)
 
 
+def test_collocations_hand_values(spark):
+    """Dice ppm golden on a tiny corpus: exact integer scores,
+    (dice desc, w1 asc, w2 asc) ordering."""
+    from openie_spark.datapipe.textstats import collocations
+
+    corpus = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "a cat sat")],
+        "doc_id long, text string")
+    got = [(r.w1, r.w2, r.n_xy, r.n_x, r.n_y, r.dice_ppm)
+           for r in collocations(corpus, min_count=1).collect()]
+    # unigrams: the 2, cat 3, sat 2, ran 1, a 1
+    assert got == [
+        ("cat", "sat", 2, 3, 2, 800000),
+        ("the", "cat", 2, 2, 3, 800000),
+        ("a", "cat", 1, 1, 3, 500000),
+        ("cat", "ran", 1, 3, 1, 500000),
+    ]
+
+
+def test_collocations_min_count_and_determinism(spark, docs):
+    from openie_spark.datapipe.textstats import COLLOC_MIN, COLLOC_TOP, collocations
+
+    a = [tuple(r) for r in collocations(docs).collect()]
+    b = [tuple(r) for r in collocations(docs.repartition(7)).collect()]
+    assert a == b
+    assert len(a) <= COLLOC_TOP
+    assert all(r[2] >= COLLOC_MIN for r in a)
+    scores = [r[5] for r in a]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_kmv_exact_below_k(spark):
     """Groups with fewer than k distinct grams report the exact
     distinct count (n_kept == est_distinct == true distinct)."""
