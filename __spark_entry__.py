@@ -691,6 +691,15 @@ def _q_dp_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir))
 
 
+def _q_dp_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register sketch: per-lang distinct word-3-gram
+    estimate with exact-integer harmonic sums (no transcendental in
+    the emitted numbers — engine-portable)."""
+    from openie_spark.datapipe.textstats import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir))
+
+
 def _q_dp_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-word collocations ranked by exact-integer Dice ppm
     (2*n_xy/(n_x+n_y)); min-count floor, deterministic top-k."""
@@ -947,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_fingerprint": _q_dp_fingerprint,
         "dp_bpe_pairs": _q_dp_bpe_pairs,
         "dp_kmv_distinct": _q_dp_kmv_distinct,
+        "dp_hll_distinct": _q_dp_hll_distinct,
         "dp_collocations": _q_dp_collocations,
         "dp_sample": _q_dp_sample,
         "dp_pack": _q_dp_pack,
@@ -1019,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_fingerprint": dp.fingerprint_sql(),
         "dp_bpe_pairs": dp.bpe_pairs_sql(),
         "dp_kmv_distinct": dp.kmv_distinct_sql(),
+        "dp_hll_distinct": dp.hll_distinct_sql(),
         "dp_collocations": dp.collocations_sql(),
         "dp_sample": dp.stratified_sample_sql(),
         "dp_pack": dp.pack_sequences_sql(),

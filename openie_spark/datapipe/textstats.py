@@ -289,3 +289,84 @@ def kmv_distinct(docs: DataFrame, k: int = KMV_K, salts: int = KMV_SALTS) -> Dat
             ),
         )
     )
+
+
+HLL_P = 8                  # register-index bits: m = 256 registers
+HLL_M = 1 << HLL_P
+_HLL_W = 60 - HLL_P        # rank-suffix bits of the 60-bit md5 hash
+# alpha_m * m^2 * 2^(w+1), computed ONCE here and embedded as the same
+# shortest-roundtrip literal in both engines (evaluating the alpha
+# formula separately per engine could differ in the last ulp).
+_HLL_C = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << (_HLL_W + 1))
+
+
+def hll_distinct(docs: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007, public
+    algorithm) over word-3-grams per language — the register-based
+    counterpart to ``kmv_distinct``: m=256 registers from the top
+    ``HLL_P`` bits of the 60-bit md5 hash, register value = leading-
+    zero rank of the remaining ``_HLL_W`` bits, raw estimate
+    alpha_m*m^2 / sum(2^-M_j).
+
+    Engine-portable by construction: rank = w+1 - bitlength(suffix)
+    via ``bin()`` string length (identical in Spark and DuckDB, no
+    floating log2); the harmonic sum is kept as the EXACT integer
+    S = sum(2^(w+1-M_j)) (each term a BIGINT shift, max 256*2^53 <
+    2^63), so the only floating-point steps are one correctly-rounded
+    int->double conversion and one division by the shared constant —
+    bit-identical across engines. Small-range (linear-counting) and
+    large-range corrections are NOT folded in (their m*ln(m/V) needs a
+    transcendental with engine-varying last-ulp); instead ``lc_gate``
+    marks rows where the standard correction would apply, keeping the
+    emitted numbers exactly reproducible.
+
+    Scale shape: strictly better than KMV — no distinct shuffle of the
+    gram universe at all. Duplicates cannot change a register max, so
+    the ONLY shuffle is the partial-aggregated groupBy on
+    (lang, bucket): at most m=256 groups per language cross the wire
+    regardless of corpus size, and the final per-lang assembly touches
+    <=256 rows/lang. This is why HLL is the profiler's default at
+    100 TB and KMV the precision-tunable alternative."""
+    grams = docs.select(
+        "lang", F.explode(word_ngrams(tokens_of(F.col("text")))).alias("gram")
+    )
+    h = md5h60(F.col("gram"))
+    regs = (
+        grams.select(
+            "lang",
+            F.shiftright(h, _HLL_W).cast("int").alias("bucket"),
+            h.bitwiseAND(F.lit((1 << _HLL_W) - 1)).alias("suffix"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("suffix") == 0, F.lit(_HLL_W + 1)).otherwise(
+                F.lit(_HLL_W + 1) - F.length(F.bin("suffix"))
+            ).cast("int"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    empty_term = 1 << (_HLL_W + 1)  # empty register: M_j=0 -> 2^(w+1)
+    return (
+        regs.withColumn(
+            "scaled", F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_W + 1} - r)")
+        )
+        .groupBy("lang")
+        .agg(F.count("*").cast("int").alias("n_present"),
+             F.sum("scaled").alias("s_present"))
+        .select(
+            "lang",
+            (F.lit(HLL_M) - F.col("n_present")).cast("int").alias("n_zero"),
+            (F.col("s_present")
+             + (F.lit(HLL_M) - F.col("n_present")).cast("long") * F.lit(empty_term)
+             ).alias("sum_scaled"),
+        )
+        .withColumn(
+            "est_hll",
+            F.floor(F.lit(_HLL_C) / F.col("sum_scaled").cast("double")).cast("long"),
+        )
+        .withColumn(
+            "lc_gate",
+            (F.col("est_hll") <= F.lit(5 * HLL_M // 2)) & (F.col("n_zero") > 0),
+        )
+    )

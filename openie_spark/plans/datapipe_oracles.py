@@ -329,6 +329,53 @@ SELECT lang, CAST(count(*) AS INT) AS n_kept, max(h) AS kth_hash,
 FROM kept GROUP BY lang"""
 
 
+def hll_distinct_sql() -> str:
+    """Twin of textstats.hll_distinct: 256 HLL registers from the
+    md5h60 top bits, rank via bin() bitlength (identical unpadded
+    semantics in both engines), harmonic sum as the exact BIGINT
+    S = sum(2^(w+1-M_j)) incl. the empty-register 2^(w+1) terms, raw
+    estimate FLOOR of the shared constant / S."""
+    from openie_spark.datapipe.textstats import HLL_M, _HLL_C, _HLL_W
+
+    mask = (1 << _HLL_W) - 1
+    return f"""WITH toks AS (
+  SELECT lang, {_TOKS.format(c='text')} AS toks FROM documents
+),
+grams AS (
+  SELECT lang, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS gram
+  FROM toks
+),
+hs AS (
+  SELECT lang, ({_md5h60('gram')} >> {_HLL_W}) AS bucket,
+         ({_md5h60('gram')} & {mask}) AS suffix
+  FROM grams
+),
+regs AS (
+  SELECT lang, bucket,
+         max(CASE WHEN suffix = 0 THEN {_HLL_W + 1}
+             ELSE {_HLL_W + 1} - length(bin(suffix)) END) AS r
+  FROM hs GROUP BY 1, 2
+),
+assembled AS (
+  SELECT lang, CAST(count(*) AS INT) AS n_present,
+         sum(1::BIGINT << ({_HLL_W + 1} - r)) AS s_present
+  FROM regs GROUP BY 1
+),
+scored AS (
+  SELECT lang, CAST({HLL_M} - n_present AS INT) AS n_zero,
+         CAST(s_present + ({HLL_M} - n_present)::BIGINT
+              * (1::BIGINT << {_HLL_W + 1}) AS BIGINT) AS sum_scaled
+  FROM assembled
+)
+SELECT lang, n_zero, sum_scaled,
+       CAST(floor({_HLL_C!r} / CAST(sum_scaled AS DOUBLE)) AS BIGINT) AS est_hll,
+       (CAST(floor({_HLL_C!r} / CAST(sum_scaled AS DOUBLE)) AS BIGINT)
+        <= {5 * HLL_M // 2} AND n_zero > 0) AS lc_gate
+FROM scored"""
+
+
 def fingerprint_sql() -> str:
     return f"""WITH t AS (
   SELECT doc_id,

@@ -463,6 +463,58 @@ def test_kmv_estimator_accuracy_and_determinism(spark, docs):
             assert abs(est - true[lang]) / true[lang] < 0.5
 
 
+def test_hll_python_reference_twin(spark):
+    """Registers, exact-integer harmonic sum, raw estimate, and
+    lc_gate match a from-scratch pure-Python HLL over the same
+    distinct word-3-grams (incl. empty-register accounting)."""
+    import hashlib
+    import math
+
+    from openie_spark.datapipe.textstats import HLL_M, _HLL_C, _HLL_W, hll_distinct
+
+    texts = [(i, " ".join(f"w{i}k{j}" for j in range(12)), "en") for i in range(30)]
+    corpus = spark.createDataFrame(
+        texts, "doc_id long, text string, lang string")
+    grams = set()
+    for _, t, _l in texts:
+        toks = t.split()
+        grams |= {" ".join(toks[i:i + 3])
+                  for i in range(max(len(toks) - 2, 1))}
+    regs: dict[int, int] = {}
+    for g in grams:
+        h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+        suf = h & ((1 << _HLL_W) - 1)
+        rho = (_HLL_W + 1) - suf.bit_length() if suf else _HLL_W + 1
+        regs[h >> _HLL_W] = max(regs.get(h >> _HLL_W, 0), rho)
+    s = sum(1 << (_HLL_W + 1 - r) for r in regs.values()) \
+        + (HLL_M - len(regs)) * (1 << (_HLL_W + 1))
+    est = math.floor(_HLL_C / float(s))
+    rows = hll_distinct(corpus).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.lang, r.n_zero, r.sum_scaled, r.est_hll) == (
+        "en", HLL_M - len(regs), s, est)
+    assert r.lc_gate == (est <= 5 * HLL_M // 2 and r.n_zero > 0)
+
+
+def test_hll_accuracy_and_determinism(spark, docs):
+    """Raw HLL estimate lands within the m=256 error envelope of the
+    true per-lang distinct-3-gram count on every row outside the
+    documented linear-counting gate; partitioning-independent."""
+    from openie_spark.datapipe.hashing import tokens_of, word_ngrams
+    from openie_spark.datapipe.textstats import hll_distinct
+
+    a = sorted(tuple(r) for r in hll_distinct(docs).collect())
+    b = sorted(tuple(r) for r in hll_distinct(docs.repartition(7)).collect())
+    assert a == b
+    true = {r.lang: r.d for r in docs.select(
+        "lang", F.explode(word_ngrams(tokens_of(F.col("text")))).alias("g")
+    ).distinct().groupBy("lang").agg(F.countDistinct("g").alias("d")).collect()}
+    for lang, _n_zero, _s, est, gated in a:
+        if not gated:  # ~6.5% stderr at m=256; generous 4+ sigma
+            assert abs(est - true[lang]) / true[lang] < 0.3
+
+
 def test_ivfpq_topk_exact_twin_rank1(emb):
     """An exact-duplicate vector shares its original's cell and PQ
     codes, so ADC ranks it first and the exact rescore returns it at
