@@ -691,6 +691,14 @@ def _q_dp_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir))
 
 
+def _q_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token-count quantile sketch: bottom-k-by-hash uniform
+    sample + nearest-rank integer quantiles, exact n_docs/min/max."""
+    from openie_spark.datapipe.textstats import sampled_quantiles
+
+    return sampled_quantiles(_docs(spark, sf_dir))
+
+
 def _q_dp_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register sketch: per-lang distinct word-3-gram
     estimate with exact-integer harmonic sums (no transcendental in
@@ -957,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_bpe_pairs": _q_dp_bpe_pairs,
         "dp_kmv_distinct": _q_dp_kmv_distinct,
         "dp_hll_distinct": _q_dp_hll_distinct,
+        "dp_quantiles": _q_dp_quantiles,
         "dp_collocations": _q_dp_collocations,
         "dp_sample": _q_dp_sample,
         "dp_pack": _q_dp_pack,
@@ -1030,6 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_bpe_pairs": dp.bpe_pairs_sql(),
         "dp_kmv_distinct": dp.kmv_distinct_sql(),
         "dp_hll_distinct": dp.hll_distinct_sql(),
+        "dp_quantiles": dp.sampled_quantiles_sql(),
         "dp_collocations": dp.collocations_sql(),
         "dp_sample": dp.stratified_sample_sql(),
         "dp_pack": dp.pack_sequences_sql(),

@@ -291,6 +291,65 @@ def kmv_distinct(docs: DataFrame, k: int = KMV_K, salts: int = KMV_SALTS) -> Dat
     )
 
 
+QUANT_K = 256       # sample size per group: quantile stderr ~ sqrt(p(1-p)/k)
+QUANT_SALTS = 32    # first-level top-k fan-out (same trick as kmv_distinct)
+QUANT_PCTS = (50, 90, 99)
+
+
+def sampled_quantiles(docs: DataFrame, k: int = QUANT_K,
+                      salts: int = QUANT_SALTS,
+                      pcts: tuple = QUANT_PCTS) -> DataFrame:
+    """Per-language token-count quantile sketch via deterministic
+    bottom-k-by-hash sampling (bottom-k sampling is the classic
+    mergeable uniform-sample sketch, e.g. Cohen & Kaplan 2007): keep
+    the ``k`` docs with the smallest md5h60(doc_id) — a uniform sample
+    independent of the value — then report NEAREST-RANK quantiles
+    (rank ceil(p*n/100), pure integer arithmetic, no interpolation)
+    over the sample, plus the EXACT n_docs/min/max from a partial-agg
+    pass. Everything emitted is an integer: no floating quantile
+    interpolation to drift between engines.
+
+    Scale shape: the value column never shuffles at occurrence scale —
+    the exact aggregates are map-side partial (count/min/max), and the
+    sample uses the same salted two-level top-k as ``kmv_distinct``
+    (per-(lang, h%salts) row_number, then a final window over
+    <=salts*k survivors), so a hot language spreads over ``salts``
+    external sorts and two-level == global top-k at any parallelism.
+    Windows order by (h, n_words) so hash ties stay deterministic."""
+    stats = docs.select(
+        "lang",
+        F.size(tokens_of(F.col("text"))).alias("n_words"),
+        md5h60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    exact = stats.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_words").alias("min_words"),
+        F.max("n_words").alias("max_words"),
+    )
+    d = stats.withColumn("salt", F.pmod(F.col("h"), F.lit(salts)))
+    w1 = Window.partitionBy("lang", "salt").orderBy("h", "n_words")
+    w2 = Window.partitionBy("lang").orderBy("h", "n_words")
+    kept = (
+        d.withColumn("r", F.row_number().over(w1)).filter(F.col("r") <= k)
+        .select("lang", "n_words", "h")
+        .withColumn("r", F.row_number().over(w2)).filter(F.col("r") <= k)
+    )
+    samp = kept.groupBy("lang").agg(
+        F.count("*").cast("int").alias("n_sample"),
+        F.sort_array(F.collect_list(F.struct("n_words", "h"))).alias("vals"),
+    )
+    out = samp.join(exact, "lang")
+    for p in pcts:
+        out = out.withColumn(
+            f"p{p}",
+            F.element_at(
+                "vals", F.expr(f"CAST((n_sample * {p} + 99) DIV 100 AS INT)")
+            )["n_words"],
+        )
+    return out.select("lang", "n_docs", "n_sample", "min_words", "max_words",
+                      *[f"p{p}" for p in pcts])
+
+
 HLL_P = 8                  # register-index bits: m = 256 registers
 HLL_M = 1 << HLL_P
 _HLL_W = 60 - HLL_P        # rank-suffix bits of the 60-bit md5 hash

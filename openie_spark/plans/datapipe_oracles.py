@@ -329,6 +329,48 @@ SELECT lang, CAST(count(*) AS INT) AS n_kept, max(h) AS kth_hash,
 FROM kept GROUP BY lang"""
 
 
+def sampled_quantiles_sql() -> str:
+    """Twin of textstats.sampled_quantiles: bottom-k-by-md5h60(doc_id)
+    uniform sample (two-level salted top-k == global, so the oracle
+    skips the salt), nearest-rank integer quantiles over the sample,
+    exact n_docs/min/max from a full pass. (h, n_words) tie order
+    mirrors the Spark windows."""
+    from openie_spark.datapipe.textstats import QUANT_K, QUANT_PCTS
+
+    picks = ",\n       ".join(
+        f"max(CASE WHEN vr = (n_sample * {p} + 99) // 100 THEN n_words END)"
+        f" AS p{p}" for p in QUANT_PCTS)
+    return f"""WITH stats AS (
+  SELECT lang,
+         CAST(len({_TOKS.format(c='text')}) AS INT) AS n_words,
+         {_md5h60('CAST(doc_id AS VARCHAR)')} AS h
+  FROM documents
+),
+exact AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         min(n_words) AS min_words, max(n_words) AS max_words
+  FROM stats GROUP BY 1
+),
+kept AS (
+  SELECT lang, n_words, h FROM (
+    SELECT lang, n_words, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h, n_words) AS r
+    FROM stats
+  ) WHERE r <= {QUANT_K}
+),
+ranked AS (
+  SELECT lang, n_words,
+         row_number() OVER (PARTITION BY lang ORDER BY n_words, h) AS vr,
+         CAST(count(*) OVER (PARTITION BY lang) AS INT) AS n_sample
+  FROM kept
+)
+SELECT e.lang, e.n_docs, max(r.n_sample) AS n_sample,
+       e.min_words, e.max_words,
+       {picks}
+FROM ranked r JOIN exact e USING (lang)
+GROUP BY e.lang, e.n_docs, e.min_words, e.max_words"""
+
+
 def hll_distinct_sql() -> str:
     """Twin of textstats.hll_distinct: 256 HLL registers from the
     md5h60 top bits, rank via bin() bitlength (identical unpadded

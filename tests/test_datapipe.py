@@ -463,6 +463,46 @@ def test_kmv_estimator_accuracy_and_determinism(spark, docs):
             assert abs(est - true[lang]) / true[lang] < 0.5
 
 
+def test_quantiles_exact_small_group(spark):
+    """Groups smaller than k are sampled in full, so nearest-rank
+    quantiles are EXACT — pinned by hand on a 10-doc corpus."""
+    from openie_spark.datapipe.textstats import sampled_quantiles
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "en")
+         for i, n in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])],
+        "doc_id long, text string, lang string")
+    r = sampled_quantiles(corpus).collect()[0]
+    # nearest-rank: ceil(.5*10)=5, ceil(.9*10)=9, ceil(.99*10)=10
+    assert (r.lang, r.n_docs, r.n_sample, r.min_words, r.max_words,
+            r.p50, r.p90, r.p99) == ("en", 10, 10, 1, 10, 5, 9, 10)
+
+
+def test_quantiles_sample_accuracy_and_determinism(spark, docs):
+    """Sampled p50 lands within the binomial envelope of the true
+    median; partitioning-independent; salted two-level == global."""
+    from openie_spark.datapipe.hashing import tokens_of
+    from openie_spark.datapipe.textstats import sampled_quantiles
+
+    a = sorted(tuple(r) for r in sampled_quantiles(docs).collect())
+    b = sorted(tuple(r) for r in sampled_quantiles(docs.repartition(7)).collect())
+    assert a == b
+    unsalted = sorted(tuple(r) for r in sampled_quantiles(docs, salts=1).collect())
+    assert a == unsalted
+    truth = {
+        r.lang: (r.n, r.med) for r in docs.select(
+            "lang", F.size(tokens_of(F.col("text"))).alias("n_words"))
+        .groupBy("lang").agg(
+            F.count("*").alias("n"),
+            F.expr("percentile(n_words, 0.5)").alias("med")).collect()
+    }
+    for row in a:
+        lang, n_docs, n_sample = row[0], row[1], row[2]
+        assert n_docs == truth[lang][0]
+        if n_sample >= 64:  # rank stderr ~ sqrt(k)/2 -> value drift small
+            assert abs(row[5] - truth[lang][1]) / max(truth[lang][1], 1) < 0.25
+
+
 def test_hll_python_reference_twin(spark):
     """Registers, exact-integer harmonic sum, raw estimate, and
     lc_gate match a from-scratch pure-Python HLL over the same
