@@ -390,6 +390,43 @@ def _q_kg_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relation_weights(edges)
 
 
+def _q_kg_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Display-name selection per entity: max-freq alias, ties to the
+    shorter then lexicographically smaller string (vocab-scale)."""
+    from openie_spark.kg.graph import display_labels
+
+    _, _, _, canon = _kg_parts(spark, sf_dir)
+    return display_labels(canon)
+
+
+def _q_kg_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rule-ladder entity typing over the nodes table
+    (year/numeric/code/measure/person/org/place/phrase/term)."""
+    from openie_spark.kg.enrich import entity_types
+
+    nodes, _ = _graph_parts(spark, sf_dir)
+    return entity_types(nodes)
+
+
+def _q_kg_relation_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical relations: surface predicates grouped by their
+    aux-stripped suffix-rule lemma key, with the sorted surface-form
+    inventory and summed support."""
+    from openie_spark.kg.enrich import relation_canon
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return relation_canon(edges)
+
+
+def _q_kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation salient entities: top-k by the exact-integer
+    tf*idf-style score (no float log to drift between engines)."""
+    from openie_spark.kg.enrich import entity_salience
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return entity_salience(edges)
+
+
 def _q_kg_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal KG edges: relation validity intervals [first_us,
     last_us] from the turn timestamps — one equi-join on the
@@ -942,6 +979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_degree": _q_kg_degree,
         "kg_relations": _q_kg_relations,
+        "kg_display": _q_kg_display,
+        "kg_entity_types": _q_kg_entity_types,
+        "kg_relation_canon": _q_kg_relation_canon,
+        "kg_salience": _q_kg_salience,
         "kg_temporal": _q_kg_temporal,
         "kg_export_nt": _q_kg_export_nt,
         "kg_comention": _q_kg_comention,
@@ -1016,6 +1057,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": o.kg_edges_sql(),
         "kg_degree": o.kg_degree_sql(),
         "kg_relations": o.kg_relations_sql(),
+        "kg_display": o.kg_display_sql(),
+        "kg_entity_types": o.kg_entity_types_sql(),
+        "kg_relation_canon": o.kg_relation_canon_sql(),
+        "kg_salience": o.kg_salience_sql(),
         "kg_temporal": o.kg_temporal_sql(),
         "kg_export_nt": o.kg_export_nt_sql(),
         "kg_comention": o.kg_comention_sql(),

@@ -1,0 +1,173 @@
+"""Stage I+ — KG semantic enrichment: entity typing, relation
+canonicalization, per-conversation entity salience.
+
+These are the standard post-materialize enrichment passes of a KG
+construction pipeline (the reference stops at triples + eval —
+AntNLP/OpenIE has no KG stage at all — so like the rest of ``kg/``
+this surface is engine-original, designed for the 10^12-turn north
+star rather than ported):
+
+  * ``entity_types`` — deterministic rule-ladder typing of canonical
+    entity labels (numeric / year / code / measure / person / org /
+    place / phrase / term). Rules are pure string predicates over the
+    ``[a-z0-9 ]`` normalized-mention alphabet, so typing is exactly
+    reproducible in any engine.
+  * ``relation_canon`` — groups surface predicates into canonical
+    relations: drop auxiliary/modal tokens, then apply a small
+    deterministic suffix-rule lemmatizer (plural/-ing/-ed with
+    doubled-consonant halving; an s-stemmer extension in the spirit of
+    Harman 1991). No backreferences anywhere, so the same rules run
+    under Java regex (Spark) and RE2 (DuckDB).
+  * ``entity_salience`` — per-conversation top-k entities by an
+    exact-integer tf*idf-style score (local mentions scaled by the
+    entity's inverse conversation frequency).
+
+All three do their string work on VOCABULARY-sized tables (distinct
+labels / distinct predicates) and reattach occurrence counts by join,
+so the regexp ladder never runs at occurrence scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# auxiliaries/modals dropped from predicates before lemma grouping
+AUX_TOKENS = (
+    "is are was were be been being am do does did has have had "
+    "will would can could shall should may might must not to"
+).split()
+
+# last-resort suffix rules, FIRST match wins; (regex, chars-to-strip,
+# append). Doubled-consonant branches come before their plain
+# counterparts so 'running' -> 'run' but 'ring' stays 'ring'.
+LEMMA_RULES = [
+    ("^[a-z]{2,}ies$", 3, "y"),                          # studies -> study
+    ("^[a-z]{2,}(ch|sh|x|z|ss)es$", 2, ""),              # matches -> match
+    ("^[a-z]{2,}[abcdefghjklmnopqrtvwxyz]s$", 1, ""),    # scans -> scan
+    ("^[a-z]+(bb|dd|gg|mm|nn|pp|rr|tt)ing$", 4, ""),     # running -> run
+    ("^[a-z]{3,}ing$", 3, ""),                           # meeting -> meet
+    ("^[a-z]+(bb|dd|gg|mm|nn|pp|rr|tt)ed$", 3, ""),      # stopped -> stop
+    ("^[a-z]{3,}ed$", 2, ""),                            # merged -> merg
+]
+
+# entity-typing rule ladder, FIRST match wins (over the normalized
+# [a-z0-9 ] alphabet — no case or punctuation to consider)
+PERSON_PREFIXES = "mr mrs ms dr prof sir president ceo judge captain".split()
+ORG_SUFFIXES = ("inc corp llc ltd co company university institute"
+                " committee department agency ministry").split()
+PLACE_SUFFIXES = ("city county state country river mountain street"
+                  " avenue island valley lake bay").split()
+
+
+def lemma_col(tok: F.Column) -> F.Column:
+    """Apply LEMMA_RULES to one lowercase token column (first match
+    wins); identity when nothing matches."""
+    out = tok
+    for rx, strip, app in reversed(LEMMA_RULES):
+        stem = F.substring(tok, F.lit(1), F.length(tok) - strip)
+        out = F.when(tok.rlike(rx),
+                     F.concat(stem, F.lit(app)) if app else stem).otherwise(out)
+    return out
+
+
+def canon_relation_col(pred: F.Column) -> F.Column:
+    """Predicate -> canonical relation key: drop auxiliary/modal
+    tokens FIRST (so inflected auxes can't slip past the set after
+    stemming, e.g. 'does'->'doe'), lemmatize the surviving content
+    tokens, join with ' '. An aux-only predicate is kept verbatim
+    (never empties, never stems its auxes)."""
+    toks = F.filter(F.split(pred, " "), lambda t: t != "")
+    content = F.filter(toks, lambda t: ~t.isin(*AUX_TOKENS))
+    return F.when(
+        F.size(content) > 0,
+        F.array_join(F.transform(content, lemma_col), " "),
+    ).otherwise(F.array_join(toks, " "))
+
+
+def relation_canon(edges: DataFrame) -> DataFrame:
+    """Canonical relations: group the edge table's surface predicates
+    by their aux-stripped lemma key and report per-relation support
+    plus the sorted surface-form inventory.
+
+    Scale shape: the lemma ladder runs on the DISTINCT-predicate table
+    (relation vocabularies follow Heaps' law — tiny), which joins back
+    to edges on pred; AQE broadcasts that side. Edge counting is one
+    partial-aggregated groupBy on (pred) then a vocab-sized re-group
+    on the canon key — the occurrence-scale shuffle is the same one
+    relation_weights already pays, never the regexp work."""
+    per_pred = edges.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    keyed = per_pred.withColumn("rel_canon", canon_relation_col(F.col("pred")))
+    return keyed.groupBy("rel_canon").agg(
+        F.count(F.lit(1)).cast("int").alias("n_forms"),
+        F.sort_array(F.collect_list("pred")).alias("forms"),
+        F.sum("n_edges").alias("n_edges"),
+        F.sum("n_convs").alias("n_convs_sum"),
+    )
+
+
+def etype_col(label: F.Column) -> F.Column:
+    """Rule-ladder entity type for a normalized [a-z0-9 ] label."""
+    first = F.element_at(F.split(label, " "), 1)
+    last = F.element_at(F.split(label, " "), -1)
+    return (
+        F.when(label.rlike("^(1[0-9]{3}|2[0-9]{3})$"), "year")
+        .when(label.rlike("^[0-9]+$"), "numeric")
+        .when(~label.contains(" ")
+              & label.rlike("[0-9]") & label.rlike("[a-z]"), "code")
+        .when(label.rlike("^[0-9]+ ") & last.rlike("^[a-z]+$"), "measure")
+        .when(first.isin(*PERSON_PREFIXES), "person")
+        .when(last.isin(*ORG_SUFFIXES), "org")
+        .when(last.isin(*PLACE_SUFFIXES), "place")
+        .when(label.contains(" "), "phrase")
+        .otherwise("term")
+    )
+
+
+def entity_types(nodes: DataFrame) -> DataFrame:
+    """Typed node table (entity_id, canonical, etype, freq) — the
+    deterministic heuristic type-assignment pass every downstream KG
+    consumer wants before schema mapping. Vocabulary-scale map-only
+    work on the nodes table (no shuffle at all beyond the scan)."""
+    return nodes.select(
+        "entity_id", "canonical",
+        etype_col(F.col("canonical")).alias("etype"),
+        "freq",
+    )
+
+
+SALIENCE_TOP = 5
+
+
+def entity_salience(edges: DataFrame, k: int = SALIENCE_TOP) -> DataFrame:
+    """Per-conversation salient entities: top-``k`` by the exact-
+    integer score n_local * n_total_convs DIV n_convs_with_entity —
+    the tf*idf shape without a float log (a 1-ulp log difference could
+    flip ranks between engines; the integer rational cannot).
+
+    Scale shape: one partial-agg shuffle on (conv_id, entity_id), a
+    vocabulary-sized entity-df aggregation joined back (AQE broadcasts
+    it), a 1-row total broadcast-crossjoin, and a per-conversation
+    row_number window whose partitions are bounded by entities-per-
+    conversation (turn-bounded), not corpus size."""
+    occ = edges.select("conv_id", F.col("src_id").alias("entity_id")).unionAll(
+        edges.select("conv_id", F.col("dst_id").alias("entity_id")))
+    tf = occ.groupBy("conv_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("n_local"))
+    idf = tf.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_convs"))
+    total = occ.agg(F.countDistinct("conv_id").alias("n_total"))
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("salience"), F.asc("entity_id"))
+    return (
+        tf.join(idf, "entity_id")
+        .crossJoin(F.broadcast(total))
+        .withColumn("salience", F.expr("(n_local * n_total) DIV n_convs"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("conv_id", "entity_id", "n_local", "n_convs",
+                "salience", "rank")
+    )

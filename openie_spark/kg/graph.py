@@ -97,6 +97,35 @@ def build_edges(triples: DataFrame, canon: DataFrame,
     return build_edges_from_norm(norm_triples(triples), canon, strategy)
 
 
+def display_labels(canon: DataFrame) -> DataFrame:
+    """Display-name selection — the 'alias canonicalization' output a
+    KG consumer reads: per entity (connected component) the alias with
+    the HIGHEST occurrence count becomes the display label, ties to
+    the shorter then lexicographically smaller string. The component
+    representative (union-find root, i.e. ``canonical``) is a join
+    key, not a human-facing name; this picks the name.
+
+    Scale shape: one row_number window + one hash-agg, both over the
+    VOCABULARY (distinct normalized mentions) — sub-linear in corpus
+    size, same working set as linking. No occurrence-scale work."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc("freq"), F.length("norm").asc(), F.asc("norm"))
+    best = (
+        canon.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        .select("component", F.col("norm").alias("display"),
+                F.col("freq").alias("display_freq"))
+    )
+    agg = canon.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_aliases"), F.sum("freq").alias("freq"))
+    return agg.join(best, "component").select(
+        F.md5("component").alias("entity_id"),
+        F.col("component").alias("canonical"),
+        "display", "display_freq", "n_aliases", "freq",
+    )
+
+
 def degree_stats(edges: DataFrame) -> DataFrame:
     """Per-entity out/in degree — the graph-sanity aggregation used by
     tests and the driver query (SQL-expressible)."""

@@ -565,3 +565,138 @@ s_deg AS MATERIALIZED (
   FROM (SELECT a AS entity_id FROM s_und UNION ALL SELECT b FROM s_und)
   GROUP BY 1)""",
     )
+
+
+def kg_display_sql() -> str:
+    """Twin of kg.graph.display_labels: per component the max-freq
+    alias (ties: shorter, then lexicographically smaller norm)."""
+    return _with_kg("""
+SELECT md5(component) AS entity_id, component AS canonical,
+       display, display_freq,
+       CAST(n_aliases AS BIGINT) AS n_aliases, freq
+FROM (
+  SELECT component, count(*) AS n_aliases,
+         CAST(sum(freq) AS BIGINT) AS freq
+  FROM canonmap GROUP BY 1
+) a JOIN (
+  SELECT component, norm AS display, CAST(freq AS BIGINT) AS display_freq
+  FROM (
+    SELECT component, norm, freq,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY freq DESC, length(norm), norm) AS r
+    FROM canonmap
+  ) WHERE r = 1
+) b USING (component)""")
+
+
+def kg_entity_types_sql() -> str:
+    """Twin of kg.enrich.entity_types: the same rule ladder over the
+    nodes table (word lists imported as shared constants; the SQL is
+    an independent re-expression under RE2)."""
+    from openie_spark.kg.enrich import (
+        ORG_SUFFIXES, PERSON_PREFIXES, PLACE_SUFFIXES)
+
+    def lst(ws):
+        return "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+
+    return _with_kg(f"""
+SELECT entity_id, canonical,
+  CASE
+    WHEN regexp_matches(canonical, '^(1[0-9]{{3}}|2[0-9]{{3}})$') THEN 'year'
+    WHEN regexp_matches(canonical, '^[0-9]+$') THEN 'numeric'
+    WHEN NOT contains(canonical, ' ') AND regexp_matches(canonical, '[0-9]')
+         AND regexp_matches(canonical, '[a-z]') THEN 'code'
+    WHEN regexp_matches(canonical, '^[0-9]+ ')
+         AND regexp_matches(string_split(canonical, ' ')[-1], '^[a-z]+$')
+      THEN 'measure'
+    WHEN list_contains({lst(PERSON_PREFIXES)}, string_split(canonical, ' ')[1])
+      THEN 'person'
+    WHEN list_contains({lst(ORG_SUFFIXES)}, string_split(canonical, ' ')[-1])
+      THEN 'org'
+    WHEN list_contains({lst(PLACE_SUFFIXES)}, string_split(canonical, ' ')[-1])
+      THEN 'place'
+    WHEN contains(canonical, ' ') THEN 'phrase'
+    ELSE 'term'
+  END AS etype,
+  freq
+FROM nodes""")
+
+
+def _lemma_case_duckdb(var: str) -> str:
+    """DuckDB CASE ladder for one token from the shared LEMMA_RULES
+    constants (first match wins, same as kg.enrich.lemma_col)."""
+    from openie_spark.kg.enrich import LEMMA_RULES
+
+    branches = []
+    for rx, strip, app in LEMMA_RULES:
+        stem = f"substr({var}, 1, length({var}) - {strip})"
+        if app:
+            stem = f"{stem} || '{app}'"
+        branches.append(f"WHEN regexp_matches({var}, '{rx}') THEN {stem}")
+    return "CASE " + " ".join(branches) + f" ELSE {var} END"
+
+
+def kg_relation_canon_sql() -> str:
+    """Twin of kg.enrich.relation_canon: per-pred edge/conv counts,
+    aux-drop-then-lemma key (aux-only predicates kept verbatim),
+    sorted surface-form inventory per canonical relation."""
+    from openie_spark.kg.enrich import AUX_TOKENS
+
+    aux = "[" + ", ".join(f"'{w}'" for w in AUX_TOKENS) + "]"
+    return _with_kg(f"""
+SELECT rel_canon, CAST(count(*) AS INT) AS n_forms,
+       list_sort(list(pred)) AS forms,
+       CAST(sum(n_edges) AS BIGINT) AS n_edges,
+       CAST(sum(n_convs) AS BIGINT) AS n_convs_sum
+FROM (
+  SELECT pred, n_edges, n_convs,
+         CASE WHEN len(content) > 0 THEN array_to_string(
+                list_transform(content, t -> {_lemma_case_duckdb('t')}), ' ')
+              ELSE array_to_string(toks, ' ') END AS rel_canon
+  FROM (
+    SELECT pred, n_edges, n_convs, toks,
+           list_filter(toks, t -> NOT list_contains({aux}, t)) AS content
+    FROM (
+      SELECT pred, n_edges, n_convs,
+             list_filter(string_split(pred, ' '), t -> t <> '') AS toks
+      FROM per_pred
+    )
+  )
+)
+GROUP BY 1""",
+        extra_ctes="""
+per_pred AS MATERIALIZED (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM kg_edges GROUP BY 1)""",
+    )
+
+
+def kg_salience_sql() -> str:
+    """Twin of kg.enrich.entity_salience: exact-integer tf*idf-style
+    score with // division, top-k per conversation."""
+    from openie_spark.kg.enrich import SALIENCE_TOP
+
+    return _with_kg(f"""
+SELECT conv_id, entity_id, n_local, n_convs, salience, CAST(rank AS INT) AS rank
+FROM (
+  SELECT conv_id, entity_id, n_local, n_convs,
+         (n_local * n_total) // n_convs AS salience,
+         row_number() OVER (
+           PARTITION BY conv_id
+           ORDER BY (n_local * n_total) // n_convs DESC, entity_id) AS rank
+  FROM s_tf JOIN s_idf USING (entity_id), s_tot
+)
+WHERE rank <= {SALIENCE_TOP}""",
+        extra_ctes="""
+s_occ AS (
+  SELECT conv_id, src_id AS entity_id FROM kg_edges
+  UNION ALL SELECT conv_id, dst_id FROM kg_edges),
+s_tf AS MATERIALIZED (
+  SELECT conv_id, entity_id, CAST(count(*) AS BIGINT) AS n_local
+  FROM s_occ GROUP BY 1, 2),
+s_idf AS MATERIALIZED (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_convs FROM s_tf GROUP BY 1),
+s_tot AS (
+  SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_total FROM s_occ)""",
+    )

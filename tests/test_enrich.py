@@ -1,0 +1,127 @@
+"""KG enrichment operators: entity typing, relation lemma
+canonicalization, salience, display-label selection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_lemma_rules_hand_table(spark):
+    """Every LEMMA_RULES branch plus the guards that must NOT fire."""
+    from openie_spark.kg.enrich import lemma_col
+
+    cases = {
+        "studies": "study",     # ies -> y
+        "matches": "match",     # (ch|sh|x|z|ss)es
+        "classes": "class",
+        "scans": "scan",        # plain plural
+        "plays": "play",
+        "running": "run",       # doubled-consonant ing
+        "meeting": "meet",      # plain ing
+        "stopped": "stop",      # doubled-consonant ed
+        "merged": "merg",       # plain ed (documented under-stem)
+        "ring": "ring",         # too short for the ing rule
+        "sing": "sing",
+        "bus": "bus",           # -us plurals excluded
+        "his": "his",           # -is excluded
+        "pass": "pass",         # -ss excluded
+        "is": "is",             # untouched
+        "ties": "tie",          # short for the ies rule; plain plural fires
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "w string")
+    got = {r.w: r.lem for r in df.select("w", lemma_col(F.col("w")).alias("lem")).collect()}
+    assert got == cases
+
+
+def test_canon_relation_aux_and_empty_guard(spark):
+    from openie_spark.kg.enrich import canon_relation_col
+
+    cases = {
+        "will meet": "meet",            # modal dropped
+        "has merged": "merg",
+        "is": "is",                     # aux-only keeps its lemma
+        "does not": "does not",         # all-aux multi-token kept
+        "scans filters": "scan filter", # every token lemmatized
+        "query": "query",
+    }
+    df = spark.createDataFrame([(p,) for p in cases], "p string")
+    got = {r.p: r.c for r in df.select(
+        "p", canon_relation_col(F.col("p")).alias("c")).collect()}
+    assert got == cases
+
+
+def test_etype_rule_ladder_all_branches(spark):
+    from openie_spark.kg.enrich import etype_col
+
+    cases = {
+        "1999": "year",
+        "2024": "year",
+        "42": "numeric",
+        "gpt4": "code",
+        "3x9b": "code",
+        "5 dollars": "measure",
+        "dr smith": "person",
+        "acme corp": "org",
+        "hudson river": "place",
+        "fast hash join": "phrase",
+        "table": "term",
+    }
+    df = spark.createDataFrame([(w,) for w in cases], "c string")
+    got = {r.c: r.t for r in df.select("c", etype_col(F.col("c")).alias("t")).collect()}
+    assert got == cases
+
+
+def test_entity_salience_hand_golden(spark):
+    """Two conversations; entity 'x' appears in both (idf halves its
+    score), 'y' only in c1. Integer score = n_local * n_total DIV
+    n_convs; rank ties break on entity_id."""
+    from openie_spark.kg.enrich import entity_salience
+
+    edges = spark.createDataFrame(
+        [("c1", "x", "y", "p", 0, 0, 0), ("c1", "y", "x", "p", 0, 0, 0),
+         ("c2", "x", "z", "p", 0, 0, 0)],
+        "conv_id string, src_id string, dst_id string, pred string,"
+        " turn_idx int, sent_idx int, ext_idx int")
+    got = {(r.conv_id, r.entity_id): (r.n_local, r.n_convs, r.salience, r.rank)
+           for r in entity_salience(edges).collect()}
+    # occurrences: c1 -> x:2 y:2 ; c2 -> x:1 z:1 ; n_total=2
+    assert got == {
+        ("c1", "y"): (2, 1, 4, 1),   # 2*2//1
+        ("c1", "x"): (2, 2, 2, 2),   # 2*2//2
+        ("c2", "z"): (1, 1, 2, 1),
+        ("c2", "x"): (1, 2, 1, 2),
+    }
+
+
+def test_display_labels_tie_breaks(spark):
+    """Max freq wins; freq ties go to the shorter then smaller norm;
+    singleton components display themselves."""
+    from openie_spark.kg.graph import display_labels
+
+    canon = spark.createDataFrame(
+        [("big table", 5, "big table"), ("the big table", 9, "big table"),
+         ("big tables", 9, "big table"), ("solo", 3, "solo")],
+        "norm string, freq long, component string")
+    got = {r.canonical: (r.display, r.display_freq, r.n_aliases, r.freq)
+           for r in display_labels(canon).collect()}
+    # 'big tables' (10 chars) beats 'the big table' (13) at freq 9
+    assert got == {"big table": ("big tables", 9, 3, 23),
+                   "solo": ("solo", 3, 1, 3)}
+    ids = {r.canonical: r.entity_id for r in display_labels(canon).collect()}
+    import hashlib
+    assert ids["solo"] == hashlib.md5(b"solo").hexdigest()
+
+
+def test_relation_canon_groups_inflections(spark):
+    from openie_spark.kg.enrich import relation_canon
+
+    rows = [("c1", "a", "b", p, 0, 0, 0) for p in
+            ["scan", "scans", "scanned", "will scan", "merge", "query"]]
+    edges = spark.createDataFrame(
+        rows, "conv_id string, src_id string, dst_id string, pred string,"
+              " turn_idx int, sent_idx int, ext_idx int")
+    got = {r.rel_canon: (r.n_forms, r.forms, r.n_edges)
+           for r in relation_canon(edges).collect()}
+    assert got["scan"] == (4, ["scan", "scanned", "scans", "will scan"], 4)
+    assert got["merge"] == (1, ["merge"], 1)
+    assert got["query"] == (1, ["query"], 1)
