@@ -84,3 +84,31 @@ def test_mixture_window_runs_post_aggregation(spark, entry):
     w = plan.find("Window")
     agg = [m.start() for m in re.finditer("HashAggregate", plan)]
     assert w != -1 and agg and min(agg) > w  # formatted plan prints top-down
+
+
+def test_hll_registers_are_pure_codegen_group(spark, entry):
+    """dp_hll_distinct's point is the bounded register aggregation:
+    no Python stage, no sort/window, no join anywhere in the plan."""
+    plan = _plan(entry.queries()["dp_hll_distinct"](spark, SF))
+    assert _count(plan, r"ArrowEvalPython|BatchEvalPython|MapInPandas") == 0
+    assert _count(plan, r"CartesianProduct|BroadcastNestedLoopJoin") == 0
+    assert _count(plan, r"\bWindow\b") == 0
+    assert _count(plan, r"\bJoin\b") == 0
+
+
+def test_entity_types_is_map_only(spark, entry):
+    """Typing is a projection over the memoized nodes table — zero
+    exchanges of its own."""
+    plan = _plan(entry.queries()["kg_entity_types"](spark, SF))
+    assert _count(plan, r"\bExchange\b") == 0
+    assert _count(plan, r"ArrowEvalPython|BatchEvalPython|MapInPandas") == 0
+
+
+def test_salience_has_exactly_one_scalar_broadcast(spark, entry):
+    """kg_salience attaches the global conversation total via ONE
+    1-row broadcast cross join; everything else must stay equi-join
+    (a second NLJ would mean the tf/idf join degraded)."""
+    plan = _plan(entry.queries()["kg_salience"](spark, SF))
+    # formatted explain prints every node twice (tree + detail block)
+    assert _count(plan, r"BroadcastNestedLoopJoin") == 2
+    assert _count(plan, r"CartesianProduct") == 0
