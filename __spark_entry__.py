@@ -427,6 +427,16 @@ def _q_kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_salience(edges)
 
 
+def _q_kg_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coref-lite: each pronoun occurrence resolved to the most recent
+    prior entity mention in its conversation (recency heuristic) — one
+    conv-partitioned window, no joins."""
+    from openie_spark.kg.coref import resolve_pronouns
+
+    triples, _, _, _ = _kg_parts(spark, sf_dir)
+    return resolve_pronouns(triples)
+
+
 def _q_kg_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal KG edges: relation validity intervals [first_us,
     last_us] from the turn timestamps — one equi-join on the
@@ -983,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_types": _q_kg_entity_types,
         "kg_relation_canon": _q_kg_relation_canon,
         "kg_salience": _q_kg_salience,
+        "kg_coref": _q_kg_coref,
         "kg_temporal": _q_kg_temporal,
         "kg_export_nt": _q_kg_export_nt,
         "kg_comention": _q_kg_comention,
@@ -1061,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_types": o.kg_entity_types_sql(),
         "kg_relation_canon": o.kg_relation_canon_sql(),
         "kg_salience": o.kg_salience_sql(),
+        "kg_coref": o.kg_coref_sql(),
         "kg_temporal": o.kg_temporal_sql(),
         "kg_export_nt": o.kg_export_nt_sql(),
         "kg_comention": o.kg_comention_sql(),

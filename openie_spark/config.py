@@ -68,6 +68,21 @@ STOP_MENTIONS = (
     "these", "those", "there", "here", "who", "which", "what",
 )
 
+# The pronoun subset of STOP_MENTIONS that the coref-lite pass tries
+# to resolve to a prior entity mention (role strings and wh-words are
+# not referring expressions — they stay dropped).
+PRONOUNS = (
+    "i", "you", "he", "she", "it", "we", "they",
+    "this", "that", "these", "those",
+)
+# A bare determiner as the WHOLE argument is an unresolved reference
+# fragment too ("the" as subject = the extractor clipped the head noun)
+# — coref-lite repairs both classes with the same recency rule. Unlike
+# PRONOUNS these are not stop-filtered (multi-word args keep them), so
+# the coref pass must exclude them from antecedent candidacy itself.
+BARE_DETERMINERS = ("a", "an", "the")
+REF_FRAGMENTS = PRONOUNS + BARE_DETERMINERS
+
 # Entity-linking knobs. MAX_BLOCK caps blocking-group size: a block
 # larger than this (head-entity skew) is excluded from the quadratic
 # exact-pair compare and recorded in lineage counters — at 10^12-turn

@@ -68,14 +68,18 @@ def norm_mention_col(c: F.Column) -> F.Column:
     return F.array_join(words, " ")
 
 
-def extract_mentions(triples: DataFrame) -> DataFrame:
+def extract_mentions(triples: DataFrame, keep_stops: bool = False) -> DataFrame:
     """triples → mentions(conv_id, turn_idx, sent_idx, ext_idx, side,
     mention, norm). Narrow: explode of a 2-element array, then filter.
 
     norm is computed INSIDE the exploded struct: the Generate node owns
     the expression, so the downstream filter references the attribute
     instead of re-inlining the normalization (predicate pushdown
-    through a Project would otherwise evaluate it twice per row)."""
+    through a Project would otherwise evaluate it twice per row).
+
+    ``keep_stops=True`` keeps STOP_MENTIONS rows (pronouns, role
+    strings) — the coref-lite pass needs the unfiltered occurrence
+    stream; entity linking never does."""
     from openie_spark.functions.partitioning import spread
 
     m = spread(triples, "conv_id").select(
@@ -89,7 +93,9 @@ def extract_mentions(triples: DataFrame) -> DataFrame:
             )
         ).alias("m"),
     )
-    m = m.filter((F.col("m.norm") != "") & ~F.col("m.norm").isin(*STOP_MENTIONS))
+    m = m.filter(F.col("m.norm") != "")
+    if not keep_stops:
+        m = m.filter(~F.col("m.norm").isin(*STOP_MENTIONS))
     return m.select(*_KEYS, "m.side", "m.mention", "m.norm")
 
 

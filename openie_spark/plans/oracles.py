@@ -672,6 +672,33 @@ per_pred AS MATERIALIZED (
     )
 
 
+def kg_coref_sql() -> str:
+    """Twin of kg.coref.resolve_pronouns: last prior entity mention in
+    transcript order (turn, sentence, extraction, subj-before-obj) via
+    last_value(... IGNORE NULLS) over the unfiltered mention stream."""
+    from openie_spark.config import REF_FRAGMENTS, STOP_MENTIONS
+
+    stops = ", ".join(f"'{s}'" for s in STOP_MENTIONS)
+    frags = ", ".join(f"'{p}'" for p in REF_FRAGMENTS)
+    return _with_kg(f"""
+SELECT conv_id, turn_idx, sent_idx, ext_idx, side,
+       norm AS pronoun, antecedent
+FROM coref_stream
+WHERE norm IN ({frags}) AND antecedent IS NOT NULL""",
+        extra_ctes=f"""
+coref_stream AS (
+  SELECT conv_id, turn_idx, sent_idx, ext_idx, side, norm,
+         last_value(CASE WHEN norm NOT IN ({stops})
+                          AND norm NOT IN ({frags}) THEN norm END IGNORE NULLS)
+           OVER (PARTITION BY conv_id
+                 ORDER BY turn_idx, sent_idx, ext_idx,
+                          CASE side WHEN 'subj' THEN 0 ELSE 1 END
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS antecedent
+  FROM mentions_all WHERE norm <> ''
+)""",
+    )
+
+
 def kg_salience_sql() -> str:
     """Twin of kg.enrich.entity_salience: exact-integer tf*idf-style
     score with // division, top-k per conversation."""
