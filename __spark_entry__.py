@@ -730,6 +730,14 @@ def _q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_dp_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (SIGMOD'03): per-window minimum
+    k-gram hash, rightmost on ties — map-only, zero shuffles."""
+    from openie_spark.datapipe.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def _q_dp_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training pair counts: word-frequency collapse
     then vocab-sized pair explode — top pairs by corpus weight."""
@@ -1014,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_lang_id": _q_dp_lang_id,
         "dp_token_count": _q_dp_token_count,
         "dp_fingerprint": _q_dp_fingerprint,
+        "dp_winnow": _q_dp_winnow,
         "dp_bpe_pairs": _q_dp_bpe_pairs,
         "dp_kmv_distinct": _q_dp_kmv_distinct,
         "dp_hll_distinct": _q_dp_hll_distinct,
@@ -1093,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_lang_id": dp.lang_id_sql(),
         "dp_token_count": dp.token_count_sql(),
         "dp_fingerprint": dp.fingerprint_sql(),
+        "dp_winnow": dp.winnow_sql(),
         "dp_bpe_pairs": dp.bpe_pairs_sql(),
         "dp_kmv_distinct": dp.kmv_distinct_sql(),
         "dp_hll_distinct": dp.hll_distinct_sql(),

@@ -429,3 +429,68 @@ def hll_distinct(docs: DataFrame) -> DataFrame:
             (F.col("est_hll") <= F.lit(5 * HLL_M // 2)) & (F.col("n_zero") > 0),
         )
     )
+
+
+WINNOW_K = 8   # char k-gram length
+WINNOW_W = 4   # window size; match guarantee t = WINNOW_K + WINNOW_W - 1
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — public algorithm): over the alnum-only lowercased
+    text, hash every char k-gram, then in every window of ``w``
+    consecutive hashes keep the minimum (rightmost position on ties);
+    the deduped selections are the document's robust fingerprint set —
+    any substring match of length >= k + w - 1 between two documents is
+    guaranteed to surface a shared selected fingerprint, which is the
+    property MOSS-style near-dup detectors rely on. Docs with fewer
+    than ``w`` k-grams keep their single global minimum (short-doc
+    fallback); docs shorter than ``k`` chars emit nothing.
+
+    Scale shape: map-only — scan → Generate-barriered projections (the
+    k-gram hash array is materialized ONCE; without the barrier
+    CollapseProject re-inlines it into every window lambda and the md5
+    work multiplies by w) → explode. Per-doc O(len·w) JVM-side array
+    work, zero shuffles, so the operator scales embarrassingly at any
+    corpus size. md5h60 gram hashes keep the full selection
+    DuckDB-recomputable (plans/datapipe_oracles.py::winnow_sql).
+    """
+    alnum = sorted("abcdefghijklmnopqrstuvwxyz0123456789")
+    clean_stage = docs.select(
+        "doc_id",
+        F.inline(F.array(F.struct(
+            F.array_join(
+                F.filter(F.split(F.lower(F.col("text")), ""),
+                         lambda ch: ch.isin(*alnum)),
+                "",
+            ).alias("clean")))),
+    )
+    c = F.col("clean")
+    hs_stage = clean_stage.filter(F.length(c) >= k).select(
+        "doc_id",
+        F.inline(F.array(F.struct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (k - 1)),
+                lambda i: md5h60(F.substring(c, i, F.lit(k))),
+            ).alias("hs")))),
+    )
+    hs = F.col("hs")
+    n = F.size(hs)
+    sel = F.array_distinct(F.transform(
+        # window starts; a doc with fewer than w grams gets one
+        # truncated window (the least() below clamps the end)
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+        lambda s: F.array_min(F.transform(
+            F.sequence(s, F.least(s + (w - 1), n)),
+            # min on (hash, -pos): smallest hash, rightmost position
+            lambda j: F.struct(F.element_at(hs, j).alias("fp"),
+                               (-j).alias("np")),
+        )),
+    ))
+    return (
+        hs_stage.select("doc_id", F.explode(sel).alias("s"))
+        .select("doc_id",
+                (-F.col("s.np")).cast("int").alias("pos"),
+                F.col("s.fp").alias("fp"))
+    )

@@ -431,6 +431,42 @@ SELECT doc_id,
 FROM t"""
 
 
+def winnow_sql() -> str:
+    """Twin of textstats.winnow_fingerprints — same selection rule
+    expressed as a per-doc window min over exploded k-gram rows. The
+    composite (hash, rightmost-pos) tie-break rides one lexicographic
+    string key: zero-padded hash then zero-padded inverted position,
+    so min(key) = (min hash, max pos)."""
+    from openie_spark.datapipe.textstats import WINNOW_K, WINNOW_W
+
+    k, w = WINNOW_K, WINNOW_W
+    return f"""WITH clean AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS c
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         {_md5h60(f"substr(c, CAST(i AS INT), {k})")} AS h
+  FROM clean, LATERAL unnest(range(1, len(c) - {k} + 2)) AS t(i)
+  WHERE len(c) >= {k}
+),
+sel AS (
+  SELECT doc_id, pos,
+         min(lpad(CAST(h AS VARCHAR), 19, '0')
+             || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS key,
+         count(*)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS cnt
+  FROM grams
+)
+SELECT DISTINCT doc_id,
+       CAST(1000000000 - CAST(substr(key, 20, 10) AS BIGINT) AS INT) AS pos,
+       CAST(substr(key, 1, 19) AS BIGINT) AS fp
+FROM sel WHERE cnt = {w} OR pos = 1"""
+
+
 # -------------------------------------------------------- similarity
 
 _UNIT_CTE = """

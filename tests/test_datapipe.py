@@ -634,3 +634,62 @@ def test_similarity_entry_points_drop_degenerate_vectors(spark, emb):
     clean_p = sorted((r.a, r.b) for r in embedding_pairs(base).collect())
     dirty_p = sorted((r.a, r.b) for r in embedding_pairs(corrupt).collect())
     assert dirty_p == clean_p
+
+
+def _winnow_py(text, k=8, w=4):
+    """Independent pure-python winnowing recompute (md5-first-60-bit
+    hashes, rightmost-min tie-break, short-doc fallback)."""
+    import hashlib
+    import re
+
+    c = re.sub(r"[^a-z0-9]", "", text.lower())
+    if len(c) < k:
+        return set()
+    hs = [int(hashlib.md5(c[i:i + k].encode()).hexdigest()[:15], 16)
+          for i in range(len(c) - k + 1)]
+    out = set()
+    for s in range(max(len(hs) - w + 1, 1)):
+        win = hs[s:s + w]
+        m = min(win)
+        pos = s + max(i for i, h in enumerate(win) if h == m)
+        out.add((pos + 1, m))
+    return out
+
+
+def test_winnow_matches_pure_python(spark):
+    from openie_spark.datapipe.textstats import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "Sort-merge JOIN beats hash join when inputs are pre-sorted!",
+        "aaaaaaaaaaaaaaaaaaaa",          # constant text -> 1 fingerprint
+        "exactly8c",                      # 9 alnum chars: 2 grams < w
+        "tiny",                           # < k chars: no output
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    want = {i: _winnow_py(t) for i, t in enumerate(texts) if _winnow_py(t)}
+    assert got == want
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k + w - 1 must surface at
+    least one shared fingerprint VALUE (the winnowing guarantee)."""
+    from openie_spark.datapipe.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "distributed query optimizer"  # 25 alnum chars >= 8+4-1
+    df = spark.createDataFrame(
+        [(0, f"intro text then {shared} and more after"),
+         (1, f"completely different head {shared} different tail")],
+        "doc_id long, text string")
+    rows = winnow_fingerprints(df).collect()
+    fps = {i: {r.fp for r in rows if r.doc_id == i} for i in (0, 1)}
+    assert len(shared.replace(" ", "")) >= WINNOW_K + WINNOW_W - 1
+    assert fps[0] & fps[1], "winnowing guarantee violated"

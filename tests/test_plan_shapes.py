@@ -112,3 +112,13 @@ def test_salience_has_exactly_one_scalar_broadcast(spark, entry):
     # formatted explain prints every node twice (tree + detail block)
     assert _count(plan, r"BroadcastNestedLoopJoin") == 2
     assert _count(plan, r"CartesianProduct") == 0
+
+
+def test_winnow_is_map_only(spark, entry):
+    """Winnowing must stay embarrassingly parallel: no Exchange, no
+    Python stage, no join — and the k-gram hash array must be owned by
+    a Generate barrier (md5 once per gram, not re-inlined per window)."""
+    plan = _plan(entry.queries()["dp_winnow"](spark, SF))
+    assert _count(plan, r"\bExchange\b") == 0
+    assert _count(plan, r"ArrowEvalPython|BatchEvalPython|MapInPandas") == 0
+    assert _count(plan, r"\bJoin\b") == 0
