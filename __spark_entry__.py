@@ -466,6 +466,15 @@ def _q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comention_pairs(edges)
 
 
+def _q_kg_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural entity similarity: neighbor-set Jaccard over the
+    undirected graph (capped pivot adjacency, exact integer ppm)."""
+    from openie_spark.kg.analytics import neighbor_jaccard
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return neighbor_jaccard(edges)
+
+
 def _q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic tail-corruption negative samples for KGE
     training (md5 hash-ring pick, broadcast representative table)."""
@@ -1005,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal": _q_kg_temporal,
         "kg_export_nt": _q_kg_export_nt,
         "kg_comention": _q_kg_comention,
+        "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         "kg_negatives": _q_kg_negatives,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "kg_edges_incremental": _q_kg_edges_incremental,
@@ -1085,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_temporal": o.kg_temporal_sql(),
         "kg_export_nt": o.kg_export_nt_sql(),
         "kg_comention": o.kg_comention_sql(),
+        "kg_neighbor_jaccard": o.kg_neighbor_jaccard_sql(),
         "kg_negatives": o.kg_negatives_sql(),
         "kg_nodes_incremental": o.kg_nodes_sql(),
         "kg_edges_incremental": o.kg_edges_sql(),

@@ -267,6 +267,69 @@ def comention_pairs(edges: DataFrame, cap: int = COMENTION_CAP) -> DataFrame:
     )
 
 
+NJ_CAP = 64             # max neighbors per pivot entering the pair join
+# Minimum shared neighbors for a pair to be emitted. 1 keeps every
+# co-neighbor pair — output stays linear in nodes because the pivot
+# cap bounds emission to cap^2 per pivot; corpus-scale deployments
+# raise this to keep only strongly-supported structural pairs.
+NJ_MIN_COMMON = 1
+
+
+def neighbor_jaccard(edges: DataFrame, cap: int = NJ_CAP,
+                     min_common: int = NJ_MIN_COMMON) -> DataFrame:
+    """Structural entity similarity: undirected node pairs scored by
+    the Jaccard of their neighbor sets — the classic link-prediction /
+    duplicate-entity signal (two nodes that connect to the same things
+    are likely the same thing, or interchangeable). Complements
+    comention_pairs (co-occurrence) with pure graph structure.
+
+    n_common is counted through shared PIVOT neighbors (a common
+    neighbor v contributes the (a, b) pair once), so it equals
+    |N(a) ∩ N(b)| exactly while no pivot exceeds ``cap`` neighbors;
+    a hub pivot contributes only its ``cap`` lowest-id neighbors
+    (deterministic, same hot-key philosophy as linking.py MAX_BLOCK and
+    COMENTION_CAP — an uncapped 10^5-degree hub would emit 10^10 pairs
+    by itself). jaccard_ppm = n_common / (deg_a + deg_b - n_common) in
+    exact round-half-up integer ppm — no float division to drift
+    between engines.
+
+    Scale shape: one shuffle to dedupe the undirected edge, a node-
+    sized degree aggregate (AQE broadcasts both attach joins), a
+    per-pivot window bounded by ``cap``, and a partial-aggregated
+    (a, b) count. ``min_common`` keeps the output to genuinely
+    structural pairs."""
+    und = undirected_edges(edges).localCheckpoint(eager=False)
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+    adj = adj.localCheckpoint(eager=False)  # feeds deg + both join sides
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    w = Window.partitionBy("v").orderBy("n")
+    capped = (adj.withColumn("r", F.row_number().over(w))
+              .where(F.col("r") <= cap).drop("r")
+              .localCheckpoint(eager=False))  # self-join: one lineage
+    l = capped.select("v", F.col("n").alias("a"))
+    r = capped.select("v", F.col("n").alias("b"))
+    inter = (
+        l.join(r, "v")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        inter.join(da, "a").join(db, "b")
+        .select(
+            "a", "b", "n_common", "deg_a", "deg_b",
+            F.expr(
+                "(2 * n_common * 1000000 + (deg_a + deg_b - n_common))"
+                " DIV (2 * (deg_a + deg_b - n_common))"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
 NEG_BUCKETS = 64        # hash-ring granularity for corruption picks
 NEG_PER_POS = 2         # negatives emitted per positive triple
 NEG_SALT = "neg-v1"

@@ -417,6 +417,41 @@ capped AS MATERIALIZED (
 )""")
 
 
+def kg_neighbor_jaccard_sql() -> str:
+    """Twin of kg.analytics.neighbor_jaccard (capped pivot adjacency,
+    shared-neighbor counts, exact integer-ppm Jaccard)."""
+    from openie_spark.kg.analytics import NJ_CAP, NJ_MIN_COMMON
+
+    return _with_kg(f"""
+SELECT a, b, n_common, da.deg AS deg_a, db.deg AS deg_b,
+       (2 * n_common * 1000000 + (da.deg + db.deg - n_common))
+         // (2 * (da.deg + db.deg - n_common)) AS jaccard_ppm
+FROM nj_inter
+JOIN nj_deg da ON nj_inter.a = da.v
+JOIN nj_deg db ON nj_inter.b = db.v""", extra_ctes=f"""
+nj_und AS (
+  SELECT DISTINCT least(src_id, dst_id) AS ua, greatest(src_id, dst_id) AS ub
+  FROM kg_edges WHERE src_id <> dst_id
+),
+nj_adj AS MATERIALIZED (
+  SELECT ua AS v, ub AS n FROM nj_und UNION ALL SELECT ub, ua FROM nj_und
+),
+nj_deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM nj_adj GROUP BY v
+),
+nj_capped AS MATERIALIZED (
+  SELECT v, n FROM (
+    SELECT v, n, row_number() OVER (PARTITION BY v ORDER BY n) AS r
+    FROM nj_adj)
+  WHERE r <= {NJ_CAP}
+),
+nj_inter AS MATERIALIZED (
+  SELECT l.n AS a, r.n AS b, CAST(count(*) AS BIGINT) AS n_common
+  FROM nj_capped l JOIN nj_capped r ON l.v = r.v AND l.n < r.n
+  GROUP BY 1, 2 HAVING count(*) >= {NJ_MIN_COMMON}
+)""")
+
+
 def kg_negatives_sql() -> str:
     """Twin of kg.analytics.negative_samples (md5 hash-ring bucket →
     min-entity representative, broadcast pick, collision drop)."""

@@ -335,3 +335,50 @@ def test_negative_samples_ring_pick(spark):
              for r in negative_samples(nodes.repartition(5),
                                        e.repartition(3)).collect()}
     assert again == got
+
+
+def _nj(spark, pairs, **kw):
+    from openie_spark.kg.analytics import neighbor_jaccard
+
+    out = neighbor_jaccard(_edges(spark, pairs), **kw)
+    return {(r.a, r.b): (r.n_common, r.deg_a, r.deg_b, r.jaccard_ppm)
+            for r in out.collect()}
+
+
+def test_neighbor_jaccard_triangle_plus_pendant(spark):
+    """K3 {a,b,c} with pendant d on c — every pair hand-computed:
+    n_common via shared pivots, union = deg_a + deg_b - n_common,
+    round-half-up integer ppm."""
+    got = _nj(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    assert got == {
+        ("a", "b"): (1, 2, 2, 333333),   # share c; union 3
+        ("a", "c"): (1, 2, 3, 250000),   # share b; union 4
+        ("b", "c"): (1, 2, 3, 250000),   # share a
+        ("a", "d"): (1, 2, 1, 500000),   # share c; union 2
+        ("b", "d"): (1, 2, 1, 500000),
+    }
+
+
+def test_neighbor_jaccard_min_common_filter(spark):
+    """C4 a-b-c-d-a: (a,c) and (b,d) share TWO neighbors; the four
+    adjacent pairs share one and drop at min_common=2."""
+    got = _nj(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+              min_common=2)
+    assert got == {
+        ("a", "c"): (2, 2, 2, 1000000),  # N(a)=N(c)={b,d}
+        ("b", "d"): (2, 2, 2, 1000000),
+    }
+
+
+def test_neighbor_jaccard_hub_cap_and_determinism(spark):
+    """A star hub with 5 leaves and cap=3: only the 3 lowest-id leaves
+    pair up (deterministic keep rule); degrees stay EXACT (uncapped)."""
+    pairs = [("hub", f"n{i}") for i in range(5)]
+    got = _nj(spark, pairs, cap=3)
+    assert set(got) == {("n0", "n1"), ("n0", "n2"), ("n1", "n2")}
+    assert all(v == (1, 1, 1, 1000000) for v in got.values())
+    # partition-count invariance
+    from openie_spark.kg.analytics import neighbor_jaccard
+
+    again = neighbor_jaccard(_edges(spark, pairs).repartition(7), cap=3)
+    assert {(r.a, r.b) for r in again.collect()} == set(got)
