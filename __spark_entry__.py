@@ -492,6 +492,14 @@ def _q_dp_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_progress(_events(spark, sf_dir))
 
 
+def _q_dp_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-granularity cohort retention: first-active-day cohorts,
+    per-offset distinct-user activity, exact integer-ppm rate."""
+    from openie_spark.datapipe.events import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
 def _conv_parity(col: str = "conv_id") -> F.Column:
     """Deterministic 2-way conv split (md5 last hex digit parity) —
     engine-portable, used to stage the incremental-equivalence
@@ -1065,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ev_asof": _q_dp_ev_asof,
         "dp_ev_intervals": _q_dp_ev_intervals,
         "dp_ev_funnel": _q_dp_ev_funnel,
+        "dp_ev_retention": _q_dp_ev_retention,
     }
 
 
@@ -1146,4 +1155,5 @@ def oracle_sql() -> dict[str, str]:
         "dp_ev_asof": dp.asof_last_ref_sql(),
         "dp_ev_intervals": dp.interval_events_sql(),
         "dp_ev_funnel": dp.funnel_sql(),
+        "dp_ev_retention": dp.retention_sql(),
     }

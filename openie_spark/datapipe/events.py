@@ -320,3 +320,45 @@ def funnel_progress(events: DataFrame,
         reached = F.when(F.col(f"t{i + 1}_us").isNotNull(), i + 1).otherwise(reached)
     return (out.withColumn("reached", reached.cast("int"))
             .where(F.col("t1_us").isNotNull()))
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Day-granularity cohort retention — the standard product-analytics
+    rollup: users are cohorted by their first active day; each
+    (cohort_day, offset_days) cell counts how many of them were active
+    again ``offset`` days later, with an exact round-half-up integer-ppm
+    retention rate (n_active / n_cohort — no float division to drift
+    between engines). Days are integer epoch-day buckets
+    (unix_micros DIV us-per-day), so no date/timezone arithmetic exists
+    to diverge either.
+
+    Scale shape: one (user_id, day) dedup shuffle — after it each user
+    contributes one row per active day, so the per-cell count is
+    already a distinct-user count (no countDistinct state) — one
+    user-sized min-aggregate, a user-keyed equi-join (both sides hash
+    on user_id; AQE broadcasts the cohort side when small), and one
+    partial-aggregated (cohort, offset) rollup whose result is bounded
+    by days², independent of corpus size."""
+    day = F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}")
+    days = (
+        _with_tz(events)
+        .select("user_id", day.alias("day"))
+        .distinct()
+    )
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        days.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day"))
+                 .cast("int").alias("offset_days"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    return act.join(size, "cohort_day").select(
+        "cohort_day", "offset_days", "n_active", "n_cohort",
+        F.expr("(2 * n_active * 1000000 + n_cohort) DIV (2 * n_cohort)")
+        .alias("retained_ppm"),
+    )

@@ -1324,3 +1324,27 @@ SELECT lang, source, n_docs, n_tokens,
        CAST({_ppm_wide_sql('n_docs', 'sum(n_docs) OVER ()')} AS BIGINT) AS doc_ppm,
        CAST({_ppm_wide_sql('n_tokens', 'sum(n_tokens) OVER ()')} AS BIGINT) AS token_ppm
 FROM per"""
+
+
+def retention_sql() -> str:
+    """Twin of events.retention_cohorts: integer epoch-day buckets,
+    distinct (user, day) activity, first-day cohorts, exact-ppm rate."""
+    return """WITH ev_days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+ev_cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev_days GROUP BY 1
+),
+ev_act AS (
+  SELECT c.cohort_day, CAST(d.day - c.cohort_day AS INT) AS offset_days,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM ev_days d JOIN ev_cohort c USING (user_id) GROUP BY 1, 2
+),
+ev_size AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM ev_cohort GROUP BY 1
+)
+SELECT a.cohort_day, a.offset_days, a.n_active, s.n_cohort,
+       (2 * a.n_active * 1000000 + s.n_cohort)
+         // (2 * s.n_cohort) AS retained_ppm
+FROM ev_act a JOIN ev_size s USING (cohort_day)"""

@@ -245,3 +245,45 @@ def test_funnel_progress_hand_values(spark):
     assert (got[2].t1_us, got[2].t2_us, got[2].reached) == (us(1), None, 1)
     assert (got[4].t2_us, got[4].reached) == (None, 1)
     assert (got[5].t2_us, got[5].t3_us, got[5].reached) == (us(2), us(3), 3)
+
+
+def test_retention_cohorts_hand_golden(spark):
+    """Two cohorts, same-day dedup, exact-ppm halves."""
+    from openie_spark.datapipe.events import retention_cohorts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d = dt.timedelta(days=1)
+    rows = [
+        # u1: first day 0 (two events same day -> dedup), then 1, 3
+        (0, t0, 1, "view", 0.0, "{}"),
+        (1, t0 + dt.timedelta(hours=3), 1, "click", 0.0, "{}"),
+        (2, t0 + d, 1, "view", 0.0, "{}"),
+        (3, t0 + 3 * d, 1, "view", 0.0, "{}"),
+        # u2: day 0 only
+        (4, t0, 2, "view", 0.0, "{}"),
+        # u3: first day 1, then 2
+        (5, t0 + d, 3, "view", 0.0, "{}"),
+        (6, t0 + 2 * d, 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    base = dt.date(2024, 1, 1).toordinal() - dt.date(1970, 1, 1).toordinal()
+    got = {(r.cohort_day - base, r.offset_days):
+           (r.n_active, r.n_cohort, r.retained_ppm)
+           for r in retention_cohorts(df).collect()}
+    assert got == {
+        (0, 0): (2, 2, 1000000),
+        (0, 1): (1, 2, 500000),
+        (0, 3): (1, 2, 500000),
+        (1, 0): (1, 1, 1000000),
+        (1, 1): (1, 1, 1000000),
+    }
+
+
+def test_retention_partition_invariance(spark, ev):
+    from openie_spark.datapipe.events import retention_cohorts
+
+    a = sorted(tuple(r) for r in retention_cohorts(ev).collect())
+    b = sorted(tuple(r) for r in retention_cohorts(ev.repartition(5)).collect())
+    assert a == b and a
