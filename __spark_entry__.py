@@ -427,6 +427,15 @@ def _q_kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_salience(edges)
 
 
+def _q_kg_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema induction: top type signatures (src_type, dst_type) per
+    canonical relation with exact-ppm edge shares."""
+    from openie_spark.kg.enrich import relation_schema
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return relation_schema(edges, nodes)
+
+
 def _q_kg_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coref-lite: each pronoun occurrence resolved to the most recent
     prior entity mention in its conversation (recency heuristic) — one
@@ -755,6 +764,14 @@ def _q_dp_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf_dir))
 
 
+def _q_dp_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs from shared winnow fingerprints
+    (boilerplate buckets dropped whole; exact-ppm set Jaccard)."""
+    from openie_spark.datapipe.dedup import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir))
+
+
 def _q_dp_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-training pair counts: word-frequency collapse
     then vocab-sized pair explode — top pairs by corpus weight."""
@@ -1019,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relation_canon": _q_kg_relation_canon,
         "kg_salience": _q_kg_salience,
         "kg_coref": _q_kg_coref,
+        "kg_schema": _q_kg_schema,
         "kg_temporal": _q_kg_temporal,
         "kg_export_nt": _q_kg_export_nt,
         "kg_comention": _q_kg_comention,
@@ -1041,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_token_count": _q_dp_token_count,
         "dp_fingerprint": _q_dp_fingerprint,
         "dp_winnow": _q_dp_winnow,
+        "dp_winnow_pairs": _q_dp_winnow_pairs,
         "dp_bpe_pairs": _q_dp_bpe_pairs,
         "dp_kmv_distinct": _q_dp_kmv_distinct,
         "dp_hll_distinct": _q_dp_hll_distinct,
@@ -1101,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_relation_canon": o.kg_relation_canon_sql(),
         "kg_salience": o.kg_salience_sql(),
         "kg_coref": o.kg_coref_sql(),
+        "kg_schema": o.kg_schema_sql(),
         "kg_temporal": o.kg_temporal_sql(),
         "kg_export_nt": o.kg_export_nt_sql(),
         "kg_comention": o.kg_comention_sql(),
@@ -1123,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_token_count": dp.token_count_sql(),
         "dp_fingerprint": dp.fingerprint_sql(),
         "dp_winnow": dp.winnow_sql(),
+        "dp_winnow_pairs": dp.winnow_pairs_sql(),
         "dp_bpe_pairs": dp.bpe_pairs_sql(),
         "dp_kmv_distinct": dp.kmv_distinct_sql(),
         "dp_hll_distinct": dp.hll_distinct_sql(),

@@ -253,3 +253,58 @@ def neardup_groups(docs: DataFrame) -> DataFrame:
         .withColumn("is_keeper", F.col("doc_id") == F.col("group_id"))
         .select("doc_id", "group_id", "group_size", "is_keeper")
     )
+
+
+WINNOW_BUCKET_CAP = 64          # max docs per fingerprint bucket
+WINNOW_MIN_JACCARD_PPM = 100_000  # keep pairs with fp-Jaccard >= 10%
+
+
+def winnow_pairs(docs: DataFrame, cap: int = WINNOW_BUCKET_CAP,
+                 min_ppm: int = WINNOW_MIN_JACCARD_PPM) -> DataFrame:
+    """Substring-level near-dup pairs from shared winnowing
+    fingerprints (the MOSS pairing step on top of
+    textstats.winnow_fingerprints): two documents pair when the Jaccard
+    of their selected-fingerprint SETS clears ``min_ppm`` — by the
+    winnowing guarantee this catches copies that share runs of
+    k + w - 1 chars even when word-level shingles differ.
+
+    A fingerprint held by more than ``cap`` documents is corpus
+    boilerplate — its bucket is dropped whole (deterministic, the
+    MAX_BLOCK philosophy), so n_shared is exact over surviving buckets
+    and the self-join fan-out is bounded by cap² per fingerprint.
+    Per-doc fingerprint counts stay exact (uncapped).
+
+    Scale shape: the map-only fingerprint pass, ONE shuffle on fp (the
+    window count and the self-join reuse the same partitioning), a
+    doc-sized count aggregate whose two attach joins AQE broadcasts,
+    and a partial-aggregated (a, b) rollup filtered by the exact-ppm
+    threshold."""
+    from pyspark.sql.window import Window
+
+    from openie_spark.datapipe.textstats import winnow_fingerprints
+
+    d = (winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+         .localCheckpoint(eager=False))   # feeds nf + both join sides
+    nf = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    bucketed = (
+        d.withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("n_docs") <= cap)
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=False)     # self-join: one lineage
+    )
+    l = bucketed.select("fp", F.col("doc_id").alias("a"))
+    r = bucketed.select("fp", F.col("doc_id").alias("b"))
+    pairs = (
+        l.join(r, "fp").where(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = nf.select(F.col("doc_id").alias("a"), F.col("nf").alias("nf_a"))
+    nb = nf.select(F.col("doc_id").alias("b"), F.col("nf").alias("nf_b"))
+    return (
+        pairs.join(na, "a").join(nb, "b")
+        .withColumn("jaccard_ppm", F.expr(
+            "(2 * n_shared * 1000000 + (nf_a + nf_b - n_shared))"
+            " DIV (2 * (nf_a + nf_b - n_shared))"))
+        .where(F.col("jaccard_ppm") >= min_ppm)
+        .select("a", "b", "n_shared", "nf_a", "nf_b", "jaccard_ppm")
+    )

@@ -171,3 +171,53 @@ def entity_salience(edges: DataFrame, k: int = SALIENCE_TOP) -> DataFrame:
         .select("conv_id", "entity_id", "n_local", "n_convs",
                 "salience", "rank")
     )
+
+
+SCHEMA_TOP = 3
+
+
+def relation_schema(edges: DataFrame, nodes: DataFrame,
+                    k: int = SCHEMA_TOP) -> DataFrame:
+    """Schema induction — the ontology pass of a KG construction
+    pipeline: for every canonical relation, the top-``k`` (src_type,
+    dst_type) signatures by edge support, with conversation support and
+    an exact-ppm share of the relation's edges. Downstream consumers
+    read this as the induced relation signature ("founded: person ->
+    org") and as an outlier detector (a low-share type pair on a
+    high-support relation is usually an extraction error).
+
+    Scale shape: the lemma ladder runs on the DISTINCT-pred table
+    (explicitly broadcast — predicate vocabularies are Heaps'-law
+    tiny); the two type attaches are node-sized equi-joins AQE
+    broadcasts when they fit, plain shuffle joins when they don't.
+    One partial-aggregated (rel, src_type, dst_type) rollup, then
+    rank/share windows over the TYPE-PAIR table (bounded by
+    |relations| x |types|^2, independent of corpus size)."""
+    types = entity_types(nodes).select("entity_id", "etype")
+    rel = (edges.select("pred").distinct()
+           .withColumn("rel_canon", canon_relation_col(F.col("pred"))))
+    typed = (
+        edges.select("pred", "src_id", "dst_id", "conv_id")
+        .join(F.broadcast(rel), "pred")
+        .join(types.select(F.col("entity_id").alias("src_id"),
+                           F.col("etype").alias("src_type")), "src_id")
+        .join(types.select(F.col("entity_id").alias("dst_id"),
+                           F.col("etype").alias("dst_type")), "dst_id")
+    )
+    counts = typed.groupBy("rel_canon", "src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    w = Window.partitionBy("rel_canon").orderBy(
+        F.desc("n_edges"), F.asc("src_type"), F.asc("dst_type"))
+    tot = Window.partitionBy("rel_canon")
+    return (
+        counts
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rel_total", F.sum("n_edges").over(tot))
+        .filter(F.col("rank") <= k)
+        .withColumn("share_ppm", F.expr(
+            "(2 * n_edges * 1000000 + rel_total) DIV (2 * rel_total)"))
+        .select("rel_canon", "src_type", "dst_type", "n_edges", "n_convs",
+                "rank", "share_ppm")
+    )

@@ -1348,3 +1348,33 @@ SELECT a.cohort_day, a.offset_days, a.n_active, s.n_cohort,
        (2 * a.n_active * 1000000 + s.n_cohort)
          // (2 * s.n_cohort) AS retained_ppm
 FROM ev_act a JOIN ev_size s USING (cohort_day)"""
+
+
+def winnow_pairs_sql() -> str:
+    """Twin of dedup.winnow_pairs on top of winnow_sql's selection:
+    distinct (doc, fp), boilerplate buckets dropped whole, exact-ppm
+    fingerprint-set Jaccard threshold."""
+    from openie_spark.datapipe.dedup import (
+        WINNOW_BUCKET_CAP,
+        WINNOW_MIN_JACCARD_PPM,
+    )
+
+    return f"""WITH wfp AS ({winnow_sql()}),
+wd AS (SELECT DISTINCT doc_id, fp FROM wfp),
+wnf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM wd GROUP BY 1),
+wok AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_docs FROM wd)
+  WHERE n_docs <= {WINNOW_BUCKET_CAP}
+),
+wp AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM wok l JOIN wok r USING (fp)
+  WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+)
+SELECT a, b, n_shared, ca.nf AS nf_a, cb.nf AS nf_b,
+       (2 * n_shared * 1000000 + (ca.nf + cb.nf - n_shared))
+         // (2 * (ca.nf + cb.nf - n_shared)) AS jaccard_ppm
+FROM wp JOIN wnf ca ON wp.a = ca.doc_id JOIN wnf cb ON wp.b = cb.doc_id
+WHERE (2 * n_shared * 1000000 + (ca.nf + cb.nf - n_shared))
+        // (2 * (ca.nf + cb.nf - n_shared)) >= {WINNOW_MIN_JACCARD_PPM}"""

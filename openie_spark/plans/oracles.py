@@ -624,35 +624,41 @@ FROM (
 ) b USING (component)""")
 
 
-def kg_entity_types_sql() -> str:
-    """Twin of kg.enrich.entity_types: the same rule ladder over the
-    nodes table (word lists imported as shared constants; the SQL is
-    an independent re-expression under RE2)."""
+def _etype_case_duckdb(var: str) -> str:
+    """DuckDB CASE ladder for one normalized label column from the
+    shared typing constants (first match wins, same as
+    kg.enrich.etype_col; an independent re-expression under RE2)."""
     from openie_spark.kg.enrich import (
         ORG_SUFFIXES, PERSON_PREFIXES, PLACE_SUFFIXES)
 
     def lst(ws):
         return "[" + ", ".join(f"'{w}'" for w in ws) + "]"
 
+    return f"""CASE
+    WHEN regexp_matches({var}, '^(1[0-9]{{3}}|2[0-9]{{3}})$') THEN 'year'
+    WHEN regexp_matches({var}, '^[0-9]+$') THEN 'numeric'
+    WHEN NOT contains({var}, ' ') AND regexp_matches({var}, '[0-9]')
+         AND regexp_matches({var}, '[a-z]') THEN 'code'
+    WHEN regexp_matches({var}, '^[0-9]+ ')
+         AND regexp_matches(string_split({var}, ' ')[-1], '^[a-z]+$')
+      THEN 'measure'
+    WHEN list_contains({lst(PERSON_PREFIXES)}, string_split({var}, ' ')[1])
+      THEN 'person'
+    WHEN list_contains({lst(ORG_SUFFIXES)}, string_split({var}, ' ')[-1])
+      THEN 'org'
+    WHEN list_contains({lst(PLACE_SUFFIXES)}, string_split({var}, ' ')[-1])
+      THEN 'place'
+    WHEN contains({var}, ' ') THEN 'phrase'
+    ELSE 'term'
+  END"""
+
+
+def kg_entity_types_sql() -> str:
+    """Twin of kg.enrich.entity_types: the same rule ladder over the
+    nodes table (word lists imported as shared constants)."""
     return _with_kg(f"""
 SELECT entity_id, canonical,
-  CASE
-    WHEN regexp_matches(canonical, '^(1[0-9]{{3}}|2[0-9]{{3}})$') THEN 'year'
-    WHEN regexp_matches(canonical, '^[0-9]+$') THEN 'numeric'
-    WHEN NOT contains(canonical, ' ') AND regexp_matches(canonical, '[0-9]')
-         AND regexp_matches(canonical, '[a-z]') THEN 'code'
-    WHEN regexp_matches(canonical, '^[0-9]+ ')
-         AND regexp_matches(string_split(canonical, ' ')[-1], '^[a-z]+$')
-      THEN 'measure'
-    WHEN list_contains({lst(PERSON_PREFIXES)}, string_split(canonical, ' ')[1])
-      THEN 'person'
-    WHEN list_contains({lst(ORG_SUFFIXES)}, string_split(canonical, ' ')[-1])
-      THEN 'org'
-    WHEN list_contains({lst(PLACE_SUFFIXES)}, string_split(canonical, ' ')[-1])
-      THEN 'place'
-    WHEN contains(canonical, ' ') THEN 'phrase'
-    ELSE 'term'
-  END AS etype,
+  {_etype_case_duckdb('canonical')} AS etype,
   freq
 FROM nodes""")
 
@@ -732,6 +738,54 @@ coref_stream AS (
   FROM mentions_all WHERE norm <> ''
 )""",
     )
+
+
+def kg_schema_sql() -> str:
+    """Twin of kg.enrich.relation_schema: rel_canon key over the
+    distinct-pred table, type attach via the shared CASE ladder,
+    top-k type signatures per relation with exact-ppm shares."""
+    from openie_spark.kg.enrich import AUX_TOKENS, SCHEMA_TOP
+
+    aux = "[" + ", ".join(f"'{w}'" for w in AUX_TOKENS) + "]"
+    return _with_kg(f"""
+SELECT rel_canon, src_type, dst_type, n_edges, n_convs,
+       CAST(rank AS INT) AS rank,
+       (2 * n_edges * 1000000 + rel_total) // (2 * rel_total) AS share_ppm
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY rel_canon
+                            ORDER BY n_edges DESC, src_type, dst_type) AS rank,
+         sum(n_edges) OVER (PARTITION BY rel_canon) AS rel_total
+  FROM sch_counts)
+WHERE rank <= {SCHEMA_TOP}""",
+        extra_ctes=f"""
+sch_types AS MATERIALIZED (
+  SELECT entity_id, {_etype_case_duckdb('canonical')} AS etype FROM nodes
+),
+sch_rel AS MATERIALIZED (
+  SELECT pred,
+         CASE WHEN len(content) > 0 THEN array_to_string(
+                list_transform(content, t -> {_lemma_case_duckdb('t')}), ' ')
+              ELSE array_to_string(toks, ' ') END AS rel_canon
+  FROM (
+    SELECT pred, toks,
+           list_filter(toks, t -> NOT list_contains({aux}, t)) AS content
+    FROM (
+      SELECT pred, list_filter(string_split(pred, ' '), t -> t <> '') AS toks
+      FROM (SELECT DISTINCT pred FROM kg_edges)
+    )
+  )
+),
+sch_counts AS MATERIALIZED (
+  SELECT r.rel_canon, ts.etype AS src_type, td.etype AS dst_type,
+         CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(count(DISTINCT e.conv_id) AS BIGINT) AS n_convs
+  FROM kg_edges e
+  JOIN sch_rel r USING (pred)
+  JOIN sch_types ts ON e.src_id = ts.entity_id
+  JOIN sch_types td ON e.dst_id = td.entity_id
+  GROUP BY 1, 2, 3
+)""")
 
 
 def kg_salience_sql() -> str:

@@ -693,3 +693,44 @@ def test_winnow_shared_substring_guarantee(spark):
     fps = {i: {r.fp for r in rows if r.doc_id == i} for i in (0, 1)}
     assert len(shared.replace(" ", "")) >= WINNOW_K + WINNOW_W - 1
     assert fps[0] & fps[1], "winnowing guarantee violated"
+
+
+def test_winnow_pairs_planted_near_dup(spark):
+    from openie_spark.datapipe.dedup import winnow_pairs
+
+    a = "the distributed query optimizer rewrites adaptive plans nightly"
+    b = a.replace("nightly", "hourly")   # long shared prefix run
+    c = "zxqj wvk yyy uuu iii ooo ppp qqq lll kkk jjj hhh"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string")
+    got = {(r.a, r.b): r for r in winnow_pairs(df, min_ppm=1).collect()}
+    assert (0, 1) in got
+    r = got[(0, 1)]
+    assert r.n_shared >= 1 and r.jaccard_ppm > 500000  # mostly identical
+    assert not any(2 in k for k in got), "unrelated doc must not pair"
+
+
+def test_winnow_pairs_boilerplate_cap_drops_bucket(spark):
+    """An identical phrase in MORE than cap docs is boilerplate: its
+    buckets drop whole and alone it creates no pairs."""
+    from openie_spark.datapipe.dedup import winnow_pairs
+
+    boiler = "all rights reserved copyright notice applies"
+    df = spark.createDataFrame(
+        [(i, f"unique{'x' * i}padding{i} {boiler}") for i in range(4)],
+        "doc_id long, text string")
+    assert winnow_pairs(df, cap=2, min_ppm=1).count() == 0
+    capped_off = winnow_pairs(df, cap=64, min_ppm=1)
+    assert capped_off.count() > 0  # same corpus pairs once cap allows
+
+
+def test_winnow_pairs_partition_invariance(spark):
+    from openie_spark.datapipe.dedup import winnow_pairs
+
+    base = "spark shuffles hash partitions across executors evenly"
+    df = spark.createDataFrame(
+        [(i, base + f" tail{i % 3}") for i in range(9)],
+        "doc_id long, text string")
+    a = sorted(tuple(r) for r in winnow_pairs(df).collect())
+    b = sorted(tuple(r) for r in winnow_pairs(df.repartition(5)).collect())
+    assert a == b and a

@@ -125,3 +125,51 @@ def test_relation_canon_groups_inflections(spark):
     assert got["scan"] == (4, ["scan", "scanned", "scans", "will scan"], 4)
     assert got["merge"] == (1, ["merge"], 1)
     assert got["query"] == (1, ["query"], 1)
+
+
+def test_relation_schema_hand_golden(spark):
+    """Two relations over typed endpoints: signature counts, rank
+    order (support desc, then types asc), exact-ppm shares, top-k."""
+    from openie_spark.kg.enrich import relation_schema
+
+    edges = spark.createDataFrame(
+        # src_id, dst_id, pred, conv_id, turn_idx, sent_idx, ext_idx
+        [("p1", "o1", "runs", "c0", 0, 0, 0),
+         ("p2", "o1", "runs", "c0", 0, 0, 1),
+         ("p1", "t1", "runs", "c1", 0, 0, 0),
+         ("p1", "o1", "run", "c1", 0, 0, 1),     # lemma-groups with runs
+         ("t1", "t2", "has merged", "c2", 0, 0, 0)],
+        "src_id string, dst_id string, pred string, conv_id string, "
+        "turn_idx int, sent_idx int, ext_idx int")
+    nodes = spark.createDataFrame(
+        [("p1", "dr smith", 1, 3), ("p2", "mr jones", 1, 1),
+         ("o1", "acme corp", 1, 3), ("t1", "table", 1, 2),
+         ("t2", "scan", 1, 1)],
+        "entity_id string, canonical string, n_aliases int, freq long")
+    got = [(r.rel_canon, r.src_type, r.dst_type, r.n_edges, r.n_convs,
+            r.rank, r.share_ppm)
+           for r in relation_schema(edges, nodes, k=2).collect()]
+    got.sort()
+    assert got == [
+        # 'has merged' -> aux dropped -> 'merg' (documented under-stem)
+        ("merg", "term", "term", 1, 1, 1, 1000000),
+        # 'run': person->org 3 of 4 edges, person->term 1 of 4
+        ("run", "person", "org", 3, 2, 1, 750000),
+        ("run", "person", "term", 1, 1, 2, 250000),
+    ]
+
+
+def test_relation_schema_top_k_truncates(spark):
+    from openie_spark.kg.enrich import relation_schema
+
+    edges = spark.createDataFrame(
+        [("a", "b", "links", "c0", 0, 0, 0),
+         ("b", "a", "links", "c0", 0, 0, 1),
+         ("a", "a", "links", "c0", 0, 0, 2)],
+        "src_id string, dst_id string, pred string, conv_id string, "
+        "turn_idx int, sent_idx int, ext_idx int")
+    nodes = spark.createDataFrame(
+        [("a", "dr who", 1, 1), ("b", "acme inc", 1, 1)],
+        "entity_id string, canonical string, n_aliases int, freq long")
+    out = relation_schema(edges, nodes, k=1).collect()
+    assert len(out) == 1 and out[0].rank == 1
