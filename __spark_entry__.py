@@ -427,6 +427,15 @@ def _q_kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_salience(edges)
 
 
+def _q_kg_coref_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges recovered by applying coref-lite resolutions to the
+    normalized triples (repaired fragment endpoints -> entities)."""
+    from openie_spark.kg.coref import coref_edges
+
+    triples, _, _, canon = _kg_parts(spark, sf_dir)
+    return coref_edges(triples, canon)
+
+
 def _q_kg_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema induction: top type signatures (src_type, dst_type) per
     canonical relation with exact-ppm edge shares."""
@@ -1036,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relation_canon": _q_kg_relation_canon,
         "kg_salience": _q_kg_salience,
         "kg_coref": _q_kg_coref,
+        "kg_coref_edges": _q_kg_coref_edges,
         "kg_schema": _q_kg_schema,
         "kg_temporal": _q_kg_temporal,
         "kg_export_nt": _q_kg_export_nt,
@@ -1120,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_relation_canon": o.kg_relation_canon_sql(),
         "kg_salience": o.kg_salience_sql(),
         "kg_coref": o.kg_coref_sql(),
+        "kg_coref_edges": o.kg_coref_edges_sql(),
         "kg_schema": o.kg_schema_sql(),
         "kg_temporal": o.kg_temporal_sql(),
         "kg_export_nt": o.kg_export_nt_sql(),

@@ -71,3 +71,51 @@ def resolve_pronouns(triples: DataFrame) -> DataFrame:
         .select("conv_id", "turn_idx", "sent_idx", "ext_idx", "side",
                 F.col("norm").alias("pronoun"), "antecedent")
     )
+
+
+def coref_edges(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Edges RECOVERED by coref-lite: provenance rows where a
+    referring-fragment argument is replaced by its antecedent and both
+    endpoints then resolve to entities — the edges the stop-filter and
+    the noise-fragment nodes were hiding. Output mirrors the edges
+    table plus ``repaired`` ('subj' | 'obj' | 'both').
+
+    Scale shape: resolutions are fragment-rate-sized (tiny vs the
+    corpus), so both provenance-key attach joins broadcast; the filter
+    then shrinks the stream to repaired rows BEFORE the two
+    vocabulary-map joins (broadcast, same as build_edges_from_norm's
+    small-vocab strategy). The inner map joins drop rows whose
+    un-repaired side is a stopword/empty for free — identical edge
+    semantics to kg.graph.build_edges."""
+    from openie_spark.kg.graph import norm_triples
+
+    prov = ["conv_id", "turn_idx", "sent_idx", "ext_idx"]
+    res = resolve_pronouns(triples)
+    rs = (res.filter(F.col("side") == "subj")
+          .select(*prov, F.col("antecedent").alias("subj_fix")))
+    ro = (res.filter(F.col("side") == "obj")
+          .select(*prov, F.col("antecedent").alias("obj_fix")))
+    tn = norm_triples(triples)
+    fixed = (
+        tn.join(F.broadcast(rs), prov, "left")
+        .join(F.broadcast(ro), prov, "left")
+        .filter(F.col("subj_fix").isNotNull() | F.col("obj_fix").isNotNull())
+        .select(
+            *prov, "pred",
+            F.coalesce("subj_fix", "subj_norm").alias("subj_norm"),
+            F.coalesce("obj_fix", "obj_norm").alias("obj_norm"),
+            F.when(F.col("subj_fix").isNotNull()
+                   & F.col("obj_fix").isNotNull(), "both")
+            .when(F.col("subj_fix").isNotNull(), "subj")
+            .otherwise("obj").alias("repaired"),
+        )
+    )
+    emap = canon.select("norm", F.md5(F.col("component")).alias("entity_id"))
+    out = (
+        fixed
+        .join(F.broadcast(emap.withColumnsRenamed(
+            {"norm": "subj_norm", "entity_id": "src_id"})), "subj_norm")
+        .join(F.broadcast(emap.withColumnsRenamed(
+            {"norm": "obj_norm", "entity_id": "dst_id"})), "obj_norm")
+    )
+    return out.select("src_id", "dst_id", "pred", *prov, "repaired")

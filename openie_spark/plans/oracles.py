@@ -717,16 +717,26 @@ def kg_coref_sql() -> str:
     """Twin of kg.coref.resolve_pronouns: last prior entity mention in
     transcript order (turn, sentence, extraction, subj-before-obj) via
     last_value(... IGNORE NULLS) over the unfiltered mention stream."""
-    from openie_spark.config import REF_FRAGMENTS, STOP_MENTIONS
+    from openie_spark.config import REF_FRAGMENTS
 
-    stops = ", ".join(f"'{s}'" for s in STOP_MENTIONS)
     frags = ", ".join(f"'{p}'" for p in REF_FRAGMENTS)
     return _with_kg(f"""
 SELECT conv_id, turn_idx, sent_idx, ext_idx, side,
        norm AS pronoun, antecedent
 FROM coref_stream
 WHERE norm IN ({frags}) AND antecedent IS NOT NULL""",
-        extra_ctes=f"""
+        extra_ctes=_coref_stream_cte(),
+    )
+
+
+def _coref_stream_cte() -> str:
+    """Shared CTE: the unfiltered mention stream with the
+    last-prior-entity antecedent window (twin of kg.coref)."""
+    from openie_spark.config import REF_FRAGMENTS, STOP_MENTIONS
+
+    stops = ", ".join(f"'{s}'" for s in STOP_MENTIONS)
+    frags = ", ".join(f"'{p}'" for p in REF_FRAGMENTS)
+    return f"""
 coref_stream AS (
   SELECT conv_id, turn_idx, sent_idx, ext_idx, side, norm,
          last_value(CASE WHEN norm NOT IN ({stops})
@@ -736,8 +746,43 @@ coref_stream AS (
                           CASE side WHEN 'subj' THEN 0 ELSE 1 END
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS antecedent
   FROM mentions_all WHERE norm <> ''
-)""",
-    )
+)"""
+
+
+def kg_coref_edges_sql() -> str:
+    """Twin of kg.coref.coref_edges: apply resolutions to the
+    normalized triples, keep repaired rows whose endpoints both map
+    to vocabulary entities."""
+    from openie_spark.config import REF_FRAGMENTS
+
+    frags = ", ".join(f"'{p}'" for p in REF_FRAGMENTS)
+    return _with_kg("""
+SELECT md5(m1.component) AS src_id, md5(m2.component) AS dst_id,
+       f.pred, f.conv_id, f.turn_idx, f.sent_idx, f.ext_idx, f.repaired
+FROM cor_fixed f
+JOIN canonmap m1 ON f.subj_norm = m1.norm
+JOIN canonmap m2 ON f.obj_norm = m2.norm""",
+        extra_ctes=_coref_stream_cte() + f""",
+cor_res AS (
+  SELECT conv_id, turn_idx, sent_idx, ext_idx, side, antecedent
+  FROM coref_stream
+  WHERE norm IN ({frags}) AND antecedent IS NOT NULL
+),
+cor_fixed AS (
+  SELECT t.conv_id, t.turn_idx, t.sent_idx, t.ext_idx, t.pred,
+         COALESCE(rs.antecedent, t.subj_norm) AS subj_norm,
+         COALESCE(ro.antecedent, t.obj_norm) AS obj_norm,
+         CASE WHEN rs.antecedent IS NOT NULL AND ro.antecedent IS NOT NULL
+                THEN 'both'
+              WHEN rs.antecedent IS NOT NULL THEN 'subj'
+              ELSE 'obj' END AS repaired
+  FROM tr_norm t
+  LEFT JOIN cor_res rs ON t.conv_id = rs.conv_id AND t.turn_idx = rs.turn_idx
+    AND t.sent_idx = rs.sent_idx AND t.ext_idx = rs.ext_idx AND rs.side = 'subj'
+  LEFT JOIN cor_res ro ON t.conv_id = ro.conv_id AND t.turn_idx = ro.turn_idx
+    AND t.sent_idx = ro.sent_idx AND t.ext_idx = ro.ext_idx AND ro.side = 'obj'
+  WHERE rs.antecedent IS NOT NULL OR ro.antecedent IS NOT NULL
+)""")
 
 
 def kg_schema_sql() -> str:

@@ -77,3 +77,33 @@ def test_outputs_are_well_typed(spark):
     for pron, ante in got.values():
         assert pron in REF_FRAGMENTS
         assert ante not in REF_FRAGMENTS and ante not in STOP_MENTIONS
+
+
+def test_coref_edges_repair_and_attach(spark):
+    """Repaired rows only; subj / both classes; no-prior rows and
+    unrepaired rows excluded; endpoints mapped through the canon map."""
+    import hashlib
+
+    from openie_spark.kg.coref import coref_edges
+
+    triples = spark.createDataFrame(
+        [("c1", 0, 0, 0, "likes", "alpha scan", "beta table"),
+         ("c1", 1, 0, 0, "runs", "it", "gamma sort"),
+         ("c1", 2, 0, 0, "has", "it", "those"),
+         ("c2", 0, 0, 0, "p", "it", "solo")],
+        "conv_id string, turn_idx int, sent_idx int, ext_idx int, "
+        "pred string, subj string, obj string")
+    canon = spark.createDataFrame(
+        [(n, 1, n) for n in
+         ("alpha scan", "beta table", "gamma sort", "solo")],
+        "norm string, freq long, component string")
+    got = {(r.conv_id, r.turn_idx): (r.src_id, r.dst_id, r.pred, r.repaired)
+           for r in coref_edges(triples, canon).collect()}
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got == {
+        # 'it' -> most recent prior entity 'beta table'
+        ("c1", 1): (h("beta table"), h("gamma sort"), "runs", "subj"),
+        # subj 'it' and obj 'those' BOTH resolve to 'gamma sort'
+        ("c1", 2): (h("gamma sort"), h("gamma sort"), "has", "both"),
+        # c2: no prior entity -> no repair -> excluded
+    }
