@@ -347,6 +347,11 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         _with_tz(events)
         .select("user_id", day.alias("day"))
         .distinct()
+        # feeds cohort, the activity join, and (via cohort) the size
+        # aggregate: without the pin each branch re-scans the raw
+        # events table — 3 full scans of the 100 TB input for a
+        # users x days sized intermediate
+        .localCheckpoint(eager=False)
     )
     cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     act = (
