@@ -107,3 +107,26 @@ def test_coref_edges_repair_and_attach(spark):
         ("c1", 2): (h("gamma sort"), h("gamma sort"), "has", "both"),
         # c2: no prior entity -> no repair -> excluded
     }
+
+
+def test_hostile_inputs_do_not_crash(spark):
+    """The verify-skill probe set: null / empty / punct-only /
+    whitespace-only args must neither crash nor emit rows with empty
+    norms anywhere in coref outputs."""
+    from openie_spark.kg.coref import coref_edges, resolve_pronouns
+
+    triples = spark.createDataFrame(
+        [("h1", 0, 0, 0, "p", None, "alpha"),
+         ("h1", 1, 0, 0, "p", "", "it"),
+         ("h1", 2, 0, 0, "p", "...", "   "),
+         ("h1", 3, 0, 0, "p", "it", None)],
+        "conv_id string, turn_idx int, sent_idx int, ext_idx int, "
+        "pred string, subj string, obj string")
+    res = resolve_pronouns(triples).collect()
+    assert {(r.pronoun, r.antecedent) for r in res} == {("it", "alpha")}
+    canon = spark.createDataFrame(
+        [("alpha", 1, "alpha")], "norm string, freq long, component string")
+    edges = coref_edges(triples, canon).collect()
+    # 'it' at (1,0,0,obj) repairs to alpha but its subj '' drops on the
+    # inner map join; 'it' at (3,0,0,subj) repairs but obj None drops
+    assert edges == []

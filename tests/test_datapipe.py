@@ -734,3 +734,16 @@ def test_winnow_pairs_partition_invariance(spark):
     a = sorted(tuple(r) for r in winnow_pairs(df).collect())
     b = sorted(tuple(r) for r in winnow_pairs(df.repartition(5)).collect())
     assert a == b and a
+
+
+def test_winnow_hostile_inputs(spark):
+    """Null / empty / punct-only / whitespace-only text: no crash, no
+    rows (nothing reaches k alnum chars)."""
+    from openie_spark.datapipe.dedup import winnow_pairs
+    from openie_spark.datapipe.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "!!! ... ???"), (3, "   \t  ")],
+        "doc_id long, text string")
+    assert winnow_fingerprints(df).count() == 0
+    assert winnow_pairs(df).count() == 0
