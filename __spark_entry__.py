@@ -427,6 +427,15 @@ def _q_kg_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_salience(edges)
 
 
+def _q_kg_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic segmentation: exact-ppm token overlap
+    with the previous turn, running boundary sum — one conv window."""
+    from openie_spark.kg.dialogue import topic_segments
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return topic_segments(read_transcripts(_tune(spark), sf_dir))
+
+
 def _q_kg_coref_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edges recovered by applying coref-lite resolutions to the
     normalized triples (repaired fragment endpoints -> entities)."""
@@ -1046,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_salience": _q_kg_salience,
         "kg_coref": _q_kg_coref,
         "kg_coref_edges": _q_kg_coref_edges,
+        "kg_topic_segments": _q_kg_topic_segments,
         "kg_schema": _q_kg_schema,
         "kg_temporal": _q_kg_temporal,
         "kg_export_nt": _q_kg_export_nt,
@@ -1131,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_salience": o.kg_salience_sql(),
         "kg_coref": o.kg_coref_sql(),
         "kg_coref_edges": o.kg_coref_edges_sql(),
+        "kg_topic_segments": o.kg_topic_segments_sql(),
         "kg_schema": o.kg_schema_sql(),
         "kg_temporal": o.kg_temporal_sql(),
         "kg_export_nt": o.kg_export_nt_sql(),

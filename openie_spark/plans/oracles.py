@@ -729,6 +729,47 @@ WHERE norm IN ({frags}) AND antecedent IS NOT NULL""",
     )
 
 
+def kg_topic_segments_sql() -> str:
+    """Twin of kg.dialogue.topic_segments: lag of distinct token
+    lists, exact-ppm overlap, running boundary sum."""
+    from openie_spark.kg.dialogue import SEGMENT_THRESH_PPM
+
+    return _with(TRANSCRIPTS_CTE_DUCKDB, f"""
+seg_tok AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+  FROM transcripts
+),
+seg_lag AS (
+  SELECT conv_id, turn_idx, toks,
+         lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM seg_tok
+),
+seg_ov AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN prev IS NULL
+                OR len(list_distinct(toks || prev)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE (2 * len(list_intersect(toks, prev)) * 1000000
+                    + len(list_distinct(toks || prev)))
+                   // (2 * len(list_distinct(toks || prev)))
+         END AS overlap_ppm,
+         prev IS NULL AS is_first
+  FROM seg_lag
+),
+seg_b AS (
+  SELECT conv_id, turn_idx, overlap_ppm,
+         (is_first OR overlap_ppm < {SEGMENT_THRESH_PPM}) AS is_boundary
+  FROM seg_ov
+)""",
+        select="""
+SELECT conv_id, turn_idx, overlap_ppm, is_boundary,
+       CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS seg_idx
+FROM seg_b""",
+    )
+
+
 def _coref_stream_cte() -> str:
     """Shared CTE: the unfiltered mention stream with the
     last-prior-entity antecedent window (twin of kg.coref)."""
