@@ -527,6 +527,14 @@ def _q_dp_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir))
 
 
+def _q_dp_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly flags per event type: integer
+    nearest-rank median/MAD, modified-z-score cutoff."""
+    from openie_spark.datapipe.events import daily_anomalies
+
+    return daily_anomalies(_events(spark, sf_dir))
+
+
 def _conv_parity(col: str = "conv_id") -> F.Column:
     """Deterministic 2-way conv split (md5 last hex digit parity) —
     engine-portable, used to stage the incremental-equivalence
@@ -1113,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ev_intervals": _q_dp_ev_intervals,
         "dp_ev_funnel": _q_dp_ev_funnel,
         "dp_ev_retention": _q_dp_ev_retention,
+        "dp_ev_anomaly": _q_dp_ev_anomaly,
     }
 
 
@@ -1199,4 +1208,5 @@ def oracle_sql() -> dict[str, str]:
         "dp_ev_intervals": dp.interval_events_sql(),
         "dp_ev_funnel": dp.funnel_sql(),
         "dp_ev_retention": dp.retention_sql(),
+        "dp_ev_anomaly": dp.anomalies_sql(),
     }

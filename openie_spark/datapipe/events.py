@@ -367,3 +367,53 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         F.expr("(2 * n_active * 1000000 + n_cohort) DIV (2 * n_cohort)")
         .alias("retained_ppm"),
     )
+
+
+ANOM_K = 3   # modified z-score style cutoff: |x - med| > K * MAD
+
+
+def daily_anomalies(events: DataFrame, k: int = ANOM_K) -> DataFrame:
+    """Robust per-type daily volume anomaly flags — the monitoring
+    rollup over the event stream: counts per (event_type, epoch-day),
+    scored against the type's median and MAD (median absolute
+    deviation), both as LOWER NEAREST-RANK medians in pure integers —
+    no interpolation, no float, so the DuckDB oracle is bit-exact.
+    A day is anomalous when |n - med| > k·MAD, or when MAD is zero and
+    the day deviates at all (the degenerate constant-series rule of
+    the modified z-score).
+
+    Scale shape: ONE corpus-scale shuffle (the partial-aggregated
+    (event_type, day) count); everything after runs on the types×days
+    table — two rank windows and two type-keyed joins AQE broadcasts.
+    """
+    day = F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}")
+    daily = (
+        _with_tz(events)
+        .groupBy("event_type", day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False)   # tiny; feeds both median passes
+    )
+    bytype = Window.partitionBy("event_type")
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "day")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("cnt", F.count(F.lit(1)).over(bytype))
+            .filter(F.expr("rn = (cnt + 1) DIV 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(daily, "n_events", "med")
+    d2 = (daily.join(med, "event_type")
+          .withColumn("adev", F.abs(F.col("n_events") - F.col("med"))))
+    mad = lower_median(d2, "adev", "mad")
+    return (
+        d2.join(mad, "event_type")
+        .withColumn(
+            "is_anomaly",
+            ((F.col("mad") > 0) & (F.col("adev") > k * F.col("mad")))
+            | ((F.col("mad") == 0) & (F.col("adev") > 0)),
+        )
+        .select("event_type", "day", "n_events", "med", "mad", "is_anomaly")
+    )

@@ -1378,3 +1378,39 @@ SELECT a, b, n_shared, ca.nf AS nf_a, cb.nf AS nf_b,
 FROM wp JOIN wnf ca ON wp.a = ca.doc_id JOIN wnf cb ON wp.b = cb.doc_id
 WHERE (2 * n_shared * 1000000 + (ca.nf + cb.nf - n_shared))
         // (2 * (ca.nf + cb.nf - n_shared)) >= {WINNOW_MIN_JACCARD_PPM}"""
+
+
+def anomalies_sql() -> str:
+    """Twin of events.daily_anomalies: lower nearest-rank median/MAD
+    in pure integers, modified-z-score flag."""
+    from openie_spark.datapipe.events import ANOM_K
+
+    return f"""WITH an_daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+an_med AS (
+  SELECT event_type, n_events AS med FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n_events, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM an_daily)
+  WHERE rn = (cnt + 1) // 2
+),
+an_d2 AS (
+  SELECT d.*, m.med, abs(n_events - med) AS adev
+  FROM an_daily d JOIN an_med m USING (event_type)
+),
+an_mad AS (
+  SELECT event_type, adev AS mad FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY adev, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM an_d2)
+  WHERE rn = (cnt + 1) // 2
+)
+SELECT an_d2.event_type, day, n_events, med, mad,
+       ((mad > 0 AND adev > {ANOM_K} * mad)
+        OR (mad = 0 AND adev > 0)) AS is_anomaly
+FROM an_d2 JOIN an_mad USING (event_type)"""

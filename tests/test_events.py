@@ -287,3 +287,57 @@ def test_retention_partition_invariance(spark, ev):
     a = sorted(tuple(r) for r in retention_cohorts(ev).collect())
     b = sorted(tuple(r) for r in retention_cohorts(ev.repartition(5)).collect())
     assert a == b and a
+
+
+def test_daily_anomalies_hand_golden(spark):
+    """Type A: 5 quiet days (1/day) + one 10x spike -> only the spike
+    flags. Type B: constant series, MAD=0 -> any deviation flags."""
+    from openie_spark.datapipe.events import daily_anomalies
+
+    t0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+    d = dt.timedelta(days=1)
+    rows = []
+    eid = 0
+    for i in range(5):                 # A: one event/day, days 0-4
+        rows.append((eid, t0 + i * d, 1, "A", 0.0, "{}")); eid += 1
+    for j in range(10):                # A: 10 events on day 5
+        rows.append((eid, t0 + 5 * d + dt.timedelta(minutes=j), 1, "A", 0.0, "{}")); eid += 1
+    for i in range(4):                 # B: 2/day, days 0-3
+        rows.append((eid, t0 + i * d, 2, "B", 0.0, "{}")); eid += 1
+        rows.append((eid + 100, t0 + i * d + dt.timedelta(hours=1), 2, "B", 0.0, "{}")); eid += 1
+    rows.append((999, t0 + 4 * d, 2, "B", 0.0, "{}"))   # B: 1 on day 4
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    base = dt.date(2024, 1, 1).toordinal() - dt.date(1970, 1, 1).toordinal()
+    got = {(r.event_type, r.day - base): (r.n_events, r.med, r.mad, r.is_anomaly)
+           for r in daily_anomalies(df).collect()}
+    # A: sorted counts (1,1,1,1,1,10): lower median = 1, adevs
+    # (0,0,0,0,0,9): MAD = 0 -> spike flags via the degenerate rule
+    assert got[("A", 5)] == (10, 1, 0, True)
+    assert all(got[("A", i)] == (1, 1, 0, False) for i in range(5))
+    # B: counts (1,2,2,2,2): median 2, adevs (0,0,0,0,1): MAD 0 ->
+    # the 1-event day deviates and flags
+    assert got[("B", 4)] == (1, 2, 0, True)
+    assert all(got[("B", i)] == (2, 2, 0, False) for i in range(4))
+
+
+def test_daily_anomalies_mad_cutoff(spark):
+    """Non-degenerate MAD: spread series where only > k*MAD flags."""
+    from openie_spark.datapipe.events import daily_anomalies
+
+    t0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+    d = dt.timedelta(days=1)
+    # counts per day: 1,2,3,4,5,30 -> lower median 3 (n=6, rank 3),
+    # adevs 2,1,0,1,2,27 sorted 0,1,1,2,2,27 -> MAD (rank 3) = 1
+    # flag iff adev > 3*1: only the 30-count day (adev 27)
+    rows, eid = [], 0
+    for day, n in enumerate([1, 2, 3, 4, 5, 30]):
+        for j in range(n):
+            rows.append((eid, t0 + day * d + dt.timedelta(minutes=j),
+                         1, "C", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.n_events: r.is_anomaly for r in daily_anomalies(df).collect()}
+    assert got == {1: False, 2: False, 3: False, 4: False, 5: False, 30: True}
