@@ -141,7 +141,7 @@ class KGPipeline:
     def __init__(self, spark: SparkSession, input_dir: str, output_dir: str,
                  backend: str = "rule", pair_mode: str = "exact",
                  table_io=None, analytics: bool = False,
-                 export: bool = False):
+                 export: bool = False, enrich: bool = False):
         self.spark = spark
         self.input_dir = input_dir
         self.output_dir = output_dir
@@ -149,6 +149,7 @@ class KGPipeline:
         self.pair_mode = pair_mode
         self.analytics = analytics
         self.export = export
+        self.enrich = enrich
         self.io = table_io if table_io is not None else make_table_io(spark, output_dir)
         self.results: list[StageResult] = []
 
@@ -381,6 +382,39 @@ class KGPipeline:
             self._run_stage(
                 "export_nt", lambda: export_ntriples(n_df, e_df),
                 "nt", ["nodes", "edges"], resume)
+
+        if self.enrich:
+            # optional stage-I+ enrichment sinks: typing, schema
+            # induction, per-conversation salience, coref-recovered
+            # edges, topic segments — resumable stages reading the
+            # already-materialized tables like analytics/export do
+            from openie_spark.kg.coref import coref_edges
+            from openie_spark.kg.dialogue import topic_segments
+            from openie_spark.kg.enrich import (
+                entity_salience,
+                entity_types,
+                relation_schema,
+            )
+
+            n_df, e_df = nodes.drop("bucket"), edges.drop("bucket")
+            self._run_stage(
+                "entity_types", lambda: entity_types(n_df),
+                "entity_id", ["nodes"], resume)
+            self._run_stage(
+                "schema", lambda: relation_schema(e_df, n_df),
+                "rel_canon", ["nodes", "edges"], resume)
+            self._run_stage(
+                "salience", lambda: entity_salience(e_df),
+                "conv_id", ["edges"], resume)
+            self._run_stage(
+                "coref_edges",
+                lambda: coref_edges(triples.drop("bucket"),
+                                    components.drop("bucket")),
+                "src_id", ["triples", "components"], resume)
+            self._run_stage(
+                "segments",
+                lambda: topic_segments(read_transcripts(spark, self.input_dir)),
+                "conv_id", [], resume)
 
         total = round(time.time() - t_total, 3)
         n_triples = next(r.rows for r in self.results if r.name == "triples")

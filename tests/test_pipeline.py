@@ -163,3 +163,33 @@ def test_pipeline_export_stages_and_resume(spark, tmp_path_factory):
     assert s1["stages"]["temporal"]["rows"] == s1["relations"]
     s2 = KGPipeline(spark, SF, out, export=True).run(resume=True)
     assert all(s2["stages"][st]["resumed"] for st in ("temporal", "export_nt"))
+
+
+def test_pipeline_enrich_stages_and_resume(spark, tmp_path_factory):
+    """--enrich materializes typing / schema / salience / coref-edge /
+    segment tables as resumable stages with manifests; cross-table
+    invariants hold; a resumed re-run skips all five."""
+    from openie_spark.pipeline import KGPipeline
+
+    stages = ("entity_types", "schema", "salience", "coref_edges",
+              "segments")
+    out = str(tmp_path_factory.mktemp("kgn"))
+    s1 = KGPipeline(spark, SF, out, enrich=True).run(resume=True)
+    for st in stages:
+        assert st in s1["stages"]
+        man = json.load(open(os.path.join(out, st, "_manifest.json")))
+        assert man["rows"] == s1["stages"][st]["rows"]
+    # typing covers every node; segments cover every turn
+    assert s1["stages"]["entity_types"]["rows"] == s1["nodes"]
+    seg = spark.read.parquet(os.path.join(out, "segments"))
+    turns = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert seg.count() == turns
+    assert seg.where("seg_idx < 0").count() == 0
+    # every coref-recovered edge endpoint exists in the nodes table
+    ce = spark.read.parquet(os.path.join(out, "coref_edges"))
+    nodes = spark.read.parquet(os.path.join(out, "nodes"))
+    ids = {r.entity_id for r in nodes.select("entity_id").collect()}
+    for r in ce.select("src_id", "dst_id").collect():
+        assert r.src_id in ids and r.dst_id in ids
+    s2 = KGPipeline(spark, SF, out, enrich=True).run(resume=True)
+    assert all(s2["stages"][st]["resumed"] for st in stages)

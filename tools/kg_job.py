@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--export", action="store_true",
                     help="Also materialize consumer-facing sinks: temporal "
                          "relation intervals and the N-Triples table.")
+    ap.add_argument("--enrich", action="store_true",
+                    help="Also materialize stage-I+ enrichment tables: "
+                         "entity types, relation schema signatures, "
+                         "per-conversation salience, coref-recovered "
+                         "edges, topic segments.")
     ap.add_argument("--prior", default=None,
                     help="Incremental mode: merge --input (NEW conv_ids "
                          "only) into the completed pipeline output at this "
@@ -94,7 +99,8 @@ def main() -> None:
         os.makedirs(args.output, exist_ok=True)  # created by the FS writers
     pipe = KGPipeline(spark, args.input, args.output,
                       backend=args.backend, pair_mode=args.pair_mode,
-                      analytics=args.analytics, export=args.export)
+                      analytics=args.analytics, export=args.export,
+                      enrich=args.enrich)
     if args.prior:
         summary = pipe.run_incremental(prior_dir=args.prior,
                                        resume=not args.no_resume)
