@@ -484,6 +484,15 @@ def _q_kg_export_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_ntriples(nodes, edges)
 
 
+def _q_kg_export_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphML interchange fragments (part, line, xml) — reassemble by
+    ORDER BY part, line; map-only plus one relation distinct."""
+    from openie_spark.kg.analytics import export_graphml
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return export_graphml(nodes, edges)
+
+
 def _q_kg_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-mention graph (same-conversation association pairs,
     per-conv entity cap bounding the self-join fan-out)."""
@@ -1067,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema": _q_kg_schema,
         "kg_temporal": _q_kg_temporal,
         "kg_export_nt": _q_kg_export_nt,
+        "kg_export_graphml": _q_kg_export_graphml,
         "kg_comention": _q_kg_comention,
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         "kg_negatives": _q_kg_negatives,
@@ -1154,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_schema": o.kg_schema_sql(),
         "kg_temporal": o.kg_temporal_sql(),
         "kg_export_nt": o.kg_export_nt_sql(),
+        "kg_export_graphml": o.kg_export_graphml_sql(),
         "kg_comention": o.kg_comention_sql(),
         "kg_neighbor_jaccard": o.kg_neighbor_jaccard_sql(),
         "kg_negatives": o.kg_negatives_sql(),

@@ -419,6 +419,60 @@ def export_ntriples(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return node_lines.unionAll(rel_lines)
 
 
+def export_graphml(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Serialize the canonical graph as GraphML fragments — the second
+    interchange sink (Gephi/NetworkX/igraph load it directly). One row
+    per XML line with an explicit sort key so any consumer can
+    reassemble the document by ``ORDER BY part, line``:
+
+        part 0: header + key declarations (driver-side constants)
+        part 1: <node id="..."><data key="label">...</data></node>
+        part 2: <edge source=".." target=".."><data key="pred">..</data></edge>
+        part 3: footer
+
+    Labels/predicates are already normalized to [a-z0-9 ] upstream, so
+    XML escaping is vacuous by construction (same contract as
+    export_ntriples' IRI mangle — no general escaper pretends to run).
+
+    Scale shape: map-only projections over nodes plus one distinct()
+    on the relation key — identical cost profile to export_ntriples.
+    """
+    from openie_spark.datapipe.hashing import md5h60
+
+    spark = nodes.sparkSession
+    header = spark.createDataFrame(
+        [(0, 0, '<?xml version="1.0" encoding="UTF-8"?>'),
+         (0, 1, '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'),
+         (0, 2, '<key id="label" for="node" attr.name="label" attr.type="string"/>'),
+         (0, 3, '<key id="pred" for="edge" attr.name="pred" attr.type="string"/>'),
+         (0, 4, '<graph id="kg" edgedefault="directed">')],
+        "part int, line long, xml string")
+    footer = spark.createDataFrame(
+        [(3, 0, "</graph>"), (3, 1, "</graphml>")],
+        "part int, line long, xml string")
+    node_lines = nodes.select(
+        F.lit(1).alias("part"),
+        md5h60(F.col("entity_id")).alias("line"),
+        F.concat(
+            F.lit('<node id="'), F.col("entity_id"),
+            F.lit('"><data key="label">'), F.col("canonical"),
+            F.lit("</data></node>"),
+        ).alias("xml"))
+    edge_lines = (
+        edges.select("src_id", "dst_id", "pred").distinct()
+        .select(
+            F.lit(2).alias("part"),
+            md5h60(F.concat_ws("|", "src_id", "pred", "dst_id")).alias("line"),
+            F.concat(
+                F.lit('<edge source="'), F.col("src_id"),
+                F.lit('" target="'), F.col("dst_id"),
+                F.lit('"><data key="pred">'), F.col("pred"),
+                F.lit("</data></edge>"),
+            ).alias("xml"))
+    )
+    return header.unionAll(node_lines).unionAll(edge_lines).unionAll(footer)
+
+
 KHOP_K = 3
 KHOP_SEED_MOD = 40          # ~2.5% of entities are seeds
 KHOP_SALT = "khop-v1"

@@ -729,6 +729,33 @@ WHERE norm IN ({frags}) AND antecedent IS NOT NULL""",
     )
 
 
+def kg_export_graphml_sql() -> str:
+    """Twin of kg.analytics.export_graphml: literal header/footer rows
+    plus node/edge XML fragments with md5h60 line keys."""
+    h = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+    return _with_kg(f"""
+SELECT CAST(part AS INT) AS part, CAST(line AS BIGINT) AS line, xml FROM (
+  SELECT * FROM (VALUES
+    (0, 0, '<?xml version="1.0" encoding="UTF-8"?>'),
+    (0, 1, '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'),
+    (0, 2, '<key id="label" for="node" attr.name="label" attr.type="string"/>'),
+    (0, 3, '<key id="pred" for="edge" attr.name="pred" attr.type="string"/>'),
+    (0, 4, '<graph id="kg" edgedefault="directed">'),
+    (3, 0, '</graph>'),
+    (3, 1, '</graphml>')) t(part, line, xml)
+  UNION ALL
+  SELECT 1, {h.format(x='entity_id')},
+         '<node id="' || entity_id || '"><data key="label">'
+           || canonical || '</data></node>'
+  FROM nodes
+  UNION ALL
+  SELECT 2, {h.format(x="src_id || '|' || pred || '|' || dst_id")},
+         '<edge source="' || src_id || '" target="' || dst_id
+           || '"><data key="pred">' || pred || '</data></edge>'
+  FROM (SELECT DISTINCT src_id, dst_id, pred FROM kg_edges)
+)""")
+
+
 def kg_topic_segments_sql() -> str:
     """Twin of kg.dialogue.topic_segments: lag of distinct token
     lists, exact-ppm overlap, running boundary sum."""

@@ -382,3 +382,30 @@ def test_neighbor_jaccard_hub_cap_and_determinism(spark):
 
     again = neighbor_jaccard(_edges(spark, pairs).repartition(7), cap=3)
     assert {(r.a, r.b) for r in again.collect()} == set(got)
+
+
+def test_export_graphml_parses_and_counts(spark):
+    """Reassembled document is well-formed XML; node/edge elements
+    match the inputs; line keys are unique within parts."""
+    import xml.etree.ElementTree as ET
+
+    from openie_spark.kg.analytics import export_graphml
+
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("a", "b")],
+                   preds={("a", "b"): "runs", ("b", "c"): "has merged"})
+    nodes = spark.createDataFrame(
+        [("a", "alpha scan", 1, 1), ("b", "beta", 1, 1), ("c", "gamma", 1, 1)],
+        "entity_id string, canonical string, n_aliases int, freq long")
+    rows = export_graphml(nodes, edges).collect()
+    assert len({(r.part, r.line) for r in rows}) == len(rows)
+    doc = "\n".join(r.xml for r in sorted(rows, key=lambda r: (r.part, r.line)))
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    root = ET.fromstring(doc)
+    g = root.find(f"{ns}graph")
+    xml_nodes = g.findall(f"{ns}node")
+    xml_edges = g.findall(f"{ns}edge")
+    assert {n.get("id") for n in xml_nodes} == {"a", "b", "c"}
+    assert {n.find(f"{ns}data").text for n in xml_nodes} == {"alpha scan", "beta", "gamma"}
+    # dup (a,b,runs) provenance collapses to one distinct edge element
+    assert {(e.get("source"), e.get("target"), e.find(f"{ns}data").text)
+            for e in xml_edges} == {("a", "b", "runs"), ("b", "c", "has merged")}
