@@ -484,6 +484,15 @@ def _q_kg_export_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_ntriples(nodes, edges)
 
 
+def _q_kg_metapaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed 2-hop metapath statistics: top patterns by distinct-path
+    count over the canon-relation table with hub-capped adjacency."""
+    from openie_spark.kg.analytics import metapath_counts
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return metapath_counts(nodes, edges)
+
+
 def _q_kg_export_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphML interchange fragments (part, line, xml) — reassemble by
     ORDER BY part, line; map-only plus one relation distinct."""
@@ -1077,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal": _q_kg_temporal,
         "kg_export_nt": _q_kg_export_nt,
         "kg_export_graphml": _q_kg_export_graphml,
+        "kg_metapaths": _q_kg_metapaths,
         "kg_comention": _q_kg_comention,
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
         "kg_negatives": _q_kg_negatives,
@@ -1165,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_temporal": o.kg_temporal_sql(),
         "kg_export_nt": o.kg_export_nt_sql(),
         "kg_export_graphml": o.kg_export_graphml_sql(),
+        "kg_metapaths": o.kg_metapaths_sql(),
         "kg_comention": o.kg_comention_sql(),
         "kg_neighbor_jaccard": o.kg_neighbor_jaccard_sql(),
         "kg_negatives": o.kg_negatives_sql(),

@@ -419,6 +419,72 @@ def export_ntriples(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return node_lines.unionAll(rel_lines)
 
 
+MP_CAP = 32     # max in-edges / out-edges per middle node in the join
+MP_TOP = 50     # metapath patterns reported
+
+
+def metapath_counts(nodes: DataFrame, edges: DataFrame,
+                    cap: int = MP_CAP, k: int = MP_TOP) -> DataFrame:
+    """Typed 2-hop metapath statistics — the schema-level path
+    inventory KG-embedding and query-planning consumers read:
+    (src_type, rel1, mid_type, rel2, dst_type, n_paths) for the top-k
+    patterns by distinct-path count. Relations are lemma-canonical
+    (enrich.canon_relation_col); the path base is the DISTINCT
+    relation table (one row per (src, pred, dst)), not occurrence
+    edges, so counts are structural.
+
+    Scale shape: the distinct() shuffle, one broadcast of the tiny
+    canon-pred table, node-sized type attaches, and a mid-node
+    equi-join whose fan-out is bounded by cap² per middle node — a hub
+    contributes only its ``cap`` lowest-(neighbor, rel) in- and
+    out-edges (deterministic, the MAX_BLOCK philosophy). Self-loop
+    edges are dropped; round-trip paths (src == dst) are kept. The
+    final top-k is TakeOrderedAndProject with a full-column tie
+    order."""
+    from openie_spark.kg.enrich import canon_relation_col
+
+    rkey = (edges.select("pred").distinct()
+            .withColumn("rel", canon_relation_col(F.col("pred"))))
+    rel = (
+        edges.select("src_id", "dst_id", "pred").distinct()
+        .where(F.col("src_id") != F.col("dst_id"))
+        .join(F.broadcast(rkey), "pred")
+        .select("src_id", "dst_id", "rel")
+        .localCheckpoint(eager=False)   # feeds both cap windows
+    )
+    types = nodes.select("entity_id", "etype") if "etype" in nodes.columns \
+        else _typed(nodes)
+    w_in = Window.partitionBy("dst_id").orderBy("src_id", "rel")
+    w_out = Window.partitionBy("src_id").orderBy("dst_id", "rel")
+    inc = (rel.withColumn("r", F.row_number().over(w_in))
+           .where(F.col("r") <= cap)
+           .select(F.col("src_id").alias("a"), F.col("rel").alias("rel1"),
+                   F.col("dst_id").alias("m")))
+    out = (rel.withColumn("r", F.row_number().over(w_out))
+           .where(F.col("r") <= cap)
+           .select(F.col("src_id").alias("m"), F.col("rel").alias("rel2"),
+                   F.col("dst_id").alias("b")))
+    paths = inc.join(out, "m")
+    t = lambda key, alias: types.select(
+        F.col("entity_id").alias(key), F.col("etype").alias(alias))
+    typed = (paths.join(t("a", "src_type"), "a")
+             .join(t("m", "mid_type"), "m")
+             .join(t("b", "dst_type"), "b"))
+    return (
+        typed.groupBy("src_type", "rel1", "mid_type", "rel2", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "src_type", "rel1", "mid_type",
+                 "rel2", "dst_type")
+        .limit(k)
+    )
+
+
+def _typed(nodes: DataFrame) -> DataFrame:
+    from openie_spark.kg.enrich import entity_types
+
+    return entity_types(nodes).select("entity_id", "etype")
+
+
 def export_graphml(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Serialize the canonical graph as GraphML fragments — the second
     interchange sink (Gephi/NetworkX/igraph load it directly). One row

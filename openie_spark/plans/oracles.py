@@ -756,6 +756,68 @@ SELECT CAST(part AS INT) AS part, CAST(line AS BIGINT) AS line, xml FROM (
 )""")
 
 
+def kg_metapaths_sql() -> str:
+    """Twin of kg.analytics.metapath_counts: canon-pred keys, capped
+    in/out adjacency per middle node, typed 2-hop group counts,
+    full-column-tie top-k."""
+    from openie_spark.kg.analytics import MP_CAP, MP_TOP
+    from openie_spark.kg.enrich import AUX_TOKENS
+
+    aux = "[" + ", ".join(f"'{w}'" for w in AUX_TOKENS) + "]"
+    return _with_kg(f"""
+SELECT src_type, rel1, mid_type, rel2, dst_type,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM mp_typed
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY n_paths DESC, src_type, rel1, mid_type, rel2, dst_type
+LIMIT {MP_TOP}""", extra_ctes=f"""
+mp_rkey AS (
+  SELECT pred,
+         CASE WHEN len(content) > 0 THEN array_to_string(
+                list_transform(content, t -> {_lemma_case_duckdb('t')}), ' ')
+              ELSE array_to_string(toks, ' ') END AS rel
+  FROM (
+    SELECT pred, toks,
+           list_filter(toks, t -> NOT list_contains({aux}, t)) AS content
+    FROM (
+      SELECT pred, list_filter(string_split(pred, ' '), t -> t <> '') AS toks
+      FROM (SELECT DISTINCT pred FROM kg_edges)
+    )
+  )
+),
+mp_rel AS MATERIALIZED (
+  SELECT e.src_id, e.dst_id, r.rel
+  FROM (SELECT DISTINCT src_id, dst_id, pred FROM kg_edges
+        WHERE src_id <> dst_id) e
+  JOIN mp_rkey r USING (pred)
+),
+mp_types AS MATERIALIZED (
+  SELECT entity_id, {_etype_case_duckdb('canonical')} AS etype FROM nodes
+),
+mp_in AS (
+  SELECT src_id AS a, rel AS rel1, dst_id AS m FROM (
+    SELECT *, row_number() OVER (PARTITION BY dst_id
+                                 ORDER BY src_id, rel) AS rn
+    FROM mp_rel)
+  WHERE rn <= {MP_CAP}
+),
+mp_out AS (
+  SELECT src_id AS m, rel AS rel2, dst_id AS b FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+                                 ORDER BY dst_id, rel) AS rn
+    FROM mp_rel)
+  WHERE rn <= {MP_CAP}
+),
+mp_typed AS MATERIALIZED (
+  SELECT ta.etype AS src_type, i.rel1, tm.etype AS mid_type,
+         o.rel2, tb.etype AS dst_type
+  FROM mp_in i JOIN mp_out o USING (m)
+  JOIN mp_types ta ON i.a = ta.entity_id
+  JOIN mp_types tm ON i.m = tm.entity_id
+  JOIN mp_types tb ON o.b = tb.entity_id
+)""")
+
+
 def kg_topic_segments_sql() -> str:
     """Twin of kg.dialogue.topic_segments: lag of distinct token
     lists, exact-ppm overlap, running boundary sum."""

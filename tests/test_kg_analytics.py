@@ -409,3 +409,41 @@ def test_export_graphml_parses_and_counts(spark):
     # dup (a,b,runs) provenance collapses to one distinct edge element
     assert {(e.get("source"), e.get("target"), e.find(f"{ns}data").text)
             for e in xml_edges} == {("a", "b", "runs"), ("b", "c", "has merged")}
+
+
+def test_metapath_counts_hand_golden(spark):
+    from openie_spark.kg.analytics import metapath_counts
+
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a")],
+                   preds={("a", "b"): "runs", ("b", "c"): "has merged",
+                          ("a", "c"): "runs", ("c", "a"): "links"})
+    nodes = spark.createDataFrame(
+        [("a", "dr smith", 1, 1), ("b", "acme corp", 1, 1),
+         ("c", "table", 1, 1)],
+        "entity_id string, canonical string, n_aliases int, freq long")
+    got = {tuple(r)[:5]: r.n_paths
+           for r in metapath_counts(nodes, edges).collect()}
+    assert got == {
+        ("person", "run", "org", "merg", "term"): 1,    # a->b->c
+        ("org", "merg", "term", "link", "person"): 1,   # b->c->a
+        ("person", "run", "term", "link", "person"): 1, # a->c->a round trip
+        ("term", "link", "person", "run", "org"): 1,    # c->a->b
+        ("term", "link", "person", "run", "term"): 1,   # c->a->c round trip
+    }
+
+
+def test_metapath_hub_cap(spark):
+    """cap=1 keeps only the lowest (neighbor, rel) in- and out-edge of
+    the hub -> exactly one path survives."""
+    from openie_spark.kg.analytics import metapath_counts
+
+    pairs = [(s, "hub") for s in ("s1", "s2", "s3")] + \
+            [("hub", d) for d in ("d1", "d2")]
+    edges = _edges(spark, pairs)
+    nodes = spark.createDataFrame(
+        [(i, i, 1, 1) for i in ("s1", "s2", "s3", "hub", "d1", "d2")],
+        "entity_id string, canonical string, n_aliases int, freq long")
+    full = metapath_counts(nodes, edges).collect()
+    assert sum(r.n_paths for r in full) == 6          # 3 in x 2 out
+    capped = metapath_counts(nodes, edges, cap=1).collect()
+    assert sum(r.n_paths for r in capped) == 1
