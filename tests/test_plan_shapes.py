@@ -122,3 +122,32 @@ def test_winnow_is_map_only(spark, entry):
     assert _count(plan, r"\bExchange\b") == 0
     assert _count(plan, r"ArrowEvalPython|BatchEvalPython|MapInPandas") == 0
     assert _count(plan, r"\bJoin\b") == 0
+
+
+def test_coref_is_single_window_no_join(spark, entry):
+    """Coref-lite must stay ONE conv-partitioned window: no joins, no
+    Python stage beyond the memoized input."""
+    plan = _plan(entry.queries()["kg_coref"](spark, SF))
+    assert _count(plan, r"\bJoin\b") == 0
+    assert _count(plan, r"\bWindow\b") > 0
+    assert _count(plan, r"CartesianProduct|BroadcastNestedLoopJoin") == 0
+
+
+def test_topic_segments_single_exchange(spark, entry):
+    """One conv window serves lag + running sum: exactly one shuffle
+    (x2 in formatted output), no joins, no Python."""
+    plan = _plan(entry.queries()["kg_topic_segments"](spark, SF))
+    assert _count(plan, r"\bExchange\b") == 2
+    assert _count(plan, r"\bJoin\b") == 0
+    assert _count(plan, r"ArrowEvalPython|BatchEvalPython|MapInPandas") == 0
+
+
+def test_metapaths_all_equi_joins_and_capped_windows(spark, entry):
+    """Every metapath join must be an equi-join (AQE picks
+    broadcast/SMJ by size at runtime; a nested-loop would mean the
+    canon or type attach degenerated), and the hub caps must compile
+    to WindowGroupLimit (partial per-partition top-k BEFORE the
+    shuffle — the cap does its work map-side)."""
+    plan = _plan(entry.queries()["kg_metapaths"](spark, SF))
+    assert _count(plan, r"CartesianProduct|BroadcastNestedLoopJoin") == 0
+    assert _count(plan, r"WindowGroupLimit") >= 2
