@@ -484,6 +484,18 @@ def _q_kg_export_nt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_ntriples(nodes, edges)
 
 
+def _q_kg_segment_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salience re-scoped to topic segments: entity_salience's exact-
+    integer score over (conv_id, seg_idx) units."""
+    from openie_spark.kg.dialogue import topic_segments
+    from openie_spark.kg.enrich import segment_salience
+    from openie_spark.sources.transcripts import read_transcripts
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return segment_salience(
+        edges, topic_segments(read_transcripts(_tune(spark), sf_dir)))
+
+
 def _q_kg_metapaths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed 2-hop metapath statistics: top patterns by distinct-path
     count over the canon-relation table with hub-capped adjacency."""
@@ -1082,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref": _q_kg_coref,
         "kg_coref_edges": _q_kg_coref_edges,
         "kg_topic_segments": _q_kg_topic_segments,
+        "kg_segment_salience": _q_kg_segment_salience,
         "kg_schema": _q_kg_schema,
         "kg_temporal": _q_kg_temporal,
         "kg_export_nt": _q_kg_export_nt,
@@ -1171,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_coref": o.kg_coref_sql(),
         "kg_coref_edges": o.kg_coref_edges_sql(),
         "kg_topic_segments": o.kg_topic_segments_sql(),
+        "kg_segment_salience": o.kg_segment_salience_sql(),
         "kg_schema": o.kg_schema_sql(),
         "kg_temporal": o.kg_temporal_sql(),
         "kg_export_nt": o.kg_export_nt_sql(),

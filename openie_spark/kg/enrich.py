@@ -221,3 +221,44 @@ def relation_schema(edges: DataFrame, nodes: DataFrame,
         .select("rel_canon", "src_type", "dst_type", "n_edges", "n_convs",
                 "rank", "share_ppm")
     )
+
+
+def segment_salience(edges: DataFrame, segments: DataFrame,
+                     k: int = SALIENCE_TOP) -> DataFrame:
+    """Per-TOPIC-SEGMENT salient entities — entity_salience re-scoped
+    from whole conversations to the dialogue.topic_segments units, the
+    granularity a long multi-session transcript actually needs (a
+    1,000-turn thread is many topics; conversation-level tf drowns the
+    brief ones). Same exact-integer score, with segment frequency as
+    the idf axis: n_local * n_total_segments DIV n_segments_with_entity.
+
+    Scale shape: one (conv, turn)-keyed equi-join to stamp seg_idx
+    onto provenance edges (both sides partition on the same key), then
+    exactly the entity_salience plan with a composite (conv_id,
+    seg_idx) key — partial-agg tf shuffle, vocabulary-sized idf
+    aggregate, 1-row total broadcast, per-segment rank window bounded
+    by entities-per-segment."""
+    seg = segments.select("conv_id", "turn_idx", "seg_idx")
+    occ = (
+        edges.join(seg, ["conv_id", "turn_idx"])
+        .select("conv_id", "seg_idx", F.col("src_id").alias("entity_id"))
+        .unionAll(
+            edges.join(seg, ["conv_id", "turn_idx"])
+            .select("conv_id", "seg_idx", F.col("dst_id").alias("entity_id")))
+    )
+    tf = occ.groupBy("conv_id", "seg_idx", "entity_id").agg(
+        F.count(F.lit(1)).alias("n_local"))
+    idf = tf.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    total = (occ.select("conv_id", "seg_idx").distinct()
+             .agg(F.count(F.lit(1)).alias("n_total")))
+    w = Window.partitionBy("conv_id", "seg_idx").orderBy(
+        F.desc("salience"), F.asc("entity_id"))
+    return (
+        tf.join(idf, "entity_id")
+        .crossJoin(F.broadcast(total))
+        .withColumn("salience", F.expr("(n_local * n_total) DIV n_segs"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("conv_id", "seg_idx", "entity_id", "n_local", "n_segs",
+                "salience", "rank")
+    )

@@ -818,12 +818,12 @@ mp_typed AS MATERIALIZED (
 )""")
 
 
-def kg_topic_segments_sql() -> str:
-    """Twin of kg.dialogue.topic_segments: lag of distinct token
-    lists, exact-ppm overlap, running boundary sum."""
+def _segment_ctes() -> str:
+    """Shared CTE chain: transcripts → topic segments (twin of
+    kg.dialogue.topic_segments), ending in a ``segments`` table."""
     from openie_spark.kg.dialogue import SEGMENT_THRESH_PPM
 
-    return _with(TRANSCRIPTS_CTE_DUCKDB, f"""
+    return f"""
 seg_tok AS (
   SELECT conv_id, turn_idx,
          list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
@@ -849,13 +849,61 @@ seg_b AS (
   SELECT conv_id, turn_idx, overlap_ppm,
          (is_first OR overlap_ppm < {SEGMENT_THRESH_PPM}) AS is_boundary
   FROM seg_ov
-)""",
-        select="""
-SELECT conv_id, turn_idx, overlap_ppm, is_boundary,
-       CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
-              OVER (PARTITION BY conv_id ORDER BY turn_idx
-                    ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS seg_idx
-FROM seg_b""",
+),
+segments AS (
+  SELECT conv_id, turn_idx, overlap_ppm, is_boundary,
+         CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+                OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS seg_idx
+  FROM seg_b
+)"""
+
+
+def kg_topic_segments_sql() -> str:
+    """Twin of kg.dialogue.topic_segments: lag of distinct token
+    lists, exact-ppm overlap, running boundary sum."""
+    return _with(
+        TRANSCRIPTS_CTE_DUCKDB, _segment_ctes(),
+        select="SELECT conv_id, turn_idx, overlap_ppm, is_boundary,"
+               " seg_idx FROM segments",
+    )
+
+
+def kg_segment_salience_sql() -> str:
+    """Twin of kg.enrich.segment_salience: kg_salience_sql's score
+    with the (conv_id, seg_idx) composite key from the segments CTE."""
+    from openie_spark.kg.enrich import SALIENCE_TOP
+
+    return _with_kg(f"""
+SELECT conv_id, seg_idx, entity_id, n_local, n_segs, salience,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT conv_id, seg_idx, entity_id, n_local, n_segs,
+         (n_local * n_total) // n_segs AS salience,
+         row_number() OVER (
+           PARTITION BY conv_id, seg_idx
+           ORDER BY (n_local * n_total) // n_segs DESC, entity_id) AS rank
+  FROM ss_tf JOIN ss_idf USING (entity_id), ss_tot
+)
+WHERE rank <= {SALIENCE_TOP}""",
+        extra_ctes=_segment_ctes() + """,
+ss_occ AS (
+  SELECT e.conv_id, s.seg_idx, e.src_id AS entity_id
+  FROM kg_edges e JOIN segments s
+    ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+  UNION ALL
+  SELECT e.conv_id, s.seg_idx, e.dst_id
+  FROM kg_edges e JOIN segments s
+    ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+),
+ss_tf AS MATERIALIZED (
+  SELECT conv_id, seg_idx, entity_id, CAST(count(*) AS BIGINT) AS n_local
+  FROM ss_occ GROUP BY 1, 2, 3),
+ss_idf AS MATERIALIZED (
+  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_segs FROM ss_tf GROUP BY 1),
+ss_tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total
+  FROM (SELECT DISTINCT conv_id, seg_idx FROM ss_occ))""",
     )
 
 

@@ -173,3 +173,30 @@ def test_relation_schema_top_k_truncates(spark):
         "entity_id string, canonical string, n_aliases int, freq long")
     out = relation_schema(edges, nodes, k=1).collect()
     assert len(out) == 1 and out[0].rank == 1
+
+
+def test_segment_salience_scopes_to_segments(spark):
+    """Entities dominant in different segments of ONE conversation get
+    rank 1 in their own segment; segment frequency is the idf axis."""
+    from openie_spark.kg.enrich import segment_salience
+
+    edges = spark.createDataFrame(
+        [("x", "y", "p", "c1", 0, 0, 0),
+         ("x", "z", "p", "c1", 1, 0, 0),
+         ("q", "r", "p", "c1", 2, 0, 0),
+         ("q", "z", "p", "c1", 3, 0, 0)],
+        "src_id string, dst_id string, pred string, conv_id string, "
+        "turn_idx int, sent_idx int, ext_idx int")
+    segments = spark.createDataFrame(
+        [("c1", 0, 0), ("c1", 1, 0), ("c1", 2, 1), ("c1", 3, 1)],
+        "conv_id string, turn_idx int, seg_idx int")
+    got = {(r.seg_idx, r.entity_id): (r.n_local, r.n_segs, r.salience, r.rank)
+           for r in segment_salience(edges, segments).collect()}
+    assert got == {
+        (0, "x"): (2, 1, 4, 1),   # 2 * 2 segs // in-1-seg
+        (0, "y"): (1, 1, 2, 2),
+        (0, "z"): (1, 2, 1, 3),   # z appears in both segs -> idf halves
+        (1, "q"): (2, 1, 4, 1),
+        (1, "r"): (1, 1, 2, 2),
+        (1, "z"): (1, 2, 1, 3),
+    }
