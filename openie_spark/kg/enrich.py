@@ -239,12 +239,12 @@ def segment_salience(edges: DataFrame, segments: DataFrame,
     aggregate, 1-row total broadcast, per-segment rank window bounded
     by entities-per-segment."""
     seg = segments.select("conv_id", "turn_idx", "seg_idx")
+    # join ONCE, fan endpoints out with a narrow explode — a unionAll
+    # of two joined branches would pay the occurrence-scale join twice
     occ = (
         edges.join(seg, ["conv_id", "turn_idx"])
-        .select("conv_id", "seg_idx", F.col("src_id").alias("entity_id"))
-        .unionAll(
-            edges.join(seg, ["conv_id", "turn_idx"])
-            .select("conv_id", "seg_idx", F.col("dst_id").alias("entity_id")))
+        .select("conv_id", "seg_idx",
+                F.explode(F.array("src_id", "dst_id")).alias("entity_id"))
     )
     tf = occ.groupBy("conv_id", "seg_idx", "entity_id").agg(
         F.count(F.lit(1)).alias("n_local"))
