@@ -35,7 +35,9 @@ def _ship_package(spark: SparkSession) -> None:
         with zipfile.ZipFile(zp, "w") as z:
             for dirpath, _, files in os.walk(os.path.join(root, "openie_spark")):
                 for f in files:
-                    if f.endswith(".py"):
+                    # .txt rides along for package data (the WordPiece
+                    # vocab must reach zipimport-ed executor workers).
+                    if f.endswith((".py", ".txt")):
                         full = os.path.join(dirpath, f)
                         z.write(full, os.path.relpath(full, root))
         _PKG_ZIP = zp

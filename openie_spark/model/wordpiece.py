@@ -33,13 +33,30 @@ _VOCAB_PATH = os.path.join(os.path.dirname(__file__), "wordpiece_vocab.txt")
 _VOCAB: dict[str, int] | None = None
 
 
+def _read_vocab_text(path: str) -> str:
+    """Read the vocab file both on a plain filesystem install and when
+    the package ships as a zip (``spark-submit --py-files`` /
+    ``sc.addPyFile``): inside a zip ``__file__`` is not openable, but
+    the zipimport loader serves package resources."""
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+    from importlib import resources
+
+    return (
+        resources.files(__package__)
+        .joinpath(os.path.basename(path))
+        .read_text(encoding="utf-8")
+    )
+
+
 def load_vocab(path: str = _VOCAB_PATH) -> dict[str, int]:
     """token -> id, line number = id (the standard vocab.txt layout).
     Cached per process (workers load once, like the weights)."""
     global _VOCAB
     if _VOCAB is None or path != _VOCAB_PATH:
-        with open(path, encoding="utf-8") as f:
-            vocab = {ln.rstrip("\n"): i for i, ln in enumerate(f) if ln.strip()}
+        text = _read_vocab_text(path)
+        vocab = {ln: i for i, ln in enumerate(text.split("\n")) if ln.strip()}
         if path != _VOCAB_PATH:
             return vocab
         _VOCAB = vocab

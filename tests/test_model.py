@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import numpy as np
 import pytest
 
@@ -307,3 +308,39 @@ def test_wordpiece_longest_match_and_continuations():
     # non-ASCII is not -> None (caller falls back to hash pieces)
     assert wordpiece_pieces("café", v) is None
     assert wordpiece_pieces("a" * 101, v) is None         # BERT char cap
+
+
+def test_vocab_loads_from_zipimport(tmp_path):
+    """The --py-files deploy path: the package reaches executors as a
+    zip (``__spark_entry__._ship_package``), where ``__file__`` is not
+    openable.  load_vocab must serve the vocab through the zipimport
+    resource reader — a plain open() here broke triples_extract_neural
+    whenever the driver ran from a non-repo cwd."""
+    import subprocess
+    import sys
+    import zipfile
+
+    import openie_spark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(openie_spark.__file__)))
+    zp = tmp_path / "openie_spark.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        for dirpath, _, files in os.walk(os.path.join(root, "openie_spark")):
+            for f in files:
+                if f.endswith((".py", ".txt")):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    probe = (
+        "import sys; sys.path.insert(0, sys.argv[1]);\n"
+        "from openie_spark.model.wordpiece import load_vocab\n"
+        "from openie_spark.model.tokenizer import tokenize_word\n"
+        "v = load_vocab(); assert len(v) > 200, len(v)\n"
+        "assert tokenize_word('the') != tokenize_word('a')\n"
+        "print('ZIPOK', len(v))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe, str(zp)],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ZIPOK" in out.stdout
