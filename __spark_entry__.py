@@ -678,6 +678,17 @@ def _q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_summary(nodes, edges)
 
 
+def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (4 rounds, pinned
+    count-DESC/label-ASC tie-break) over the undirected canonical
+    entity graph — one vote-count shuffle + node-sized top-1 window
+    per round, labels localCheckpointed between rounds."""
+    from openie_spark.kg.analytics import label_prop_communities
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return label_prop_communities(nodes, edges)
+
+
 def _q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-hop BFS (K=3) from a deterministic md5-ticket seed slice over
     the undirected canonical entity graph: min hop distance per
@@ -1110,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_khop": _q_kg_khop,
+        "kg_communities": _q_kg_communities,
         "kg_summary": _q_kg_summary,
         "turn_text_invariant": _q_turn_invariant,
         "dp_exact_dedup": _q_dp_exact_dedup,
@@ -1200,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": o.kg_pagerank_sql(),
         "kg_triangles": o.kg_triangles_sql(),
         "kg_khop": o.kg_khop_sql(),
+        "kg_communities": o.kg_lpa_sql(),
         "kg_summary": o.kg_summary_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
         "dp_exact_dedup": dp.exact_dedup_sql(),

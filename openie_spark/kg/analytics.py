@@ -594,6 +594,62 @@ def khop_distances(nodes: DataFrame, edges: DataFrame,
     return dist
 
 
+LPA_ITERS = 4
+
+
+def label_prop_communities(nodes: DataFrame, edges: DataFrame,
+                           iters: int = LPA_ITERS) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) with a pinned deterministic tie-break ->
+    (entity_id, community).
+
+    label_0(v) = entity_id; each round every node adopts the most
+    frequent label among its neighbors, ties broken by smallest label
+    (ORDER BY count DESC, label ASC — total, so the result is
+    set-deterministic and the unrolled-CTE DuckDB oracle matches
+    bit-for-bit). Isolated nodes keep their own label. Classic async
+    LPA is order-dependent — useless under a correctness hash — so the
+    synchronous variant with a fixed round count is the pinned
+    semantics, the same determinism trade GraphFrames' LPA makes.
+
+    Scale: per round ONE shuffle — join sym x labels on the neighbor
+    id, then partial-aggregated groupBy (node, label) + a node-sized
+    window top-1; labels are node-sized and localCheckpointed so round
+    j never re-derives rounds < j. Hub fan-out is edge-scale, AQE
+    splits skewed label joins like any other; round count is fixed
+    (iters), not diameter-bound.
+    """
+    und = undirected_edges(edges)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    lab = nodes.select(
+        "entity_id", F.col("entity_id").alias("community")
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("votes"), F.asc("nl"))
+    for _ in range(iters):
+        top = (
+            sym.join(lab, sym.b == lab.entity_id)
+            .select(F.col("a").alias("entity_id"),
+                    F.col("community").alias("nl"))
+            .groupBy("entity_id", "nl")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("entity_id", F.col("nl").alias("new_community"))
+        )
+        lab = (
+            lab.join(top, "entity_id", "left")
+            .select(
+                "entity_id",
+                F.coalesce("new_community", "community").alias("community"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return lab
+
+
 def graph_summary(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Graph health metrics -> (metric string, value long), the tidy
     one-table report a pipeline run publishes next to its manifests:

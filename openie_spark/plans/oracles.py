@@ -578,6 +578,41 @@ d0 AS MATERIALIZED (
     )
 
 
+def kg_lpa_sql() -> str:
+    """Twin of kg.analytics.label_prop_communities: synchronous
+    min-tie-break label propagation unrolled to LPA_ITERS rounds —
+    each round a neighbor-label vote count + deterministic top-1
+    (count DESC, label ASC), isolated nodes keeping their label."""
+    from openie_spark.kg.analytics import LPA_ITERS
+
+    ctes = ["""
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id),
+sym AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT entity_id, entity_id AS community FROM nodes)"""]
+    for k in range(LPA_ITERS):
+        ctes.append(f"""
+v{k} AS (
+  SELECT s.a AS entity_id, l.community AS nl, count(*) AS votes
+  FROM sym s JOIN l{k} l ON s.b = l.entity_id
+  GROUP BY 1, 2),
+t{k} AS (
+  SELECT entity_id, nl FROM (
+    SELECT entity_id, nl,
+           row_number() OVER (PARTITION BY entity_id
+                              ORDER BY votes DESC, nl ASC) AS rn
+    FROM v{k}) WHERE rn = 1),
+l{k + 1} AS MATERIALIZED (
+  SELECT l.entity_id, COALESCE(t.nl, l.community) AS community
+  FROM l{k} l LEFT JOIN t{k} t ON l.entity_id = t.entity_id)""")
+    return _with_kg(
+        f"SELECT entity_id, community FROM l{LPA_ITERS}",
+        extra_ctes=",".join(ctes),
+    )
+
+
 def kg_summary_sql() -> str:
     """Twin of kg.analytics.graph_summary — same metric names, same
     exact-integer definitions."""

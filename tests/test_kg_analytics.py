@@ -447,3 +447,85 @@ def test_metapath_hub_cap(spark):
     assert sum(r.n_paths for r in full) == 6          # 3 in x 2 out
     capped = metapath_counts(nodes, edges, cap=1).collect()
     assert sum(r.n_paths for r in capped) == 1
+
+
+def _lpa_py(ids, pairs, iters):
+    """Independent reference of the pinned synchronous LPA: per round
+    every node adopts its neighbors' most frequent label, ties to the
+    smallest label; isolated nodes keep their own."""
+    sym: dict = {v: [] for v in ids}
+    for a, b in sorted({(min(p), max(p)) for p in pairs if p[0] != p[1]}):
+        sym[a].append(b)
+        sym[b].append(a)
+    lab = {v: v for v in ids}
+    for _ in range(iters):
+        new = {}
+        for v in ids:
+            if not sym[v]:
+                new[v] = lab[v]
+                continue
+            votes: dict = {}
+            for u in sym[v]:
+                votes[lab[u]] = votes.get(lab[u], 0) + 1
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        lab = new
+    return lab
+
+
+def test_lpa_two_cliques_converge(spark):
+    """Two 3-cliques joined by one bridge edge: each clique collapses
+    to its min label and the bridge does not merge them."""
+    from openie_spark.kg.analytics import label_prop_communities
+
+    ids = ["a1", "a2", "a3", "b1", "b2", "b3"]
+    pairs = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+             ("a3", "b1")]
+    got = {
+        r["entity_id"]: r["community"]
+        for r in label_prop_communities(
+            _nodes(spark, ids), _edges(spark, pairs)).collect()
+    }
+    assert got == _lpa_py(ids, pairs, 4)
+    # Neighbor-only synchronous LPA: the a-clique converges to a1; the
+    # b-clique converges to the *historical* label a3 that round 1
+    # pushed across the bridge (classic LPA artifact, same as
+    # GraphFrames) — the two communities are distinct, which is the
+    # property that matters.
+    assert got["a1"] == got["a2"] == got["a3"] == "a1"
+    assert got["b1"] == got["b2"] == got["b3"] == "a3"
+    assert got["a1"] != got["b1"]
+
+
+def test_lpa_randomized_vs_python(spark):
+    import random
+
+    from openie_spark.kg.analytics import label_prop_communities
+
+    rng = random.Random(7)
+    ids = [f"n{i:02d}" for i in range(24)]
+    pairs = [
+        (rng.choice(ids), rng.choice(ids)) for _ in range(60)
+    ]
+    got = {
+        r["entity_id"]: r["community"]
+        for r in label_prop_communities(
+            _nodes(spark, ids), _edges(spark, pairs), iters=3).collect()
+    }
+    assert got == _lpa_py(ids, pairs, 3)
+
+
+def test_lpa_isolated_nodes_keep_label(spark):
+    from openie_spark.kg.analytics import label_prop_communities
+
+    got = {
+        r["entity_id"]: r["community"]
+        for r in label_prop_communities(
+            _nodes(spark, ["x", "y", "z"]),
+            _edges(spark, [("x", "y")])).collect()
+    }
+    assert got["z"] == "z"
+    # A connected pair oscillates under synchronous neighbor-only LPA
+    # (period 2); after an even round count both are back at self —
+    # the pinned, deterministic behavior the oracle reproduces.
+    assert got["x"] == "x" and got["y"] == "y"
