@@ -438,6 +438,17 @@ def _q_kg_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topic_segments(read_transcripts(_tune(spark), sf_dir))
 
 
+def _q_kg_dialogue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation dialogue analytics (turn/role mix, tool usage,
+    wall-clock span, assistant/user verbosity ppm, longest same-role
+    run) — one conv-window shuffle + two partial-agg rollups, exact
+    integer arithmetic throughout."""
+    from openie_spark.kg.dialogue import dialogue_stats
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return dialogue_stats(read_transcripts(_tune(spark), sf_dir))
+
+
 def _q_kg_coref_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edges recovered by applying coref-lite resolutions to the
     normalized triples (repaired fragment endpoints -> entities)."""
@@ -789,6 +800,16 @@ def _q_dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_docs(planted_docs(_docs(spark, sf_dir)))
 
 
+def _q_dp_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated substrings (Lee et al. 2022 ExactSubstr as
+    distributed gram-hash counting): maximal token spans whose every
+    10-token gram occurs >= 2 times in the planted corpus — one shuffle
+    on the gram hash, one on doc_id for the island merge."""
+    from openie_spark.datapipe.dedup import planted_docs, substr_dup_spans
+
+    return substr_dup_spans(planted_docs(_docs(spark, sf_dir)))
+
+
 def _q_dp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.dedup import planted_docs, simhash_docs
 
@@ -1107,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref": _q_kg_coref,
         "kg_coref_edges": _q_kg_coref_edges,
         "kg_topic_segments": _q_kg_topic_segments,
+        "kg_dialogue_stats": _q_kg_dialogue_stats,
         "kg_segment_salience": _q_kg_segment_salience,
         "kg_schema": _q_kg_schema,
         "kg_temporal": _q_kg_temporal,
@@ -1127,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_exact_dedup": _q_dp_exact_dedup,
         "dp_ngram_pairs": _q_dp_ngram_pairs,
         "dp_minhash_pairs": _q_dp_minhash_pairs,
+        "dp_substr_spans": _q_dp_substr_spans,
         "dp_simhash": _q_dp_simhash,
         "dp_simhash_pairs": _q_dp_simhash_pairs,
         "dp_doc_stats": _q_dp_doc_stats,
@@ -1198,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_coref": o.kg_coref_sql(),
         "kg_coref_edges": o.kg_coref_edges_sql(),
         "kg_topic_segments": o.kg_topic_segments_sql(),
+        "kg_dialogue_stats": o.dialogue_stats_sql(),
         "kg_segment_salience": o.kg_segment_salience_sql(),
         "kg_schema": o.kg_schema_sql(),
         "kg_temporal": o.kg_temporal_sql(),
@@ -1218,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_exact_dedup": dp.exact_dedup_sql(),
         "dp_ngram_pairs": dp.ngram_pairs_sql(),
         "dp_minhash_pairs": dp.minhash_pairs_sql(),
+        "dp_substr_spans": dp.substr_spans_sql(),
         "dp_simhash": dp.simhash_sql(),
         "dp_simhash_pairs": dp.simhash_pairs_sql(),
         "dp_doc_stats": dp.doc_stats_sql(),

@@ -255,6 +255,71 @@ def neardup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
+SUBSTR_L = 10  # tokens per gram; Lee et al. (2022) use 50-token spans —
+               # pinned lower so the PERTURB_DROP=15 planted twins
+               # (shared runs of 14 tokens) produce a non-trivial answer
+
+
+def substr_dup_spans(docs: DataFrame, length: int = SUBSTR_L) -> DataFrame:
+    """Exact duplicated substrings (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    criterion) -> (doc_id, start_pos, end_pos, n_grams, span_tokens):
+    maximal token spans whose every ``length``-token gram occurs at
+    least twice in the corpus.
+
+    The reference method builds one giant suffix array; the
+    distributed re-expression is gram-hash counting — a position is
+    duplicated iff its L-gram hash has global count >= 2, and
+    consecutive duplicated positions merge into maximal spans (a span
+    of n >= L duplicated tokens is exactly n-L+1 consecutive
+    duplicated grams, so the two formulations agree on spans >= L).
+
+    Scale shape: Generate-barriered gram-hash array (hashes evaluate
+    once per doc; rows leaving the scan are (doc_id, pos, hash) —
+    gram length drops out of the shuffle width), ONE shuffle on the
+    gram hash for the global occurrence count (window, partial-agg
+    friendly), ONE shuffle on doc_id for the island merge. Hash
+    collisions (60-bit) are the standard ExactSubstr trade at 100 TB.
+    """
+    toks_stage = docs.select(
+        "doc_id",
+        F.inline(F.array(F.struct(tokens_of(F.col("text")).alias("toks")))),
+    )
+    t = F.col("toks")
+    gh_stage = toks_stage.filter(F.size(t) >= length).select(
+        "doc_id",
+        F.inline(F.array(F.struct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (length - 1)),
+                lambda i: md5h60(F.array_join(F.slice(t, i, length), " ")),
+            ).alias("ghs")))),
+    )
+    pos_gh = gh_stage.select(
+        "doc_id", F.posexplode("ghs").alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    from pyspark.sql.window import Window
+
+    dup = (
+        pos_gh
+        .withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .where(F.col("n_occ") >= 2)
+        .select("doc_id", "pos")
+    )
+    island = (F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos"))).alias("island")
+    return (
+        dup.select("doc_id", "pos", island)
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("start_pos"),
+             F.max("pos").alias("end_pos"),
+             F.count(F.lit(1)).alias("n_grams"))
+        .select(
+            "doc_id", "start_pos", "end_pos", "n_grams",
+            (F.col("end_pos") - F.col("start_pos") + length).alias("span_tokens"),
+        )
+    )
+
+
 WINNOW_BUCKET_CAP = 64          # max docs per fingerprint bucket
 WINNOW_MIN_JACCARD_PPM = 100_000  # keep pairs with fp-Jaccard >= 10%
 

@@ -67,3 +67,65 @@ def topic_segments(transcripts: DataFrame,
             (F.sum(F.col("is_boundary").cast("int")).over(run) - 1).cast("int"))
         .select("conv_id", "turn_idx", "overlap_ppm", "is_boundary", "seg_idx")
     )
+
+
+def dialogue_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation dialogue analytics over the agent-transcript
+    shape (conv_id, turn_idx, role, text, tool, ts) ->
+    (conv_id, n_turns, n_user, n_assistant, n_tool_turns,
+     total_chars, avg_turn_chars, duration_min, asst_user_char_ppm,
+     longest_run): turn/role mix, tool usage, wall-clock span, the
+    assistant/user verbosity ratio (round-half-up ppm, NULL when the
+    conversation has no user text), and the longest same-role run —
+    the health metrics an agent-transcript curation pass filters on
+    (degenerate conversations: one-sided monologues, tool loops,
+    zero-duration bursts).
+
+    Exact integer arithmetic throughout (epoch minutes, integer DIV,
+    the shared 2a+b ppm trick) so the DuckDB oracle is bit-for-bit.
+
+    Scale shape: ONE window shuffle on conv_id (lag-flag + running sum
+    give each turn its same-role run id — no (conv, role) repartition)
+    followed by two partial-agg groupBys (runs, then conversations).
+    Everything is turn-scale; no occurrence-scale state.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    t = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.length("text").alias("n_chars"),
+        (F.unix_timestamp("ts") / 60).cast("long").alias("em"),
+    ).withColumn(
+        "new_run",
+        (F.coalesce(F.lag("role").over(w), F.lit("\x00")) != F.col("role"))
+        .cast("int"),
+    ).withColumn("run_id", F.sum("new_run").over(run))
+    runs = t.groupBy("conv_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("role").alias("role"),          # constant within a run
+        F.sum("n_chars").alias("chars"),
+        F.min("em").alias("em_min"),
+        F.max("em").alias("em_max"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool"),
+    )
+    agg = runs.groupBy("conv_id").agg(
+        F.sum("run_len").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", F.col("run_len")).otherwise(0)).alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", F.col("run_len")).otherwise(0)).alias("n_assistant"),
+        F.sum("n_tool").alias("n_tool_turns"),
+        F.sum(F.when(F.col("role") == "assistant", F.col("chars")).otherwise(0)).alias("_ac"),
+        F.sum(F.when(F.col("role") == "user", F.col("chars")).otherwise(0)).alias("_uc"),
+        F.sum("chars").alias("total_chars"),
+        (F.max("em_max") - F.min("em_min")).alias("duration_min"),
+        F.max("run_len").alias("longest_run"),
+    )
+    return agg.select(
+        "conv_id", "n_turns", "n_user", "n_assistant", "n_tool_turns",
+        "total_chars",
+        F.expr("total_chars DIV n_turns").alias("avg_turn_chars"),
+        "duration_min",
+        F.expr("CASE WHEN _uc > 0 THEN "
+               "(2 * _ac * 1000000 + _uc) DIV (2 * _uc) END")
+        .alias("asst_user_char_ppm"),
+        "longest_run",
+    )

@@ -467,6 +467,41 @@ SELECT DISTINCT doc_id,
 FROM sel WHERE cnt = {w} OR pos = 1"""
 
 
+def substr_spans_sql() -> str:
+    """Twin of dedup.substr_dup_spans over the planted corpus: L-token
+    gram hashes, global-count >= 2 filter, consecutive positions merged
+    into maximal spans via the pos - row_number island key."""
+    from openie_spark.datapipe.dedup import SUBSTR_L
+
+    L = SUBSTR_L
+    gram = _md5h60(
+        f"array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + {L - 1}), ' ')")
+    return f"""WITH {_PLANTED_CTE},
+tk AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM planted
+),
+pg AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, {gram} AS gh
+  FROM tk, LATERAL unnest(range(1, len(toks) - {L} + 2)) AS t(i)
+  WHERE len(toks) >= {L}
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS n_occ FROM pg)
+  WHERE n_occ >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dup
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS start_pos,
+       CAST(max(pos) AS INT) AS end_pos,
+       count(*) AS n_grams,
+       CAST(max(pos) - min(pos) + {L} AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, island"""
+
+
 # -------------------------------------------------------- similarity
 
 _UNIT_CTE = """

@@ -578,6 +578,54 @@ d0 AS MATERIALIZED (
     )
 
 
+def dialogue_stats_sql() -> str:
+    """Twin of kg.dialogue.dialogue_stats: same lag-flag run ids, run
+    rollup, and per-conversation aggregate in integer arithmetic."""
+    return _with(
+        TRANSCRIPTS_CTE_DUCKDB,
+        """
+t0 AS (
+  SELECT conv_id, turn_idx, role, tool, length(text) AS n_chars,
+         epoch_us(ts) // 60000000 AS em,
+         CASE WHEN COALESCE(lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                            chr(1)) <> role THEN 1 ELSE 0 END AS new_run
+  FROM transcripts
+),
+t1 AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM t0
+),
+runs AS (
+  SELECT conv_id, run_id, count(*) AS run_len, min(role) AS role,
+         sum(n_chars) AS chars, min(em) AS em_min, max(em) AS em_max,
+         sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool
+  FROM t1 GROUP BY 1, 2
+),
+agg AS (
+  SELECT conv_id,
+         sum(run_len) AS n_turns,
+         sum(CASE WHEN role = 'user' THEN run_len ELSE 0 END) AS n_user,
+         sum(CASE WHEN role = 'assistant' THEN run_len ELSE 0 END) AS n_assistant,
+         sum(n_tool) AS n_tool_turns,
+         sum(CASE WHEN role = 'assistant' THEN chars ELSE 0 END) AS ac,
+         sum(CASE WHEN role = 'user' THEN chars ELSE 0 END) AS uc,
+         sum(chars) AS total_chars,
+         max(em_max) - min(em_min) AS duration_min,
+         max(run_len) AS longest_run
+  FROM runs GROUP BY 1
+)""",
+        select="""
+SELECT conv_id, n_turns, n_user, n_assistant, n_tool_turns, total_chars,
+       total_chars // n_turns AS avg_turn_chars,
+       duration_min,
+       CASE WHEN uc > 0 THEN (2 * ac * 1000000 + uc) // (2 * uc) END
+         AS asst_user_char_ppm,
+       longest_run
+FROM agg""",
+    )
+
+
 def kg_lpa_sql() -> str:
     """Twin of kg.analytics.label_prop_communities: synchronous
     min-tie-break label propagation unrolled to LPA_ITERS rounds —

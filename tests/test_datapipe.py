@@ -747,3 +747,75 @@ def test_winnow_hostile_inputs(spark):
         "doc_id long, text string")
     assert winnow_fingerprints(df).count() == 0
     assert winnow_pairs(df).count() == 0
+
+
+# ------------------------------------------- exact substring spans
+
+def _substr_spans_py(texts, L):
+    """Independent reference: gram-count ExactSubstr over token lists."""
+    toks = {i: [w for w in t.split(" ") if w] for i, t in texts.items()}
+    from collections import Counter
+
+    occ = Counter()
+    for ws in toks.values():
+        for p in range(len(ws) - L + 1):
+            occ[" ".join(ws[p:p + L])] += 1
+    spans = {}
+    for i, ws in toks.items():
+        dups = [p + 1 for p in range(len(ws) - L + 1)
+                if occ[" ".join(ws[p:p + L])] >= 2]
+        runs = []
+        for p in dups:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], p)
+            else:
+                runs.append((p, p))
+        for s, e in runs:
+            spans[(i, s)] = (e, e - s + 1, e - s + L)
+    return spans
+
+
+def test_substr_spans_hand_case(spark):
+    from openie_spark.datapipe.dedup import substr_dup_spans
+
+    shared = " ".join(f"w{i}" for i in range(12))      # 12-token run
+    texts = {
+        0: "a b c " + shared + " x y z",
+        1: "p q " + shared + " r s",
+        2: "only unique tokens here nothing shared at all today ok fine",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.doc_id, r.start_pos): (r.end_pos, r.n_grams, r.span_tokens)
+           for r in substr_dup_spans(df, length=10).collect()}
+    assert got == _substr_spans_py(texts, 10)
+    # the 12-token shared run -> 3 duplicated 10-grams -> one span of
+    # 12 tokens starting after the 3- and 2-token prefixes
+    assert got[(0, 4)] == (6, 3, 12)
+    assert got[(1, 3)] == (5, 3, 12)
+    assert not any(d == 2 for d, _ in got)
+
+
+def test_substr_spans_within_doc_repeat(spark):
+    from openie_spark.datapipe.dedup import substr_dup_spans
+
+    run = " ".join(f"t{i}" for i in range(10))
+    texts = {7: run + " mid1 mid2 " + run}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {(r.doc_id, r.start_pos): (r.end_pos, r.n_grams, r.span_tokens)
+           for r in substr_dup_spans(df, length=10).collect()}
+    assert got == _substr_spans_py(texts, 10)
+    assert got == {(7, 1): (1, 1, 10), (7, 13): (13, 1, 10)}
+
+
+def test_substr_spans_planted_twins_nonvacuous(spark, docs):
+    from openie_spark.datapipe.dedup import (
+        PLANT_OFFSET, planted_docs, substr_dup_spans)
+
+    spans = substr_dup_spans(planted_docs(docs.limit(50))).cache()
+    orig = {r.doc_id for r in spans.select("doc_id").distinct().collect()}
+    # planted twins share every between-drop run of 14 tokens -> both
+    # the original and its twin surface spans
+    assert any(d < PLANT_OFFSET for d in orig)
+    assert any(d >= PLANT_OFFSET for d in orig)
+    assert spans.agg(F.max("span_tokens")).collect()[0][0] >= 10
+    spans.unpersist()

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 
 def test_topic_segments_hand_golden(spark):
     from openie_spark.kg.dialogue import topic_segments
@@ -51,3 +53,52 @@ def test_topic_segments_partition_invariance(spark):
     a = sorted(tuple(r) for r in topic_segments(t).collect())
     b = sorted(tuple(r) for r in topic_segments(t.repartition(7)).collect())
     assert a == b and a
+
+
+# --------------------------------------------------- dialogue stats
+
+def test_dialogue_stats_hand_conversation(spark):
+    from openie_spark.kg.dialogue import dialogue_stats
+
+    rows = [
+        # conv A: user(5 chars), asst, asst, tool, user — runs: u,a2,t,u
+        ("A", 0, "user",      "hello",       None,     "2024-01-01 00:00:00"),
+        ("A", 1, "assistant", "hi there",    None,     "2024-01-01 00:01:00"),
+        ("A", 2, "assistant", "more",        None,     "2024-01-01 00:02:00"),
+        ("A", 3, "tool",      "result",      "search", "2024-01-01 00:03:00"),
+        ("A", 4, "user",      "thanks",      None,     "2024-01-01 00:10:00"),
+        # conv B: assistant monologue, no user text
+        ("B", 0, "assistant", "aaaa",        None,     "2024-01-01 01:00:00"),
+        ("B", 1, "assistant", "bb",          None,     "2024-01-01 01:05:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.conv_id: r.asDict() for r in dialogue_stats(df).collect()}
+    a = got["A"]
+    assert (a["n_turns"], a["n_user"], a["n_assistant"], a["n_tool_turns"]) == (5, 2, 2, 1)
+    assert a["total_chars"] == 5 + 8 + 4 + 6 + 6
+    assert a["avg_turn_chars"] == a["total_chars"] // 5
+    assert a["duration_min"] == 10
+    # assistant 12 chars / user 11 chars, round-half-up ppm
+    assert a["asst_user_char_ppm"] == (2 * 12 * 1_000_000 + 11) // (2 * 11)
+    assert a["longest_run"] == 2
+    b = got["B"]
+    assert b["asst_user_char_ppm"] is None
+    assert (b["n_turns"], b["longest_run"], b["duration_min"]) == (2, 2, 5)
+
+
+def test_dialogue_stats_single_turn_and_empty_text(spark):
+    from openie_spark.kg.dialogue import dialogue_stats
+
+    df = spark.createDataFrame(
+        [("C", 0, "user", "", None, "2024-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = dialogue_stats(df).collect()[0]
+    assert (r.n_turns, r.total_chars, r.avg_turn_chars,
+            r.duration_min, r.longest_run) == (1, 0, 0, 0, 1)
+    # no assistant chars but user length 0 -> denominator 0 -> NULL
+    assert r.asst_user_char_ppm is None
