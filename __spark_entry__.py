@@ -689,6 +689,17 @@ def _q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_summary(nodes, edges)
 
 
+def _q_kg_edge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8/1/1 md5-ticket train/valid/test split of the
+    distinct statements with the filtered-eval flag (both endpoints +
+    relation seen in train) — one distinct shuffle + three semi-join
+    flags against train-scale sets."""
+    from openie_spark.kg.analytics import edge_split
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return edge_split(edges)
+
+
 def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (4 rounds, pinned
     count-DESC/label-ASC tie-break) over the undirected canonical
@@ -1144,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_khop": _q_kg_khop,
         "kg_communities": _q_kg_communities,
+        "kg_edge_split": _q_kg_edge_split,
         "kg_summary": _q_kg_summary,
         "turn_text_invariant": _q_turn_invariant,
         "dp_exact_dedup": _q_dp_exact_dedup,
@@ -1237,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": o.kg_triangles_sql(),
         "kg_khop": o.kg_khop_sql(),
         "kg_communities": o.kg_lpa_sql(),
+        "kg_edge_split": o.kg_edge_split_sql(),
         "kg_summary": o.kg_summary_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
         "dp_exact_dedup": dp.exact_dedup_sql(),

@@ -594,6 +594,72 @@ def khop_distances(nodes: DataFrame, edges: DataFrame,
     return dist
 
 
+SPLIT_SALT = "edge-split-v1"
+SPLIT_MOD = 10          # tickets 0-7 train, 8 valid, 9 test
+SPLIT_VALID = 8
+SPLIT_TEST = 9
+
+
+def edge_split(edges: DataFrame) -> DataFrame:
+    """Deterministic train/valid/test split of the distinct relation
+    triples for KG-embedding / link-prediction pipelines ->
+    (src_id, pred, dst_id, split, eval_ok).
+
+    The split unit is the distinct (src, pred, dst) statement (the
+    occurrence-scale provenance duplicates must not straddle splits —
+    that is train/test leakage); assignment is an md5 ticket mod 10
+    (8/1/1), so it is stable under re-runs, engine-portable, and needs
+    no global sort or sampling pass. ``eval_ok`` marks valid/test
+    triples whose BOTH endpoints and relation also occur somewhere in
+    train — the standard filtered evaluation setting (Bordes et al.
+    2013): scoring a triple about an entity the model never trained on
+    measures noise, so eval harnesses filter to eval_ok rows. Train
+    rows are eval_ok by definition.
+
+    Scale shape: one distinct shuffle on the triple key, then three
+    semi-join flags against train-entity / train-relation sets (node-
+    and vocab-scale; AQE broadcasts them when small, hash-joins when
+    not). No driver-side state.
+    """
+    from openie_spark.datapipe.hashing import md5h60
+
+    t = (
+        edges.select("src_id", "pred", "dst_id").distinct()
+        .withColumn(
+            "ticket",
+            md5h60(F.concat_ws("|", F.lit(SPLIT_SALT), "src_id",
+                               "pred", "dst_id")) % SPLIT_MOD)
+        .withColumn(
+            "split",
+            F.when(F.col("ticket") == SPLIT_TEST, "test")
+            .when(F.col("ticket") == SPLIT_VALID, "valid")
+            .otherwise("train"))
+        .drop("ticket")
+        .localCheckpoint(eager=False)    # feeds train sets + final join
+    )
+    train = t.where(F.col("split") == "train")
+    train_ents = (
+        train.select(F.col("src_id").alias("eid"))
+        .unionAll(train.select(F.col("dst_id").alias("eid")))
+        .distinct()
+    )
+    train_preds = train.select("pred").distinct()
+    return (
+        t.join(train_ents.withColumnRenamed("eid", "src_id")
+               .withColumn("s_ok", F.lit(True)), "src_id", "left")
+        .join(train_ents.withColumnRenamed("eid", "dst_id")
+              .withColumn("d_ok", F.lit(True)), "dst_id", "left")
+        .join(train_preds.withColumn("p_ok", F.lit(True)), "pred", "left")
+        .select(
+            "src_id", "pred", "dst_id", "split",
+            ((F.col("split") == "train")
+             | (F.coalesce("s_ok", F.lit(False))
+                & F.coalesce("d_ok", F.lit(False))
+                & F.coalesce("p_ok", F.lit(False)))).alias("eval_ok"),
+        )
+    )
+
+
 LPA_ITERS = 4
 
 

@@ -578,6 +578,41 @@ d0 AS MATERIALIZED (
     )
 
 
+def kg_edge_split_sql() -> str:
+    """Twin of kg.analytics.edge_split: md5-ticket 8/1/1 split of the
+    distinct statements plus the filtered-eval flag."""
+    from openie_spark.kg.analytics import (
+        SPLIT_MOD, SPLIT_SALT, SPLIT_TEST, SPLIT_VALID)
+
+    ticket = ("CAST(concat('0x', substr(md5('"
+              f"{SPLIT_SALT}' || '|' || src_id || '|' || pred || '|' || dst_id"
+              "), 1, 15)) AS BIGINT)")
+    return _with_kg(
+        """
+SELECT t.src_id, t.pred, t.dst_id, t.split,
+       (t.split = 'train' OR (s.eid IS NOT NULL AND d.eid IS NOT NULL
+                              AND p.pred IS NOT NULL)) AS eval_ok
+FROM t
+LEFT JOIN tents s ON t.src_id = s.eid
+LEFT JOIN tents d ON t.dst_id = d.eid
+LEFT JOIN tpreds p ON t.pred = p.pred""",
+        extra_ctes=f"""
+t AS MATERIALIZED (
+  SELECT src_id, pred, dst_id,
+         CASE {ticket} % {SPLIT_MOD}
+           WHEN {SPLIT_TEST} THEN 'test'
+           WHEN {SPLIT_VALID} THEN 'valid'
+           ELSE 'train' END AS split
+  FROM (SELECT DISTINCT src_id, pred, dst_id FROM kg_edges)),
+tents AS MATERIALIZED (
+  SELECT DISTINCT eid FROM (
+    SELECT src_id AS eid FROM t WHERE split = 'train'
+    UNION ALL SELECT dst_id FROM t WHERE split = 'train')),
+tpreds AS MATERIALIZED (
+  SELECT DISTINCT pred FROM t WHERE split = 'train')""",
+    )
+
+
 def dialogue_stats_sql() -> str:
     """Twin of kg.dialogue.dialogue_stats: same lag-flag run ids, run
     rollup, and per-conversation aggregate in integer arithmetic."""

@@ -529,3 +529,42 @@ def test_lpa_isolated_nodes_keep_label(spark):
     # (period 2); after an even round count both are back at self —
     # the pinned, deterministic behavior the oracle reproduces.
     assert got["x"] == "x" and got["y"] == "y"
+
+
+def test_edge_split_partitions_and_filtered_flag(spark):
+    from openie_spark.kg.analytics import edge_split
+
+    ids = [f"e{i}" for i in range(30)]
+    pairs = [(ids[i], ids[(i * 7 + 1) % 30]) for i in range(30)
+             if ids[i] != ids[(i * 7 + 1) % 30]]
+    preds = {p: f"r{i % 3}" for i, p in enumerate(pairs)}
+    # occurrence duplicates must collapse: feed every edge twice
+    edges = _edges(spark, pairs + pairs, preds={**preds})
+    out = edge_split(edges).collect()
+    # one row per DISTINCT statement
+    assert len(out) == len({(a, preds[(a, b)], b) for a, b in pairs})
+    assert {r.split for r in out} <= {"train", "valid", "test"}
+    train_ents = {r.src_id for r in out if r.split == "train"} | {
+        r.dst_id for r in out if r.split == "train"}
+    train_preds = {r.pred for r in out if r.split == "train"}
+    for r in out:
+        want = r.split == "train" or (
+            r.src_id in train_ents and r.dst_id in train_ents
+            and r.pred in train_preds)
+        assert r.eval_ok == want, r
+    # determinism: same assignment on a second run
+    again = {(r.src_id, r.pred, r.dst_id): r.split
+             for r in edge_split(edges).collect()}
+    assert again == {(r.src_id, r.pred, r.dst_id): r.split for r in out}
+
+
+def test_edge_split_all_train_when_tiny(spark):
+    """A statement set can land entirely in train; eval_ok then holds
+    for every row and no valid/test leakage flag is spuriously true."""
+    from openie_spark.kg.analytics import edge_split
+
+    out = edge_split(_edges(spark, [("a", "b")])).collect()
+    assert len(out) == 1
+    # single statement: in train -> eval_ok; in valid/test the train
+    # sets are empty -> not eval_ok
+    assert out[0].eval_ok == (out[0].split == "train")
