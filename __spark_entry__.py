@@ -689,6 +689,18 @@ def _q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_summary(nodes, edges)
 
 
+def _q_kg_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation extraction yield audit (coverage and
+    triples-per-turn exact-ppm rates) — two partial-agg conv rollups
+    plus one left join, over the memoized extraction table."""
+    from openie_spark.kg.analytics import extraction_yield
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return extraction_yield(
+        read_transcripts(_tune(spark), sf_dir),
+        _triples_memo(spark, sf_dir))
+
+
 def _q_kg_edge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 8/1/1 md5-ticket train/valid/test split of the
     distinct statements with the filtered-eval flag (both endpoints +
@@ -1156,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_khop": _q_kg_khop,
         "kg_communities": _q_kg_communities,
         "kg_edge_split": _q_kg_edge_split,
+        "kg_yield": _q_kg_yield,
         "kg_summary": _q_kg_summary,
         "turn_text_invariant": _q_turn_invariant,
         "dp_exact_dedup": _q_dp_exact_dedup,
@@ -1250,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_khop": o.kg_khop_sql(),
         "kg_communities": o.kg_lpa_sql(),
         "kg_edge_split": o.kg_edge_split_sql(),
+        "kg_yield": o.kg_yield_sql(),
         "kg_summary": o.kg_summary_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
         "dp_exact_dedup": dp.exact_dedup_sql(),

@@ -594,6 +594,44 @@ def khop_distances(nodes: DataFrame, edges: DataFrame,
     return dist
 
 
+def extraction_yield(transcripts: DataFrame, triples: DataFrame) -> DataFrame:
+    """Per-conversation extraction yield audit ->
+    (conv_id, n_turns, n_turns_with_triples, n_sents_with_triples,
+     n_triples, coverage_ppm, triples_per_turn_ppm): the QA table a
+    production extraction run publishes next to its manifests — a
+    conversation whose coverage collapses (tool-log noise, truncated
+    turns, a model regression on a domain) shows up here before it
+    poisons the KG.
+
+    coverage_ppm = turns with >= 1 triple / turns (round-half-up ppm);
+    triples_per_turn_ppm is a rate (may exceed 1e6). Exact integer
+    arithmetic; two partial-agg groupBys on conv_id + one left join.
+    """
+    t = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"))
+    x = triples.groupBy("conv_id").agg(
+        F.count_distinct("turn_idx").alias("n_turns_with_triples"),
+        F.count_distinct("turn_idx", "sent_idx").alias("n_sents_with_triples"),
+        F.count(F.lit(1)).alias("n_triples"),
+    )
+    return (
+        t.join(x, "conv_id", "left")
+        .select(
+            "conv_id", "n_turns",
+            F.coalesce("n_turns_with_triples", F.lit(0)).alias("n_turns_with_triples"),
+            F.coalesce("n_sents_with_triples", F.lit(0)).alias("n_sents_with_triples"),
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+        )
+        .select(
+            "*",
+            F.expr("(2 * n_turns_with_triples * 1000000 + n_turns) DIV (2 * n_turns)")
+            .alias("coverage_ppm"),
+            F.expr("(2 * n_triples * 1000000 + n_turns) DIV (2 * n_turns)")
+            .alias("triples_per_turn_ppm"),
+        )
+    )
+
+
 SPLIT_SALT = "edge-split-v1"
 SPLIT_MOD = 10          # tickets 0-7 train, 8 valid, 9 test
 SPLIT_VALID = 8

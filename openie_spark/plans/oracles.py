@@ -578,6 +578,33 @@ d0 AS MATERIALIZED (
     )
 
 
+def kg_yield_sql() -> str:
+    """Twin of kg.analytics.extraction_yield: per-conversation turn /
+    triple rollups joined on conv_id, exact-ppm rates."""
+    return _with(
+        TRANSCRIPTS_CTE_DUCKDB, _SENT_IDS_CTES, _SENTENCES_CTE,
+        _SPANS_CTES, _TRIPLES_CTES,
+        """
+t AS (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY 1),
+x AS (
+  SELECT conv_id,
+         count(DISTINCT turn_idx) AS n_turns_with_triples,
+         count(DISTINCT (turn_idx, sent_idx)) AS n_sents_with_triples,
+         count(*) AS n_triples
+  FROM triples GROUP BY 1)""",
+        select="""
+SELECT t.conv_id, t.n_turns,
+       COALESCE(x.n_turns_with_triples, 0) AS n_turns_with_triples,
+       COALESCE(x.n_sents_with_triples, 0) AS n_sents_with_triples,
+       COALESCE(x.n_triples, 0) AS n_triples,
+       (2 * COALESCE(x.n_turns_with_triples, 0) * 1000000 + t.n_turns)
+         // (2 * t.n_turns) AS coverage_ppm,
+       (2 * COALESCE(x.n_triples, 0) * 1000000 + t.n_turns)
+         // (2 * t.n_turns) AS triples_per_turn_ppm
+FROM t LEFT JOIN x ON t.conv_id = x.conv_id""",
+    )
+
+
 def kg_edge_split_sql() -> str:
     """Twin of kg.analytics.edge_split: md5-ticket 8/1/1 split of the
     distinct statements plus the filtered-eval flag."""

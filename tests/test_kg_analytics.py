@@ -568,3 +568,25 @@ def test_edge_split_all_train_when_tiny(spark):
     # single statement: in train -> eval_ok; in valid/test the train
     # sets are empty -> not eval_ok
     assert out[0].eval_ok == (out[0].split == "train")
+
+
+def test_extraction_yield_hand_values(spark):
+    from openie_spark.kg.analytics import extraction_yield
+
+    transcripts = spark.createDataFrame(
+        [("c1", 0), ("c1", 1), ("c1", 2), ("c2", 0)],
+        "conv_id string, turn_idx int")
+    triples = spark.createDataFrame(
+        # c1: turn 0 has 2 triples in 1 sentence + 1 in another,
+        # turn 2 has 1; c2: none
+        [("c1", 0, 0, 0), ("c1", 0, 0, 1), ("c1", 0, 1, 0), ("c1", 2, 0, 0)],
+        "conv_id string, turn_idx int, sent_idx int, ext_idx int")
+    got = {r.conv_id: r.asDict() for r in
+           extraction_yield(transcripts, triples).collect()}
+    c1 = got["c1"]
+    assert (c1["n_turns"], c1["n_turns_with_triples"],
+            c1["n_sents_with_triples"], c1["n_triples"]) == (3, 2, 3, 4)
+    assert c1["coverage_ppm"] == (2 * 2 * 1_000_000 + 3) // 6
+    assert c1["triples_per_turn_ppm"] == (2 * 4 * 1_000_000 + 3) // 6
+    c2 = got["c2"]
+    assert (c2["n_triples"], c2["coverage_ppm"], c2["triples_per_turn_ppm"]) == (0, 0, 0)
