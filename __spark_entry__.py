@@ -689,6 +689,27 @@ def _q_kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_summary(nodes, edges)
 
 
+def _q_kg_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity activity timeline (epoch-micros first/last, distinct
+    conversations and UTC days) — one ts equi-join + endpoint union +
+    one entity rollup."""
+    from openie_spark.kg.analytics import entity_timeline
+    from openie_spark.sources.transcripts import read_transcripts
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return entity_timeline(edges, read_transcripts(spark, sf_dir))
+
+
+def _q_kg_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant reply latency per conversation (adjacent user ->
+    assistant transitions, integer minutes) — one conv-window lag +
+    one partial-agg rollup."""
+    from openie_spark.kg.analytics import reply_latency
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return reply_latency(read_transcripts(_tune(spark), sf_dir))
+
+
 def _q_kg_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation extraction yield audit (coverage and
     triples-per-turn exact-ppm rates) — two partial-agg conv rollups
@@ -1169,6 +1190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_edge_split": _q_kg_edge_split,
         "kg_yield": _q_kg_yield,
+        "kg_timeline": _q_kg_timeline,
+        "kg_reply_latency": _q_kg_reply_latency,
         "kg_summary": _q_kg_summary,
         "turn_text_invariant": _q_turn_invariant,
         "dp_exact_dedup": _q_dp_exact_dedup,
@@ -1264,6 +1287,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": o.kg_lpa_sql(),
         "kg_edge_split": o.kg_edge_split_sql(),
         "kg_yield": o.kg_yield_sql(),
+        "kg_timeline": o.kg_timeline_sql(),
+        "kg_reply_latency": o.kg_reply_latency_sql(),
         "kg_summary": o.kg_summary_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
         "dp_exact_dedup": dp.exact_dedup_sql(),

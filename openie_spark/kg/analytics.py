@@ -594,6 +594,64 @@ def khop_distances(nodes: DataFrame, edges: DataFrame,
     return dist
 
 
+def entity_timeline(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Per-entity activity timeline -> (entity_id, n_mentions, n_convs,
+    first_us, last_us, active_days): when each canonical entity was
+    observed, at what provenance volume, and on how many distinct
+    (UTC) days — the entity-level complement of temporal_relations
+    (relation-level validity intervals). Drives recency ranking,
+    stale-entity expiry, and burst detection in a continuously-fed KG.
+
+    Scale shape: one equi-join of the provenance edges against the
+    turn-timestamp projection (column pruning reaches the scan), a
+    map-side union of the two endpoint projections, one partial-agg
+    groupBy on entity_id. Epoch-micros / epoch-day integers only.
+    """
+    ts = transcripts.select(
+        "conv_id", "turn_idx", F.unix_micros("ts").alias("ts_us"))
+    e = edges.join(ts, ["conv_id", "turn_idx"])
+    both = e.select(
+        F.col("src_id").alias("entity_id"), "conv_id", "ts_us"
+    ).unionAll(e.select(
+        F.col("dst_id").alias("entity_id"), "conv_id", "ts_us"))
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    return both.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+        F.countDistinct(day).alias("active_days"),
+    )
+
+
+def reply_latency(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation assistant reply latency ->
+    (conv_id, n_replies, min_latency_min, max_latency_min,
+     avg_latency_min): a reply is an assistant turn whose immediately
+    preceding turn (by turn_idx within the conversation) is a user
+    turn; latency is their epoch-minute difference. The agent-ops
+    latency rollup a transcript pipeline publishes per batch.
+
+    One conv-window shuffle (lag of role and ts) + one partial-agg
+    groupBy; exact integer minutes, avg as integer DIV.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    em = (F.unix_timestamp("ts") / 60).cast("long")
+    t = transcripts.select("conv_id", "turn_idx", "role", em.alias("em"))
+    r = (
+        t.withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("prev_em", F.lag("em").over(w))
+        .where((F.col("role") == "assistant") & (F.col("prev_role") == "user"))
+        .select("conv_id", (F.col("em") - F.col("prev_em")).alias("lat"))
+    )
+    return r.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_replies"),
+        F.min("lat").alias("min_latency_min"),
+        F.max("lat").alias("max_latency_min"),
+        F.expr("sum(lat) DIV count(1)").alias("avg_latency_min"),
+    )
+
+
 def extraction_yield(transcripts: DataFrame, triples: DataFrame) -> DataFrame:
     """Per-conversation extraction yield audit ->
     (conv_id, n_turns, n_turns_with_triples, n_sents_with_triples,

@@ -578,6 +578,52 @@ d0 AS MATERIALIZED (
     )
 
 
+def kg_timeline_sql() -> str:
+    """Twin of kg.analytics.entity_timeline: endpoint-union of the
+    ts-joined provenance edges, one entity rollup."""
+    return _with_kg(
+        """
+SELECT entity_id, count(*) AS n_mentions,
+       count(DISTINCT conv_id) AS n_convs,
+       min(ts_us) AS first_us, max(ts_us) AS last_us,
+       count(DISTINCT ts_us // 86400000000) AS active_days
+FROM (
+  SELECT src_id AS entity_id, conv_id, ts_us FROM ej
+  UNION ALL
+  SELECT dst_id, conv_id, ts_us FROM ej)
+GROUP BY 1""",
+        extra_ctes="""
+ej AS MATERIALIZED (
+  SELECT e.src_id, e.dst_id, e.conv_id, epoch_us(t.ts) AS ts_us
+  FROM kg_edges e
+  JOIN transcripts t ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx)""",
+    )
+
+
+def kg_reply_latency_sql() -> str:
+    """Twin of kg.analytics.reply_latency: lag over the conv window,
+    user->assistant adjacent transitions, integer-minute rollup."""
+    return _with(
+        TRANSCRIPTS_CTE_DUCKDB,
+        """
+l AS (
+  SELECT conv_id, role,
+         lag(role) OVER w AS prev_role,
+         epoch_us(ts) // 60000000 AS em,
+         lag(epoch_us(ts) // 60000000) OVER w AS prev_em
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)""",
+        select="""
+SELECT conv_id, count(*) AS n_replies,
+       min(em - prev_em) AS min_latency_min,
+       max(em - prev_em) AS max_latency_min,
+       sum(em - prev_em) // count(*) AS avg_latency_min
+FROM l WHERE role = 'assistant' AND prev_role = 'user'
+GROUP BY 1""",
+    )
+
+
 def kg_yield_sql() -> str:
     """Twin of kg.analytics.extraction_yield: per-conversation turn /
     triple rollups joined on conv_id, exact-ppm rates."""

@@ -590,3 +590,50 @@ def test_extraction_yield_hand_values(spark):
     assert c1["triples_per_turn_ppm"] == (2 * 4 * 1_000_000 + 3) // 6
     c2 = got["c2"]
     assert (c2["n_triples"], c2["coverage_ppm"], c2["triples_per_turn_ppm"]) == (0, 0, 0)
+
+
+def test_entity_timeline_hand_values(spark):
+    from openie_spark.kg.analytics import entity_timeline
+
+    edges = spark.createDataFrame(
+        [("a", "b", "r", "c1", 0), ("a", "c", "r", "c1", 1),
+         ("a", "b", "r", "c2", 0)],
+        "src_id string, dst_id string, pred string, conv_id string, turn_idx int")
+    transcripts = spark.createDataFrame(
+        [("c1", 0, "2024-01-01 00:00:00"), ("c1", 1, "2024-01-02 00:00:00"),
+         ("c2", 0, "2024-01-02 12:00:00")],
+        "conv_id string, turn_idx int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.entity_id: r.asDict() for r in
+           entity_timeline(edges, transcripts).collect()}
+    a = got["a"]
+    d0 = 1_704_067_200_000_000          # 2024-01-01T00:00Z epoch us
+    assert (a["n_mentions"], a["n_convs"], a["active_days"]) == (3, 2, 2)
+    assert (a["first_us"], a["last_us"]) == (d0, d0 + 36 * 3_600_000_000)
+    b = got["b"]
+    assert (b["n_mentions"], b["n_convs"], b["active_days"]) == (2, 2, 2)
+    c = got["c"]
+    assert (c["n_mentions"], c["n_convs"], c["active_days"]) == (1, 1, 1)
+
+
+def test_reply_latency_hand_values(spark):
+    from openie_spark.kg.analytics import reply_latency
+
+    rows = [
+        ("c1", 0, "user",      "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "2024-01-01 00:03:00"),   # 3 min
+        ("c1", 2, "user",      "2024-01-01 00:05:00"),
+        ("c1", 3, "tool",      "2024-01-01 00:06:00"),   # breaks adjacency
+        ("c1", 4, "assistant", "2024-01-01 00:09:00"),   # not counted
+        ("c1", 5, "user",      "2024-01-01 00:10:00"),
+        ("c1", 6, "assistant", "2024-01-01 00:18:00"),   # 8 min
+        ("c2", 0, "assistant", "2024-01-01 01:00:00"),   # no prior user
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.conv_id: r.asDict() for r in reply_latency(df).collect()}
+    assert set(got) == {"c1"}
+    c1 = got["c1"]
+    assert (c1["n_replies"], c1["min_latency_min"],
+            c1["max_latency_min"], c1["avg_latency_min"]) == (2, 3, 8, 5)
