@@ -353,6 +353,7 @@ class KGPipeline:
             # already-written nodes/edges tables (not re-deriving)
             from openie_spark.kg.analytics import (
                 khop_distances,
+                label_prop_communities,
                 pagerank,
                 triangle_counts,
             )
@@ -366,6 +367,9 @@ class KGPipeline:
                 "entity_id", ["nodes", "edges"], resume)
             self._run_stage(
                 "khop", lambda: khop_distances(n_df, e_df),
+                "entity_id", ["nodes", "edges"], resume)
+            self._run_stage(
+                "communities", lambda: label_prop_communities(n_df, e_df),
                 "entity_id", ["nodes", "edges"], resume)
 
         if self.export:
@@ -415,6 +419,26 @@ class KGPipeline:
                 "segments",
                 lambda: topic_segments(read_transcripts(spark, self.input_dir)),
                 "conv_id", [], resume)
+            from openie_spark.kg.analytics import (
+                edge_split,
+                entity_timeline,
+                extraction_yield,
+            )
+
+            self._run_stage(
+                "timeline",
+                lambda: entity_timeline(
+                    e_df, read_transcripts(spark, self.input_dir)),
+                "entity_id", ["edges"], resume)
+            self._run_stage(
+                "edge_split", lambda: edge_split(e_df),
+                "src_id", ["edges"], resume)
+            self._run_stage(
+                "yield",
+                lambda: extraction_yield(
+                    read_transcripts(spark, self.input_dir),
+                    triples.drop("bucket")),
+                "conv_id", ["triples"], resume)
 
         total = round(time.time() - t_total, 3)
         n_triples = next(r.rows for r in self.results if r.name == "triples")

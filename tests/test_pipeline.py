@@ -128,7 +128,7 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path_factory):
 
     out = str(tmp_path_factory.mktemp("kga"))
     s1 = KGPipeline(spark, SF, out, analytics=True).run(resume=True)
-    for st in ("pagerank", "triangles", "khop"):
+    for st in ("pagerank", "triangles", "khop", "communities"):
         assert st in s1["stages"] and s1["stages"][st]["rows"] > 0
         man = json.load(open(os.path.join(out, st, "_manifest.json")))
         assert man["rows"] == s1["stages"][st]["rows"]
@@ -136,9 +136,10 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path_factory):
     assert s1["stages"]["pagerank"]["rows"] == s1["nodes"]
     assert s1["stages"]["triangles"]["rows"] == s1["nodes"]
     assert 0 < s1["stages"]["khop"]["rows"] <= s1["nodes"]
+    assert s1["stages"]["communities"]["rows"] == s1["nodes"]
     s2 = KGPipeline(spark, SF, out, analytics=True).run(resume=True)
     assert all(s2["stages"][st]["resumed"]
-               for st in ("pagerank", "triangles", "khop"))
+               for st in ("pagerank", "triangles", "khop", "communities"))
     assert {st: s2["stages"][st]["rows"] for st in s2["stages"]} == \
            {st: s1["stages"][st]["rows"] for st in s1["stages"]}
 
@@ -172,7 +173,7 @@ def test_pipeline_enrich_stages_and_resume(spark, tmp_path_factory):
     from openie_spark.pipeline import KGPipeline
 
     stages = ("entity_types", "schema", "salience", "coref_edges",
-              "segments")
+              "segments", "timeline", "edge_split", "yield")
     out = str(tmp_path_factory.mktemp("kgn"))
     s1 = KGPipeline(spark, SF, out, enrich=True).run(resume=True)
     for st in stages:
@@ -191,5 +192,10 @@ def test_pipeline_enrich_stages_and_resume(spark, tmp_path_factory):
     ids = {r.entity_id for r in nodes.select("entity_id").collect()}
     for r in ce.select("src_id", "dst_id").collect():
         assert r.src_id in ids and r.dst_id in ids
+    # split partitions the distinct statements; yield covers every conv
+    sp = spark.read.parquet(os.path.join(out, "edge_split"))
+    assert sp.count() == sp.select("src_id", "pred", "dst_id").distinct().count()
+    y = spark.read.parquet(os.path.join(out, "yield"))
+    assert y.where("n_triples > 0").count() > 0
     s2 = KGPipeline(spark, SF, out, enrich=True).run(resume=True)
     assert all(s2["stages"][st]["resumed"] for st in stages)

@@ -50,7 +50,8 @@ def main() -> None:
                     help="Also materialize stage-I+ enrichment tables: "
                          "entity types, relation schema signatures, "
                          "per-conversation salience, coref-recovered "
-                         "edges, topic segments.")
+                         "edges, topic segments, entity timelines, "
+                         "link-prediction splits, extraction yield.")
     ap.add_argument("--prior", default=None,
                     help="Incremental mode: merge --input (NEW conv_ids "
                          "only) into the completed pipeline output at this "
