@@ -914,6 +914,19 @@ def _q_dp_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir))
 
 
+def _q_dp_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge-loop training (Sennrich et al. 2016): 12 merges
+    over the corpus-weighted vocabulary, each round one vocab-scale
+    pair count + a one-row argmax collect + a JVM-side fold merge.
+    Rows-only by design: the data-dependent argmax loop is not
+    expressible as a non-recursive SQL query; value-pinned by pytest
+    parity vs an independent transcription of the public algorithm
+    (tests/test_datapipe.py::test_bpe_merges_vs_python_reference)."""
+    from openie_spark.datapipe.textstats import bpe_learn_merges
+
+    return bpe_learn_merges(_docs(spark, sf_dir))
+
+
 def _q_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang token-count quantile sketch: bottom-k-by-hash uniform
     sample + nearest-rank integer quantiles, exact n_docs/min/max."""
@@ -1207,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_winnow": _q_dp_winnow,
         "dp_winnow_pairs": _q_dp_winnow_pairs,
         "dp_bpe_pairs": _q_dp_bpe_pairs,
+        "dp_bpe_merges": _q_dp_bpe_merges,
         "dp_kmv_distinct": _q_dp_kmv_distinct,
         "dp_hll_distinct": _q_dp_hll_distinct,
         "dp_quantiles": _q_dp_quantiles,

@@ -188,6 +188,91 @@ def bpe_pair_counts(docs: DataFrame, k: int = BPE_TOP_PAIRS) -> DataFrame:
     )
 
 
+BPE_MERGES = 12
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Full BPE tokenizer training (Sennrich et al. 2016, the public
+    merge loop) -> (merge_idx, left, right, n): the ``n_merges``
+    highest-frequency adjacent-symbol merges, learned over the
+    corpus-weighted distinct-word vocabulary with the same pinned
+    (count DESC, left ASC, right ASC) tie-break as bpe_pair_counts.
+    Words start as character symbols with the ``>`` end-of-word
+    sentinel (so merge round 1 reproduces bpe_pair_counts' top pair);
+    each round merges the winning pair leftmost-first non-overlapping
+    in every word, exactly the reference algorithm's semantics.
+
+    Scale shape: the corpus collapses to the Heaps'-law vocabulary in
+    ONE word-count shuffle; each merge round is then a vocab-scale
+    pair explode + partial-agg count + a ONE-ROW argmax collect (the
+    justified driver step — production BPE trainers are this same
+    driver loop), and the merge application is a JVM-side aggregate()
+    fold with a struct accumulator (no Python in the loop). Symbol
+    tables are localCheckpointed per round so round k's plan never
+    re-derives rounds < k.
+
+    No SQL oracle: the data-dependent argmax loop is not expressible
+    as a non-recursive DuckDB query (each round's pair counts depend
+    on all previous winners); correctness is value-pinned by pytest
+    parity against an independent transcription of the published
+    algorithm (tests/test_datapipe.py), the same treatment as the
+    greedy CaRB sweeps.
+    """
+    syms0 = F.split(F.concat(F.col("word"), F.lit(BPE_EOW)), "")
+    vocab = (
+        docs.select(F.explode(F.regexp_extract_all(
+            F.lower("text"), F.lit("[a-z]+"), 0)).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("n"))
+        .select(syms0.alias("syms"), "n")
+        .localCheckpoint(eager=False)
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(n_merges):
+        s = F.col("syms")
+        top = (
+            vocab.where(F.size(s) >= 2)
+            .select(
+                F.explode(F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i).alias("l"),
+                        F.element_at(s, i + 1).alias("r")),
+                )).alias("p"), "n")
+            .groupBy("p.l", "p.r").agg(F.sum("n").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((k, l, r, n))
+        lc, rc, mc = F.lit(l), F.lit(r), F.lit(l + r)
+        zero = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"))
+        fold = F.aggregate(
+            F.col("syms"), zero,
+            lambda acc, e: F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), e.alias("pend")),
+            ).when(
+                (acc["pend"] == lc) & (e == rc),
+                F.struct(F.array_append(acc["out"], mc).alias("out"),
+                         F.lit(None).cast("string").alias("pend")),
+            ).otherwise(
+                F.struct(F.array_append(acc["out"], acc["pend"]).alias("out"),
+                         e.alias("pend"))),
+            lambda acc: F.when(
+                acc["pend"].isNull(), acc["out"]
+            ).otherwise(F.array_append(acc["out"], acc["pend"])),
+        )
+        vocab = vocab.select(fold.alias("syms"), "n").localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "merge_idx int, left string, right string, n long")
+
+
 COLLOC_MIN = 5    # min bigram count — kills the hapax-pair dice=1.0 noise
 COLLOC_TOP = 200
 

@@ -819,3 +819,76 @@ def test_substr_spans_planted_twins_nonvacuous(spark, docs):
     assert any(d >= PLANT_OFFSET for d in orig)
     assert spans.agg(F.max("span_tokens")).collect()[0][0] >= 10
     spans.unpersist()
+
+
+# ------------------------------------------------------ BPE merges
+
+def _bpe_py(word_counts, n_merges):
+    """Independent transcription of Sennrich et al. (2016): iterate
+    best adjacent pair by (count desc, pair asc), merge leftmost-first
+    non-overlapping in every word."""
+    vocab = {tuple(w + ">"): c for w, c in word_counts.items()}
+    merges = []
+    for k in range(n_merges):
+        counts: dict = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0) + c
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((k, l, r, n))
+        new = {}
+        for syms, c in vocab.items():
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == l and s == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges
+
+
+def test_bpe_merges_vs_python_reference(spark):
+    from openie_spark.datapipe.textstats import bpe_learn_merges
+
+    texts = ["the cat sat on the mat", "the cat ate the rat",
+             "a cattle rattle battle", "low lower lowest low low"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    wc: dict = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    got = [(r.merge_idx, r.left, r.right, r.n)
+           for r in bpe_learn_merges(df, n_merges=10)
+           .orderBy("merge_idx").collect()]
+    assert got == _bpe_py(wc, 10)
+    # overlapping-run semantics: 'aaaa' with pair (a,a) merges
+    # leftmost-first into exactly two 'aa' symbols
+    df2 = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    got2 = [(r.merge_idx, r.left, r.right, r.n)
+            for r in bpe_learn_merges(df2, n_merges=2)
+            .orderBy("merge_idx").collect()]
+    assert got2 == _bpe_py({"aaaa": 2}, 2)
+    assert got2[0][1:3] == ("a", "a")
+
+
+def test_bpe_merges_first_round_matches_pair_counts(spark, docs):
+    """Round 1 of the merge loop is exactly bpe_pair_counts' top pair
+    on the same corpus."""
+    from openie_spark.datapipe.textstats import bpe_learn_merges, bpe_pair_counts
+
+    d = docs.limit(200)
+    top_pair = bpe_pair_counts(d, k=1).collect()[0]
+    m0 = bpe_learn_merges(d, n_merges=1).collect()[0]
+    assert m0.left + m0.right == top_pair.pair
+    assert m0.n == top_pair.n
