@@ -299,12 +299,18 @@ def substr_dup_spans(docs: DataFrame, length: int = SUBSTR_L) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
     from pyspark.sql.window import Window
 
-    dup = (
-        pos_gh
-        .withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+    # duplicated grams via partial-agg groupBy + semi-join, NOT a
+    # window over gh: a boilerplate gram occurring 10^9 times at
+    # corpus scale would land in ONE window partition (straggler /
+    # OOM), while the groupBy map-side-combines it away and the join
+    # is AQE-skew-splittable.
+    pos_gh = pos_gh.localCheckpoint(eager=False)   # count + join sides
+    dup_gh = (
+        pos_gh.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
         .where(F.col("n_occ") >= 2)
-        .select("doc_id", "pos")
+        .select("gh")
     )
+    dup = pos_gh.join(dup_gh, "gh", "left_semi").select("doc_id", "pos")
     island = (F.col("pos") - F.row_number().over(
         Window.partitionBy("doc_id").orderBy("pos"))).alias("island")
     return (
