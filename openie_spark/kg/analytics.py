@@ -788,18 +788,21 @@ def label_prop_communities(nodes: DataFrame, edges: DataFrame,
     lab = nodes.select(
         "entity_id", F.col("entity_id").alias("community")
     ).localCheckpoint(eager=False)
-    w = Window.partitionBy("entity_id").orderBy(
-        F.desc("votes"), F.asc("nl"))
     for _ in range(iters):
+        # top-1 by (votes DESC, label ASC) as a partial-aggregated
+        # min_by over a composite ordering struct — NOT a window over
+        # entity_id: a hub with 10^8 neighbors would put 10^8 vote
+        # rows in one window partition, while min_by map-side-combines
         top = (
             sym.join(lab, sym.b == lab.entity_id)
             .select(F.col("a").alias("entity_id"),
                     F.col("community").alias("nl"))
             .groupBy("entity_id", "nl")
             .agg(F.count(F.lit(1)).alias("votes"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("entity_id", F.col("nl").alias("new_community"))
+            .groupBy("entity_id")
+            .agg(F.min_by(
+                "nl", F.struct((-F.col("votes")).alias("nv"),
+                               F.col("nl").alias("nl"))).alias("new_community"))
         )
         lab = (
             lab.join(top, "entity_id", "left")

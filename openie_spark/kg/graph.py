@@ -105,24 +105,27 @@ def display_labels(canon: DataFrame) -> DataFrame:
     representative (union-find root, i.e. ``canonical``) is a join
     key, not a human-facing name; this picks the name.
 
-    Scale shape: one row_number window + one hash-agg, both over the
-    VOCABULARY (distinct normalized mentions) — sub-linear in corpus
-    size, same working set as linking. No occurrence-scale work."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("component").orderBy(
-        F.desc("freq"), F.length("norm").asc(), F.asc("norm"))
-    best = (
-        canon.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
-        .select("component", F.col("norm").alias("display"),
-                F.col("freq").alias("display_freq"))
-    )
+    Scale shape: ONE partial-aggregated hash-agg over the VOCABULARY
+    (distinct normalized mentions) — the representative rides a
+    min_by over the composite ordering struct instead of a window, so
+    an over-merged mega-component map-side-combines like any other
+    key instead of landing whole in one window partition. Sub-linear
+    in corpus size, same working set as linking."""
+    best = F.min_by(
+        F.struct(F.col("norm").alias("display"),
+                 F.col("freq").alias("display_freq")),
+        F.struct((-F.col("freq")).alias("nf"),
+                 F.length("norm").alias("ln"),
+                 F.col("norm").alias("norm")))
     agg = canon.groupBy("component").agg(
-        F.count(F.lit(1)).alias("n_aliases"), F.sum("freq").alias("freq"))
-    return agg.join(best, "component").select(
+        F.count(F.lit(1)).alias("n_aliases"), F.sum("freq").alias("freq"),
+        best.alias("best"))
+    return agg.select(
         F.md5("component").alias("entity_id"),
         F.col("component").alias("canonical"),
-        "display", "display_freq", "n_aliases", "freq",
+        F.col("best.display").alias("display"),
+        F.col("best.display_freq").alias("display_freq"),
+        "n_aliases", "freq",
     )
 
 
