@@ -350,16 +350,23 @@ def winnow_pairs(docs: DataFrame, cap: int = WINNOW_BUCKET_CAP,
     doc-sized count aggregate whose two attach joins AQE broadcasts,
     and a partial-aggregated (a, b) rollup filtered by the exact-ppm
     threshold."""
-    from pyspark.sql.window import Window
-
     from openie_spark.datapipe.textstats import winnow_fingerprints
 
     d = (winnow_fingerprints(docs).select("doc_id", "fp").distinct()
          .localCheckpoint(eager=False))   # feeds nf + both join sides
     nf = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
-    bucketed = (
-        d.withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+    # bucket sizes via partial-agg groupBy + semi-join, NOT a window
+    # over fp: a corpus-boilerplate fingerprint would land its whole
+    # bucket in one window partition before the cap filter could drop
+    # it, while the groupBy map-side-combines and the semi-join is
+    # AQE-skew-splittable.
+    small_fp = (
+        d.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") <= cap)
+        .select("fp")
+    )
+    bucketed = (
+        d.join(small_fp, "fp", "left_semi")
         .select("doc_id", "fp")
         .localCheckpoint(eager=False)     # self-join: one lineage
     )
