@@ -744,6 +744,16 @@ def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_prop_communities(nodes, edges)
 
 
+def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank anchored on the md5-ticket seed slice
+    (integer-exact seed-teleport recurrence, partition-once iterate-
+    lazily shape shared with kg_pagerank)."""
+    from openie_spark.kg.analytics import personalized_pagerank
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return personalized_pagerank(nodes, edges)
+
+
 def _q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-hop BFS (K=3) from a deterministic md5-ticket seed slice over
     the undirected canonical entity graph: min hop distance per
@@ -1200,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_khop": _q_kg_khop,
+        "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
         "kg_edge_split": _q_kg_edge_split,
         "kg_yield": _q_kg_yield,
@@ -1298,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": o.kg_pagerank_sql(),
         "kg_triangles": o.kg_triangles_sql(),
         "kg_khop": o.kg_khop_sql(),
+        "kg_ppr": o.kg_ppr_sql(),
         "kg_communities": o.kg_lpa_sql(),
         "kg_edge_split": o.kg_edge_split_sql(),
         "kg_yield": o.kg_yield_sql(),

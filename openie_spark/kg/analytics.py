@@ -123,6 +123,67 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     return ranks
 
 
+def personalized_pagerank(nodes: DataFrame, edges: DataFrame,
+                          iters: int = PAGERANK_ITERS,
+                          scale: int = PAGERANK_SCALE,
+                          seed_mod: int | None = None) -> DataFrame:
+    """Integer-exact personalized PageRank -> (entity_id, rank):
+    identical recurrence to ``pagerank`` except the teleport term pays
+    out ONLY to the deterministic md5-ticket seed slice (the same
+    slice khop BFS uses), so rank measures proximity to the seed set —
+    the standard graph feature for seed-anchored recommendation and
+    related-entity ranking.
+
+        rank_0(v)   = SCALE if seed(v) else 0
+        rank_k+1(v) = seed(v) * (15*SCALE) DIV 100
+                    + (85 * SUM shares over in-edges) DIV 100
+
+    Same BIGINT-exact, partition-once/iterate-lazily shape as
+    pagerank; one extra node-sized left join marks the seeds.
+    """
+    if seed_mod is None:
+        seed_mod = KHOP_SEED_MOD
+    ids = (
+        nodes.select("entity_id")
+        .join(seed_entities(nodes, seed_mod)
+              .withColumn("is_seed", F.lit(1)), "entity_id", "left")
+        .select("entity_id", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        .localCheckpoint(eager=False)
+    )
+    se = simple_edges(edges)
+    out_deg = se.groupBy("src_id").agg(F.count(F.lit(1)).alias("out_deg"))
+    linked = (
+        se.join(out_deg, "src_id")
+        .repartition("src_id")
+        .localCheckpoint(eager=False)
+    )
+    base = (15 * scale) // _DAMP_DEN
+    ranks = ids.select(
+        "entity_id", "is_seed",
+        (F.col("is_seed") * scale).cast("long").alias("rank"))
+    for i in range(iters):
+        contrib = (
+            linked.join(ranks.withColumnRenamed("entity_id", "src_id")
+                        .select("src_id", "rank"), "src_id")
+            .select("dst_id", F.expr("rank DIV out_deg").alias("share"))
+            .groupBy("dst_id")
+            .agg(F.sum("share").alias("in_sum"))
+        )
+        ranks = (
+            ids.join(contrib.withColumnRenamed("dst_id", "entity_id"),
+                     "entity_id", "left")
+            .select(
+                "entity_id", "is_seed",
+                (F.col("is_seed") * base
+                 + F.expr(f"({_DAMP_NUM} * coalesce(in_sum, 0L)) DIV {_DAMP_DEN}")
+                 ).cast("long").alias("rank"),
+            )
+        )
+        if (i + 1) % PAGERANK_CKPT_EVERY == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("entity_id", "rank")
+
+
 def undirected_edges(edges: DataFrame) -> DataFrame:
     """Simple undirected graph: distinct {a, b} with a < b."""
     return (

@@ -507,6 +507,42 @@ r{k + 1} AS (
     )
 
 
+def kg_ppr_sql() -> str:
+    """Twin of kg.analytics.personalized_pagerank: the seed-teleport
+    integer recurrence unrolled, seeds = khop's md5-ticket slice."""
+    from openie_spark.kg.analytics import (
+        KHOP_SALT, KHOP_SEED_MOD, PAGERANK_ITERS, PAGERANK_SCALE)
+
+    base = (15 * PAGERANK_SCALE) // 100
+    ticket = (f"CAST(concat('0x', substr(md5('{KHOP_SALT}#' || entity_id), "
+              f"1, 15)) AS BIGINT)")
+    ctes = [f"""
+simple_e AS MATERIALIZED (SELECT DISTINCT src_id, dst_id FROM kg_edges WHERE src_id <> dst_id),
+outd AS MATERIALIZED (SELECT src_id, count(*) AS od FROM simple_e GROUP BY 1),
+sids AS MATERIALIZED (
+  SELECT entity_id,
+         CASE WHEN {ticket} % {KHOP_SEED_MOD} = 0 THEN 1 ELSE 0 END AS is_seed
+  FROM nodes),
+p0 AS (SELECT entity_id, is_seed,
+              CAST(is_seed * {PAGERANK_SCALE} AS BIGINT) AS rank FROM sids)"""]
+    for k in range(PAGERANK_ITERS):
+        ctes.append(f"""
+pc{k + 1} AS (
+  SELECT e.dst_id AS entity_id, sum(r.rank // o.od) AS s
+  FROM simple_e e
+  JOIN p{k} r ON e.src_id = r.entity_id
+  JOIN outd o ON e.src_id = o.src_id
+  GROUP BY 1),
+p{k + 1} AS (
+  SELECT n.entity_id, n.is_seed,
+         CAST(n.is_seed * {base} + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM sids n LEFT JOIN pc{k + 1} c ON n.entity_id = c.entity_id)""")
+    return _with_kg(
+        f"SELECT entity_id, rank FROM p{PAGERANK_ITERS}",
+        extra_ctes=",".join(ctes),
+    )
+
+
 def kg_triangles_sql() -> str:
     """Twin of kg.analytics.triangle_counts: same degree orientation
     ((deg, id) lexicographic), each triangle counted once as

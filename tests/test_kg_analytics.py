@@ -637,3 +637,42 @@ def test_reply_latency_hand_values(spark):
     c1 = got["c1"]
     assert (c1["n_replies"], c1["min_latency_min"],
             c1["max_latency_min"], c1["avg_latency_min"]) == (2, 3, 8, 5)
+
+
+def _ppr_py(ids, pairs, seeds, iters, scale):
+    """Independent reference: same seed-teleport integer recurrence."""
+    simple = sorted({(a, b) for a, b in pairs if a != b})
+    out_deg: dict = {}
+    for a, _ in simple:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    rank = {v: (scale if v in seeds else 0) for v in ids}
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        in_sum = {v: 0 for v in ids}
+        for a, b in simple:
+            in_sum[b] += rank[a] // out_deg[a]
+        rank = {v: (base if v in seeds else 0) + (85 * in_sum[v]) // 100
+                for v in ids}
+    return rank
+
+
+def test_ppr_matches_python_reference(spark):
+    from openie_spark.kg.analytics import (
+        KHOP_SEED_MOD, PAGERANK_SCALE, personalized_pagerank)
+
+    ids = [f"e{i}" for i in range(3000)][:40]
+    # find actual seeds among the ids under the pinned ticket rule
+    seeds = {e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD == 0}
+    import random
+
+    rng = random.Random(31)
+    pairs = [(rng.choice(ids), rng.choice(ids)) for _ in range(150)]
+    got = {r.entity_id: r.rank for r in personalized_pagerank(
+        _nodes(spark, ids), _edges(spark, pairs)).collect()}
+    assert got == _ppr_py(ids, pairs, seeds, 5, PAGERANK_SCALE)
+    # teleport pays only seeds: a node with no in-edges and no seed
+    # ticket must sit at exactly 0
+    zero = [v for v in ids if v not in seeds
+            and not any(b == v and a != b for a, b in pairs)]
+    for v in zero:
+        assert got[v] == 0
