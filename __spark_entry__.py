@@ -744,6 +744,19 @@ def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_prop_communities(nodes, edges)
 
 
+def _q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the materialized graph (six
+    must-be-zero counts: dangling endpoints, duplicate ids, self
+    loops, broken display rows) — anti-joins + filters over id-width
+    projections, the publish gate a production run asserts on."""
+    from openie_spark.kg.analytics import graph_integrity
+    from openie_spark.kg.graph import display_labels
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    _, _, _, canon = _kg_parts(spark, sf_dir)
+    return graph_integrity(nodes, edges, display_labels(canon))
+
+
 def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank anchored on the md5-ticket seed slice
     (integer-exact seed-teleport recurrence, partition-once iterate-
@@ -1211,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_khop": _q_kg_khop,
         "kg_ppr": _q_kg_ppr,
+        "kg_integrity": _q_kg_integrity,
         "kg_communities": _q_kg_communities,
         "kg_edge_split": _q_kg_edge_split,
         "kg_yield": _q_kg_yield,
@@ -1310,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": o.kg_triangles_sql(),
         "kg_khop": o.kg_khop_sql(),
         "kg_ppr": o.kg_ppr_sql(),
+        "kg_integrity": o.kg_integrity_sql(),
         "kg_communities": o.kg_lpa_sql(),
         "kg_edge_split": o.kg_edge_split_sql(),
         "kg_yield": o.kg_yield_sql(),

@@ -605,6 +605,53 @@ KHOP_SEED_MOD = 40          # ~2.5% of entities are seeds
 KHOP_SALT = "khop-v1"
 
 
+def graph_integrity(nodes: DataFrame, edges: DataFrame,
+                    display: DataFrame) -> DataFrame:
+    """Referential-integrity audit -> (metric string, value long), the
+    complement of graph_summary's size metrics: counts that must be
+    ZERO on a healthy materialization, so a publish gate can assert
+    on them before a broken KG reaches consumers.
+
+      dangling_src / dangling_dst — provenance edges whose endpoint is
+        missing from the nodes table (a partial stage rewrite);
+      dup_entity_ids — entity_id appearing twice in nodes (hash
+        collision or a double write);
+      self_loops — src == dst provenance edges (upstream extraction
+        artifacts; simple-graph consumers drop them, the audit counts
+        them);
+      empty_display / dangling_display — display rows with an empty
+        name or pointing at a missing entity.
+
+    Scale shape: three left-anti joins + three filters, every one a
+    partial-aggregated count over id-width projections; the union of
+    six 1-row aggregates is driver-trivial.
+    """
+    ids = nodes.select("entity_id").localCheckpoint(eager=False)
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("v")).select(
+            F.lit(name).alias("metric"),
+            F.coalesce(F.col("v"), F.lit(0)).cast("long").alias("value"))
+
+    parts = [
+        one("dangling_src", edges.select(F.col("src_id").alias("entity_id"))
+            .join(ids, "entity_id", "left_anti")),
+        one("dangling_dst", edges.select(F.col("dst_id").alias("entity_id"))
+            .join(ids, "entity_id", "left_anti")),
+        one("dup_entity_ids", nodes.groupBy("entity_id")
+            .agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)),
+        one("self_loops", edges.where(F.col("src_id") == F.col("dst_id"))),
+        one("empty_display", display.where(
+            F.col("display").isNull() | (F.trim("display") == ""))),
+        one("dangling_display", display.select("entity_id")
+            .join(ids, "entity_id", "left_anti")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def seed_entities(nodes: DataFrame, seed_mod: int = KHOP_SEED_MOD) -> DataFrame:
     """Deterministic md5-ticket seed slice of the entity set (the
     engine-portable stand-in for a user-supplied seed list)."""

@@ -507,6 +507,39 @@ r{k + 1} AS (
     )
 
 
+def kg_integrity_sql() -> str:
+    """Twin of kg.analytics.graph_integrity: six referential checks
+    that must count zero on a healthy materialization."""
+    return _with_kg(
+        """
+SELECT 'dangling_src' AS metric, CAST(count(*) AS BIGINT) AS value
+FROM kg_edges e WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.entity_id = e.src_id)
+UNION ALL
+SELECT 'dangling_dst', CAST(count(*) AS BIGINT)
+FROM kg_edges e WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.entity_id = e.dst_id)
+UNION ALL
+SELECT 'dup_entity_ids', CAST(count(*) AS BIGINT)
+FROM (SELECT entity_id FROM nodes GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT 'self_loops', CAST(count(*) AS BIGINT)
+FROM kg_edges WHERE src_id = dst_id
+UNION ALL
+SELECT 'empty_display', CAST(count(*) AS BIGINT)
+FROM dsp WHERE display IS NULL OR trim(display) = ''
+UNION ALL
+SELECT 'dangling_display', CAST(count(*) AS BIGINT)
+FROM dsp WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.entity_id = dsp.entity_id)""",
+        extra_ctes="""
+dsp AS MATERIALIZED (
+  SELECT md5(component) AS entity_id, norm AS display
+  FROM (
+    SELECT component, norm,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY freq DESC, length(norm), norm) AS r
+    FROM canonmap) WHERE r = 1)""",
+    )
+
+
 def kg_ppr_sql() -> str:
     """Twin of kg.analytics.personalized_pagerank: the seed-teleport
     integer recurrence unrolled, seeds = khop's md5-ticket slice."""

@@ -676,3 +676,38 @@ def test_ppr_matches_python_reference(spark):
             and not any(b == v and a != b for a, b in pairs)]
     for v in zero:
         assert got[v] == 0
+
+
+def test_graph_integrity_detectors_fire(spark):
+    from openie_spark.kg.analytics import graph_integrity
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",)], "entity_id string")  # dup b
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "ghost"), ("phantom", "c"), ("c", "c")],
+        "src_id string, dst_id string")
+    display = spark.createDataFrame(
+        [("a", "alpha"), ("b", "  "), ("zombie", "zed")],
+        "entity_id string, display string")
+    got = {r.metric: r.value
+           for r in graph_integrity(nodes, edges, display).collect()}
+    assert got == {
+        "dangling_src": 1,      # phantom
+        "dangling_dst": 1,      # ghost
+        "dup_entity_ids": 1,    # b
+        "self_loops": 1,        # c->c
+        "empty_display": 1,     # b's blank name
+        "dangling_display": 1,  # zombie
+    }
+
+
+def test_graph_integrity_all_zero_when_healthy(spark):
+    from openie_spark.kg.analytics import graph_integrity
+
+    nodes = spark.createDataFrame([("a",), ("b",)], "entity_id string")
+    edges = spark.createDataFrame([("a", "b")], "src_id string, dst_id string")
+    display = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "entity_id string, display string")
+    got = {r.metric: r.value
+           for r in graph_integrity(nodes, edges, display).collect()}
+    assert set(got.values()) == {0} and len(got) == 6
