@@ -744,6 +744,16 @@ def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_prop_communities(nodes, edges)
 
 
+def _q_kg_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant linking candidates: capped blocking + Levenshtein
+    <= 3 verification with the threshold pushed into Spark's early-
+    exit three-arg levenshtein."""
+    from openie_spark.kg.linking import editdist_pairs
+
+    _, vocab, _, _ = _kg_parts(spark, sf_dir)
+    return editdist_pairs(vocab)
+
+
 def _q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit of the materialized graph (six
     must-be-zero counts: dangling endpoints, duplicate ids, self
@@ -1196,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _q_kg_mentions,
         "kg_pairs_exact": _q_kg_pairs,
         "kg_pairs_minhash": _q_kg_pairs_minhash,
+        "kg_pairs_editdist": _q_kg_pairs_editdist,
         "kg_components": _q_kg_components,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
@@ -1296,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": o.kg_mentions_sql(),
         "kg_pairs_exact": o.kg_pairs_sql(),
         "kg_pairs_minhash": o.kg_pairs_minhash_sql(),
+        "kg_pairs_editdist": o.kg_pairs_editdist_sql(),
         "kg_components": o.kg_components_sql(),
         "kg_nodes": o.kg_nodes_sql(),
         "kg_edges": o.kg_edges_sql(),

@@ -106,6 +106,38 @@ def exact_pairs(vocab: DataFrame, threshold: float = LINK_JACCARD,
     return pairs
 
 
+LINK_MAX_ED = 3
+
+
+def editdist_pairs(vocab: DataFrame, max_dist: int = LINK_MAX_ED,
+                   max_block: int = MAX_BLOCK) -> DataFrame:
+    """Typo-tolerant candidate pairs -> (a, b, dist): same capped
+    blocking as exact_pairs, verified by Levenshtein distance <=
+    ``max_dist`` instead of token Jaccard — the alias-resolution net
+    for SURFACE-FORM noise (misspellings, inflection, OCR slips) that
+    token-set similarity misses entirely when the typo changes a whole
+    token ('acount' vs 'account').
+
+    Scale shape: identical to exact_pairs (one shuffle on the capped
+    block key); the verifier uses Spark's three-arg levenshtein with
+    the threshold pushed in, which abandons a row's DP early once the
+    bound is exceeded — O(max_dist * min_len) per candidate instead of
+    O(len^2). DuckDB computes the plain distance; both agree on every
+    pair within the bound.
+    """
+    b = blocked_vocab(linkable(vocab), max_block).localCheckpoint(eager=False)
+    left = b.select("bkey", F.col("norm").alias("a"))
+    right = b.select("bkey", F.col("norm").alias("b"))
+    return (
+        left.join(right, "bkey")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("a", "b", max_dist))
+        .filter(F.col("dist") >= 0)
+        .select("a", "b", "dist")
+        .distinct()
+    )
+
+
 # ----------------------------------------------------------- minhash
 
 def char_shingles(norm: Column, k: int = 3) -> Column:

@@ -291,6 +291,19 @@ SELECT a, b, round(jaccard, 6) AS jaccard FROM (
 ) WHERE jaccard >= {LINK_JACCARD}""", extra_ctes=extra)
 
 
+def kg_pairs_editdist_sql() -> str:
+    """Twin of kg.linking.editdist_pairs: the same blocked self-join
+    verified by plain Levenshtein (Spark's threshold variant returns
+    the identical distance for every pair within the bound)."""
+    from openie_spark.kg.linking import LINK_MAX_ED
+
+    return _with_kg(f"""
+SELECT DISTINCT l.norm AS a, r.norm AS b,
+       CAST(levenshtein(l.norm, r.norm) AS INT) AS dist
+FROM blocked l JOIN blocked r ON l.bkey = r.bkey AND l.norm < r.norm
+WHERE levenshtein(l.norm, r.norm) <= {LINK_MAX_ED}""")
+
+
 def kg_components_sql() -> str:
     return _with_kg("SELECT norm, CAST(freq AS BIGINT) AS freq, component FROM canonmap")
 

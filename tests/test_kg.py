@@ -184,3 +184,32 @@ def test_cc_driver_and_distributed_agree(spark):
     assert fast == slow
     comp = dict(fast)
     assert comp["c"] == "a" and comp["m"] == "a" and comp["z"] == "x" and comp["q2"] == "q"
+
+
+def test_editdist_pairs_typo_tolerance(spark):
+    """Levenshtein verification catches surface-form noise token
+    Jaccard misses, respects the threshold, and dedups blocks."""
+    from openie_spark.kg.linking import editdist_pairs, exact_pairs
+
+    v = _vocab(spark, [
+        "spark engine", "spark enginee",      # dist 1, same f| block
+        "spark motor",                        # dist > 3 from both
+        "acount admin", "account admin",      # dist 1 (typo in token 1)
+        "zzz unrelated",
+    ])
+    got = {(r.a, r.b): r.dist for r in editdist_pairs(v).collect()}
+    assert got[("spark engine", "spark enginee")] == 1
+    assert got[("account admin", "acount admin")] == 1   # a < b: 'acc' < 'aco'
+    assert not any("spark motor" in k or "zzz unrelated" in k for k in got)
+    # whole-token typo: token-Jaccard path must miss it, editdist nets it
+    ex = {(r.a, r.b) for r in exact_pairs(v).collect()}
+    assert ("account admin", "acount admin") not in ex
+
+
+def test_editdist_pairs_threshold_boundary(spark):
+    from openie_spark.kg.linking import editdist_pairs
+
+    v = _vocab(spark, ["abcd x", "abcd xyzw"])   # dist exactly 3
+    got = {(r.a, r.b): r.dist for r in editdist_pairs(v, max_dist=3).collect()}
+    assert got == {("abcd x", "abcd xyzw"): 3}
+    assert editdist_pairs(v, max_dist=2).count() == 0
