@@ -711,3 +711,35 @@ def test_graph_integrity_all_zero_when_healthy(spark):
     got = {r.metric: r.value
            for r in graph_integrity(nodes, edges, display).collect()}
     assert set(got.values()) == {0} and len(got) == 6
+
+
+def test_new_ops_survive_hostile_transcripts(spark):
+    """The verify-skill probe set over the session's transcript-facing
+    operators: null text / empty / whitespace-only / punct-only / long
+    turn and null ts must not crash dialogue stats, reply latency,
+    substring spans, or BPE learning."""
+    from openie_spark.datapipe.dedup import substr_dup_spans
+    from openie_spark.datapipe.textstats import bpe_learn_merges
+    from openie_spark.kg.dialogue import dialogue_stats
+    from openie_spark.kg.analytics import reply_latency  # noqa: F401
+
+    long_turn = " ".join(f"w{i}" for i in range(120))
+    rows = [
+        ("h", 0, "user",      None,        None, "2024-01-01 00:00:00"),
+        ("h", 1, "assistant", "",          None, "2024-01-01 00:01:00"),
+        ("h", 2, "user",      "   ",       None, None),
+        ("h", 3, "assistant", "!!! ...",   None, "2024-01-01 00:03:00"),
+        ("h", 4, "tool",      long_turn,   "search", "2024-01-01 00:04:00"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ds = dialogue_stats(t).collect()
+    assert len(ds) == 1 and ds[0].n_turns == 5
+    rl = reply_latency(t).collect()          # null-ts gaps stay null, no crash
+    assert len(rl) <= 1
+    docs = t.select(F.col("turn_idx").cast("long").alias("doc_id"), "text")
+    assert substr_dup_spans(docs).count() >= 0
+    m = bpe_learn_merges(docs, n_merges=3).collect()
+    assert all(r.n >= 1 for r in m)          # learned only from real words
