@@ -733,6 +733,16 @@ def _q_kg_edge_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_split(edges)
 
 
+def _q_kg_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community quality rollup (size, intra vs cut edges, degree
+    mass, intra-ppm — the exact-integer modularity summands) over the
+    LPA labeling."""
+    from openie_spark.kg.analytics import community_stats
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return community_stats(nodes, edges)
+
+
 def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (4 rounds, pinned
     count-DESC/label-ASC tie-break) over the undirected canonical
@@ -1237,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _q_kg_ppr,
         "kg_integrity": _q_kg_integrity,
         "kg_communities": _q_kg_communities,
+        "kg_community_stats": _q_kg_community_stats,
         "kg_edge_split": _q_kg_edge_split,
         "kg_yield": _q_kg_yield,
         "kg_timeline": _q_kg_timeline,
@@ -1338,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": o.kg_ppr_sql(),
         "kg_integrity": o.kg_integrity_sql(),
         "kg_communities": o.kg_lpa_sql(),
+        "kg_community_stats": o.kg_community_stats_sql(),
         "kg_edge_split": o.kg_edge_split_sql(),
         "kg_yield": o.kg_yield_sql(),
         "kg_timeline": o.kg_timeline_sql(),

@@ -605,6 +605,74 @@ KHOP_SEED_MOD = 40          # ~2.5% of entities are seeds
 KHOP_SALT = "khop-v1"
 
 
+def community_stats(nodes: DataFrame, edges: DataFrame,
+                    iters: int | None = None) -> DataFrame:
+    """Community quality rollup over the LPA labeling ->
+    (community, n_members, intra_edges, cut_edges, degree_sum,
+     intra_ppm): per community its size, the undirected simple edges
+    inside it vs leaving it, the member degree mass, and the
+    round-half-up ppm share of incident edges that stay internal —
+    the per-community summands of modularity, kept as exact integers
+    (global float modularity would not hash across engines; a
+    consumer can form it from these columns at whatever precision it
+    wants).
+
+    Scale shape: label the undirected edge list with two node-sized
+    joins (AQE broadcasts/skew-splits), then two partial-agg rollups.
+    intra_ppm = intra / (intra + cut) — incident-edge share, 1e6 for
+    an isolated clique, 0 for a fully-frayed label.
+    """
+    if iters is None:
+        iters = LPA_ITERS       # defined below (module evaluates top-down)
+    lab = label_prop_communities(nodes, edges, iters).localCheckpoint(eager=False)
+    und = undirected_edges(edges)
+    labeled = (
+        und.join(lab.select(F.col("entity_id").alias("a"),
+                            F.col("community").alias("ca")), "a")
+        .join(lab.select(F.col("entity_id").alias("b"),
+                         F.col("community").alias("cb")), "b")
+        .localCheckpoint(eager=False)    # feeds intra + two cut scans
+    )
+    intra = (
+        labeled.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    cut = (
+        labeled.where(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("community"))
+        .unionAll(labeled.where(F.col("ca") != F.col("cb"))
+                  .select(F.col("cb").alias("community")))
+        .groupBy("community").agg(F.count(F.lit(1)).alias("cut_edges"))
+    )
+    deg = (
+        und.select(F.col("a").alias("entity_id"))
+        .unionAll(und.select(F.col("b").alias("entity_id")))
+        .groupBy("entity_id").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    members = (
+        lab.join(deg, "entity_id", "left")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.sum(F.coalesce("deg", F.lit(0))).alias("degree_sum"))
+    )
+    return (
+        members.join(intra, "community", "left")
+        .join(cut, "community", "left")
+        .select(
+            "community", "n_members",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+            "degree_sum",
+        )
+        .withColumn(
+            "intra_ppm",
+            F.expr("CASE WHEN intra_edges + cut_edges > 0 THEN "
+                   "(2 * intra_edges * 1000000 + (intra_edges + cut_edges))"
+                   " DIV (2 * (intra_edges + cut_edges)) ELSE 0 END"))
+    )
+
+
 def graph_integrity(nodes: DataFrame, edges: DataFrame,
                     display: DataFrame) -> DataFrame:
     """Referential-integrity audit -> (metric string, value long), the

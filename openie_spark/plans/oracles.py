@@ -851,6 +851,73 @@ l{k + 1} AS MATERIALIZED (
     )
 
 
+def kg_community_stats_sql() -> str:
+    """Twin of kg.analytics.community_stats: LPA rounds (shared with
+    kg_lpa_sql), labeled undirected edges, per-community rollups."""
+    from openie_spark.kg.analytics import LPA_ITERS
+
+    ctes = ["""
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id),
+sym AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT entity_id, entity_id AS community FROM nodes)"""]
+    for k in range(LPA_ITERS):
+        ctes.append(f"""
+v{k} AS (
+  SELECT s.a AS entity_id, l.community AS nl, count(*) AS votes
+  FROM sym s JOIN l{k} l ON s.b = l.entity_id
+  GROUP BY 1, 2),
+t{k} AS (
+  SELECT entity_id, nl FROM (
+    SELECT entity_id, nl,
+           row_number() OVER (PARTITION BY entity_id
+                              ORDER BY votes DESC, nl ASC) AS rn
+    FROM v{k}) WHERE rn = 1),
+l{k + 1} AS MATERIALIZED (
+  SELECT l.entity_id, COALESCE(t.nl, l.community) AS community
+  FROM l{k} l LEFT JOIN t{k} t ON l.entity_id = t.entity_id)""")
+    ctes.append(f"""
+lab AS MATERIALIZED (SELECT entity_id, community FROM l{LPA_ITERS}),
+labeled AS MATERIALIZED (
+  SELECT la.community AS ca, lb.community AS cb
+  FROM und u JOIN lab la ON u.a = la.entity_id
+             JOIN lab lb ON u.b = lb.entity_id),
+intra AS (
+  SELECT ca AS community, count(*) AS intra_edges
+  FROM labeled WHERE ca = cb GROUP BY 1),
+cut AS (
+  SELECT community, count(*) AS cut_edges FROM (
+    SELECT ca AS community FROM labeled WHERE ca <> cb
+    UNION ALL SELECT cb FROM labeled WHERE ca <> cb)
+  GROUP BY 1),
+dg AS (
+  SELECT entity_id, count(*) AS deg FROM (
+    SELECT a AS entity_id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1),
+mem AS (
+  SELECT l.community, count(*) AS n_members,
+         sum(COALESCE(d.deg, 0)) AS degree_sum
+  FROM lab l LEFT JOIN dg d ON l.entity_id = d.entity_id
+  GROUP BY 1)""")
+    return _with_kg(
+        """
+SELECT m.community, m.n_members,
+       COALESCE(i.intra_edges, 0) AS intra_edges,
+       COALESCE(c.cut_edges, 0) AS cut_edges,
+       m.degree_sum,
+       CASE WHEN COALESCE(i.intra_edges, 0) + COALESCE(c.cut_edges, 0) > 0
+            THEN (2 * COALESCE(i.intra_edges, 0) * 1000000
+                  + (COALESCE(i.intra_edges, 0) + COALESCE(c.cut_edges, 0)))
+                 // (2 * (COALESCE(i.intra_edges, 0) + COALESCE(c.cut_edges, 0)))
+            ELSE 0 END AS intra_ppm
+FROM mem m LEFT JOIN intra i ON m.community = i.community
+           LEFT JOIN cut c ON m.community = c.community""",
+        extra_ctes=",".join(ctes),
+    )
+
+
 def kg_summary_sql() -> str:
     """Twin of kg.analytics.graph_summary — same metric names, same
     exact-integer definitions."""

@@ -743,3 +743,30 @@ def test_new_ops_survive_hostile_transcripts(spark):
     assert substr_dup_spans(docs).count() >= 0
     m = bpe_learn_merges(docs, n_merges=3).collect()
     assert all(r.n >= 1 for r in m)          # learned only from real words
+
+
+def test_community_stats_two_cliques(spark):
+    """Hand values on the two-clique bridge graph: after 4 LPA rounds
+    communities are a1 (a-clique) and a3 (b-clique); the bridge is the
+    only cut edge and is charged to both sides."""
+    from openie_spark.kg.analytics import community_stats
+
+    ids = ["a1", "a2", "a3", "b1", "b2", "b3"]
+    pairs = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+             ("a3", "b1")]
+    got = {r.community: r.asDict() for r in community_stats(
+        _nodes(spark, ids), _edges(spark, pairs)).collect()}
+    assert set(got) == {"a1", "a3"}
+    a, b = got["a1"], got["a3"]
+    assert (a["n_members"], a["intra_edges"], a["cut_edges"]) == (3, 3, 1)
+    assert (b["n_members"], b["intra_edges"], b["cut_edges"]) == (3, 3, 1)
+    # degrees: a1,a2 = 2; a3,b1 = 3 (bridge); b2,b3 = 2
+    assert a["degree_sum"] == 2 + 2 + 3
+    assert b["degree_sum"] == 3 + 2 + 2
+    assert a["intra_ppm"] == (2 * 3 * 1_000_000 + 4) // 8
+    # isolated node forms a zero-edge singleton community
+    got2 = {r.community: r.asDict() for r in community_stats(
+        _nodes(spark, ["x", "y", "z"]), _edges(spark, [("x", "y")])).collect()}
+    assert got2["z"]["n_members"] == 1
+    assert got2["z"]["intra_edges"] == 0 and got2["z"]["intra_ppm"] == 0
