@@ -48,11 +48,20 @@ def main(sf_dir: str, prefix: str = "") -> int:
     spark = get_spark(shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    def fresh_con():
+        c = duckdb.connect()
+        # explicit limits + a spill dir: large-sf oracle CTEs (the
+        # recursive closure, blocked self-joins) otherwise hit DuckDB's
+        # in-memory pool and fail with a hard bad-allocation.
+        c.execute("SET memory_limit='48GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+
+    con = fresh_con()
 
     qs, os_ = e.queries(), e.oracle_sql()
     fail = 0
@@ -72,6 +81,13 @@ def main(sf_dir: str, prefix: str = "") -> int:
         except Exception as ex:
             print(f"{name:28s} ORACLE ERROR: {ex}")
             fail += 1
+            # a DuckDB OOM poisons the connection (every later query
+            # spuriously fails) — reconnect so failures stay per-query
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
             continue
         ok_n = len(srows) == len(drows)
         ok_c = sorted(scols) == sorted(dcols)
