@@ -754,6 +754,16 @@ def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_prop_communities(nodes, edges)
 
 
+def _q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership + residual core degree via monotone peeling
+    (converges in a handful of node-sized semi-join/agg rounds; fails
+    loudly rather than returning an unpeeled core)."""
+    from openie_spark.kg.analytics import kcore
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return kcore(nodes, edges)
+
+
 def _q_kg_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant linking candidates: capped blocking + Levenshtein
     <= 3 verification with the threshold pushed into Spark's early-
@@ -1248,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_integrity": _q_kg_integrity,
         "kg_communities": _q_kg_communities,
         "kg_community_stats": _q_kg_community_stats,
+        "kg_kcore": _q_kg_kcore,
         "kg_edge_split": _q_kg_edge_split,
         "kg_yield": _q_kg_yield,
         "kg_timeline": _q_kg_timeline,
@@ -1350,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_integrity": o.kg_integrity_sql(),
         "kg_communities": o.kg_lpa_sql(),
         "kg_community_stats": o.kg_community_stats_sql(),
+        "kg_kcore": o.kg_kcore_sql(),
         "kg_edge_split": o.kg_edge_split_sql(),
         "kg_yield": o.kg_yield_sql(),
         "kg_timeline": o.kg_timeline_sql(),

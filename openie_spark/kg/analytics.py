@@ -991,6 +991,72 @@ def label_prop_communities(nodes: DataFrame, edges: DataFrame,
     return lab
 
 
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 16
+
+
+def kcore(nodes: DataFrame, edges: DataFrame, k: int = KCORE_K,
+          max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983, the classic
+    peeling algorithm) -> (entity_id, core_degree): the maximal
+    subgraph in which every node has degree >= k, with each member's
+    residual degree inside that subgraph. The standard graph-cleaning
+    pass before embedding/community stages — pendant chains and
+    tree fuzz peel away, the dense backbone stays.
+
+    Peeling is a monotone fixpoint: each round drops nodes whose
+    degree WITHIN the surviving set is < k, so the member set only
+    shrinks and a round that removes nothing is the answer. Rounds
+    run lazily with node-sized localCheckpoints; a one-row count per
+    round detects convergence, and like connected_components the
+    operator fails LOUDLY (RuntimeError) instead of returning a
+    silently-unpeeled core if max_rounds is hit — which keeps the
+    unrolled-``max_rounds`` DuckDB oracle exact: monotonicity means
+    extra unrolled rounds past the fixpoint are no-ops.
+
+    Scale shape per round: two semi-joins of the edge table against
+    the (shrinking) member set + one partial-aggregated degree count
+    — all keyed on entity ids, never corpus-scale provenance; hub
+    rows are just high counts, not window partitions. Round count is
+    bounded by the graph's degeneracy ordering depth, tiny on
+    power-law graphs (long induced chains are the pathological case,
+    and those fail loudly rather than wrongly).
+    """
+    und = undirected_edges(edges).localCheckpoint(eager=False)
+    members = (
+        und.select(F.col("a").alias("entity_id"))
+        .unionAll(und.select(F.col("b").alias("entity_id")))
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .localCheckpoint(eager=True)
+    )
+    n_prev = members.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            return members  # empty core converged trivially
+        live = (
+            und.join(members.select(F.col("entity_id").alias("a")), "a", "semi")
+            .join(members.select(F.col("entity_id").alias("b")), "b", "semi")
+        )
+        members = (
+            live.select(F.col("a").alias("entity_id"))
+            .unionAll(live.select(F.col("b").alias("entity_id")))
+            .groupBy("entity_id")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .filter(F.col("core_degree") >= k)
+            .localCheckpoint(eager=True)
+        )
+        n_now = members.count()
+        if n_now == n_prev:
+            # monotone shrink: equal counts <=> equal sets <=> fixpoint
+            return members
+        n_prev = n_now
+    raise RuntimeError(
+        f"kcore: no fixpoint after {max_rounds} peel rounds; raise "
+        "max_rounds (the oracle unrolls the same bound)")
+
+
 def graph_summary(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Graph health metrics -> (metric string, value long), the tidy
     one-table report a pipeline run publishes next to its manifests:

@@ -851,6 +851,38 @@ l{k + 1} AS MATERIALIZED (
     )
 
 
+def kg_kcore_sql() -> str:
+    """Twin of kg.analytics.kcore: the k-core peel unrolled to
+    KCORE_MAX_ROUNDS rounds — each round keeps nodes whose degree
+    within the surviving set is >= k. The Spark side fails loudly if
+    the fixpoint needs more rounds, and peeling is monotone, so the
+    extra unrolled rounds past convergence are exact no-ops."""
+    from openie_spark.kg.analytics import KCORE_K, KCORE_MAX_ROUNDS
+
+    ctes = [f"""
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id),
+m0 AS MATERIALIZED (
+  SELECT entity_id, count(*) AS core_degree FROM (
+    SELECT a AS entity_id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1 HAVING count(*) >= {KCORE_K})"""]
+    for r in range(KCORE_MAX_ROUNDS):
+        ctes.append(f"""
+e{r} AS (
+  SELECT u.a, u.b FROM und u
+  WHERE u.a IN (SELECT entity_id FROM m{r})
+    AND u.b IN (SELECT entity_id FROM m{r})),
+m{r + 1} AS MATERIALIZED (
+  SELECT entity_id, count(*) AS core_degree FROM (
+    SELECT a AS entity_id FROM e{r} UNION ALL SELECT b FROM e{r})
+  GROUP BY 1 HAVING count(*) >= {KCORE_K})""")
+    return _with_kg(
+        f"SELECT entity_id, core_degree FROM m{KCORE_MAX_ROUNDS}",
+        extra_ctes=",".join(ctes),
+    )
+
+
 def kg_community_stats_sql() -> str:
     """Twin of kg.analytics.community_stats: LPA rounds (shared with
     kg_lpa_sql), labeled undirected edges, per-community rollups."""

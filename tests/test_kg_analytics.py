@@ -770,3 +770,85 @@ def test_community_stats_two_cliques(spark):
         _nodes(spark, ["x", "y", "z"]), _edges(spark, [("x", "y")])).collect()}
     assert got2["z"]["n_members"] == 1
     assert got2["z"]["intra_edges"] == 0 and got2["z"]["intra_ppm"] == 0
+
+
+def _kcore_py(pairs, k):
+    """Independent reference: naive peel over python sets/dicts."""
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    members = None
+    while True:
+        deg: dict = {}
+        for a, b in und:
+            if members is None or (a in members and b in members):
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        new = {v: d for v, d in deg.items() if d >= k}
+        if members is not None and set(new) == members:
+            return new
+        members = set(new)
+        if not members:
+            return {}
+
+
+def test_kcore_peels_pendant_chain(spark):
+    """Triangle + 3-hop pendant chain: the chain unravels one node per
+    round (the multi-round path), leaving exactly the triangle with
+    residual degree 2 everywhere."""
+    from openie_spark.kg.analytics import kcore
+
+    ids = list("abcdefx")  # x isolated
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("a", "d"), ("d", "e"), ("e", "f"),
+             ("a", "b")]  # duplicate provenance edge must not inflate degree
+    got = {r.entity_id: r.core_degree
+           for r in kcore(_nodes(spark, ids), _edges(spark, pairs)).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_tree_peels_to_empty(spark):
+    from openie_spark.kg.analytics import kcore
+
+    pairs = [("r", "a"), ("r", "b"), ("a", "c"), ("a", "d")]
+    out = kcore(_nodes(spark, list("rabcd")), _edges(spark, pairs))
+    assert out.count() == 0
+
+
+def test_kcore_k3_keeps_k4(spark):
+    """K4 with a pendant: 3-core == the K4, every member degree 3."""
+    from openie_spark.kg.analytics import kcore
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d"), ("d", "p")]
+    got = {r.entity_id: r.core_degree for r in kcore(
+        _nodes(spark, list("abcdp")), _edges(spark, k4), k=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_matches_python_reference_randomized(spark):
+    """Erdos-Renyi-ish deterministic graph vs the naive python peeler."""
+    import hashlib
+
+    from openie_spark.kg.analytics import kcore
+
+    ids = [f"n{i}" for i in range(40)]
+    pairs = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            h = hashlib.md5(f"kcore:{i}:{j}".encode()).hexdigest()
+            if int(h, 16) % 13 == 0:
+                pairs.append((f"n{i}", f"n{j}"))
+    want = _kcore_py(pairs, 2)
+    got = {r.entity_id: r.core_degree for r in kcore(
+        _nodes(spark, ids), _edges(spark, pairs)).collect()}
+    assert got == want
+
+
+def test_kcore_raises_on_round_exhaustion(spark):
+    """A 6-hop chain needs ~6 peel rounds; max_rounds=2 must fail
+    loudly, never return a half-peeled core."""
+    from openie_spark.kg.analytics import kcore
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(6)]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore(_nodes(spark, [f"c{i}" for i in range(7)]),
+              _edges(spark, chain), max_rounds=2)
