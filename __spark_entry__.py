@@ -1005,6 +1005,16 @@ def _q_dp_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(_docs(spark, sf_dir))
 
 
+def _q_dp_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters: top-k words by min-of-rows
+    sketch estimate with the exact count + one-sided over_ppm audit;
+    ONE corpus shuffle (the word collapse), counter table bounded at
+    depth*width rows. Oracle recomputes the full sketch in SQL."""
+    from openie_spark.datapipe.textstats import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(spark, sf_dir))
+
+
 def _q_dp_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV cardinality sketch: estimated distinct word-3-gram count
     per language from the k smallest md5 hashes (salted two-level
@@ -1281,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_bpe_merges": _q_dp_bpe_merges,
         "dp_kmv_distinct": _q_dp_kmv_distinct,
         "dp_hll_distinct": _q_dp_hll_distinct,
+        "dp_cms_topk": _q_dp_cms_topk,
         "dp_quantiles": _q_dp_quantiles,
         "dp_collocations": _q_dp_collocations,
         "dp_sample": _q_dp_sample,
@@ -1383,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_bpe_pairs": dp.bpe_pairs_sql(),
         "dp_kmv_distinct": dp.kmv_distinct_sql(),
         "dp_hll_distinct": dp.hll_distinct_sql(),
+        "dp_cms_topk": dp.cms_heavy_hitters_sql(),
         "dp_quantiles": dp.sampled_quantiles_sql(),
         "dp_collocations": dp.collocations_sql(),
         "dp_sample": dp.stratified_sample_sql(),

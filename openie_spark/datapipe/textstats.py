@@ -579,3 +579,77 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
                 (-F.col("s.np")).cast("int").alias("pos"),
                 F.col("s.fp").alias("fp"))
     )
+
+
+CMS_DEPTH = 4        # rows: P(over by >= e) <= 2^-depth per query
+CMS_WIDTH = 1024     # cols: expected overestimate ~ N_total / width
+CMS_TOPK = 50
+
+
+def cms_heavy_hitters(docs: DataFrame, depth: int = CMS_DEPTH,
+                      width: int = CMS_WIDTH,
+                      topk: int = CMS_TOPK) -> DataFrame:
+    """Corpus heavy hitters through a Count-Min sketch (Cormode &
+    Muthukrishnan 2005, public algorithm) -> (word, est_count,
+    exact_count, over_ppm): the top-``topk`` words by SKETCH-estimated
+    occurrence count, with the exact count and the one-sided
+    overestimate (ppm of exact) beside it as the audit a profiler
+    publishes to size the sketch. Estimate = min over ``depth`` rows
+    of counter[row, md5h60(word || '#cms<row>') mod width]; CMS never
+    underestimates, so over_ppm >= 0 always.
+
+    Scale shape: ONE corpus-scale shuffle — the word-frequency
+    collapse (groupBy word), whose map-side combine absorbs hot words.
+    The counter table is folded from that collapse (sum of word counts
+    per (row, col) — identical integers to a row-at-a-time streaming
+    build, since counter increments are additive), so it costs
+    depth x vocab rows pre-combine and is AT MOST depth*width rows
+    total regardless of corpus size; the readout joins the vocab
+    against that <=4096-row table (broadcast by AQE) and takes the
+    min per word. Top-k runs two-level salted (per-salt top-k is a
+    superset of the global top-k), so no single external sort sees
+    the whole vocabulary. Ordering (est DESC, word ASC) is total —
+    set-deterministic output at any parallelism.
+    """
+    exact = (
+        docs.select(F.explode(tokens_of(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=False)  # feeds counters AND readout
+    )
+    rows = F.explode(F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            F.pmod(md5h60(F.concat(F.col("word"), F.lit(f"#cms{r}"))),
+                   F.lit(width)).alias("col"),
+        ) for r in range(depth)
+    ])).alias("rc")
+    keyed = exact.select("word", "exact_count", rows).select(
+        "word", "exact_count", F.col("rc.row").alias("row"),
+        F.col("rc.col").alias("col"))
+    counters = (
+        keyed.groupBy("row", "col")
+        .agg(F.sum("exact_count").alias("counter"))
+    )
+    est = (
+        keyed.join(counters, ["row", "col"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("counter").alias("est_count"))
+    )
+    salts = 32
+    w1 = Window.partitionBy("salt").orderBy(F.desc("est_count"), F.asc("word"))
+    w2 = Window.orderBy(F.desc("est_count"), F.asc("word"))
+    return (
+        est.withColumn("salt", F.pmod(md5h60(F.col("word")), F.lit(salts)))
+        .withColumn("r", F.row_number().over(w1)).filter(F.col("r") <= topk)
+        .select("word", "est_count", "exact_count")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "rank", "word", "est_count", "exact_count",
+            # integer division keeps the audit column exact on both
+            # engines (Spark `/` is double; DuckDB CAST rounds)
+            F.expr("(est_count - exact_count) * 1000000 div exact_count")
+            .alias("over_ppm"),
+        )
+    )

@@ -1449,3 +1449,45 @@ SELECT an_d2.event_type, day, n_events, med, mad,
        ((mad > 0 AND adev > {ANOM_K} * mad)
         OR (mad = 0 AND adev > 0)) AS is_anomaly
 FROM an_d2 JOIN an_mad USING (event_type)"""
+
+
+def cms_heavy_hitters_sql() -> str:
+    """Twin of textstats.cms_heavy_hitters: word-occurrence counts,
+    the depth x width Count-Min counter table folded from them (same
+    integers as a streaming build — increments are additive), min-of-
+    rows estimate, global top-k by (est DESC, word ASC) (the two-level
+    salted top-k on the Spark side is a superset of the global top-k,
+    so the oracle skips the salt), exact integer-division over_ppm."""
+    from openie_spark.datapipe.textstats import CMS_DEPTH, CMS_TOPK, CMS_WIDTH
+
+    return f"""WITH toks AS (
+  SELECT {_TOKS.format(c='text')} AS toks FROM documents
+),
+words AS (SELECT unnest(toks) AS word FROM toks),
+exact AS (SELECT word, count(*) AS exact_count FROM words GROUP BY 1),
+keyed AS (
+  SELECT e.word, e.exact_count, r.row_i,
+         {_md5h60("e.word || '#cms' || CAST(r.row_i AS VARCHAR)")}
+           % {CMS_WIDTH} AS col
+  FROM exact e, (SELECT unnest(range({CMS_DEPTH})) AS row_i) r
+),
+counters AS (
+  SELECT row_i, col, sum(exact_count) AS counter
+  FROM keyed GROUP BY 1, 2
+),
+est AS (
+  SELECT k.word, k.exact_count, min(c.counter) AS est_count
+  FROM keyed k JOIN counters c ON k.row_i = c.row_i AND k.col = c.col
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT word, est_count, exact_count,
+         row_number() OVER (ORDER BY est_count DESC, word ASC) AS rank
+  FROM est
+)
+SELECT CAST(rank AS INT) AS rank, word,
+       CAST(est_count AS BIGINT) AS est_count,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CAST((est_count - exact_count) * 1000000 // exact_count
+            AS BIGINT) AS over_ppm
+FROM ranked WHERE rank <= {CMS_TOPK}"""

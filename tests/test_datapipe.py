@@ -892,3 +892,63 @@ def test_bpe_merges_first_round_matches_pair_counts(spark, docs):
     m0 = bpe_learn_merges(d, n_merges=1).collect()[0]
     assert m0.left + m0.right == top_pair.pair
     assert m0.n == top_pair.n
+
+
+def _cms_py(word_counts, depth, width):
+    """Independent reference: plain-dict Count-Min with the same
+    md5h60-derived row hashes."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    counters: dict = {}
+    for w, n in word_counts.items():
+        for r in range(depth):
+            key = (r, h60(f"{w}#cms{r}") % width)
+            counters[key] = counters.get(key, 0) + n
+    return {
+        w: min(counters[(r, h60(f"{w}#cms{r}") % width)] for r in range(depth))
+        for w in word_counts
+    }
+
+
+def test_cms_python_reference_twin_with_collisions(spark):
+    """width=4 forces bucket collisions; estimates, ranks and over_ppm
+    must match a plain-python CMS over the same word counts."""
+    from openie_spark.datapipe.textstats import cms_heavy_hitters
+
+    texts = [(i, " ".join(f"t{(i * 7 + j) % 11}" for j in range(9)), "en")
+             for i in range(25)]
+    corpus = spark.createDataFrame(
+        texts, "doc_id long, text string, lang string")
+    counts: dict = {}
+    for _, t, _l in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    est = _cms_py(counts, depth=2, width=4)
+    want = sorted(((w, est[w], counts[w]) for w in counts),
+                  key=lambda x: (-x[1], x[0]))[:5]
+    got = cms_heavy_hitters(corpus, depth=2, width=4, topk=5).collect()
+    assert [(r.word, r.est_count, r.exact_count) for r in
+            sorted(got, key=lambda r: r.rank)] == want
+    for r in got:
+        assert r.est_count >= r.exact_count  # CMS is one-sided
+        assert r.over_ppm == (r.est_count - r.exact_count) * 1_000_000 // r.exact_count
+
+
+def test_cms_no_collision_is_exact_and_deterministic(spark, docs):
+    """At the shipped width the tiny fixture vocabulary cannot
+    collide much: every estimate >= exact, top ranks ordered by
+    (est DESC, word ASC), and the result is partition-independent."""
+    from openie_spark.datapipe.textstats import cms_heavy_hitters
+
+    a = sorted(tuple(r) for r in cms_heavy_hitters(docs).collect())
+    b = sorted(tuple(r) for r in
+               cms_heavy_hitters(docs.repartition(7)).collect())
+    assert a == b and len(a) > 0
+    rows = sorted((tuple(r) for r in a), key=lambda t: t[0])
+    for r in rows:
+        assert r[2] >= r[3] >= 1 and r[4] >= 0
+    keys = [( -t[2], t[1]) for t in sorted(rows, key=lambda t: t[0])]
+    assert keys == sorted(keys)
