@@ -570,6 +570,15 @@ def _q_dp_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir))
 
 
+def _q_dp_ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type Markov transition matrix: per-user chronologically
+    adjacent type bigrams with exact row-normalized ppm shares — one
+    user_id window shuffle, types²-bounded output."""
+    from openie_spark.datapipe.events import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
 def _q_dp_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust daily-volume anomaly flags per event type: integer
     nearest-rank median/MAD, modified-z-score cutoff."""
@@ -752,6 +761,27 @@ def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes, edges = _graph_parts(spark, sf_dir)
     return label_prop_communities(nodes, edges)
+
+
+def _q_kg_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate conversation pairs: turn-flattened conversations
+    (+ planted perturbed twins as ground truth) through the standard
+    minhash-LSH + exact-Jaccard pair path — catches re-run agent
+    transcripts that turn-level dedup never sees."""
+    from openie_spark.kg.dialogue import conv_neardup_pairs
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return conv_neardup_pairs(read_transcripts(_tune(spark), sf_dir))
+
+
+def _q_kg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution (bit-length bins, isolated
+    nodes at bin 0) — the skew profile that sizes salting/hub caps;
+    one degree agg + one ≤64-group collapse."""
+    from openie_spark.kg.analytics import degree_histogram
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return degree_histogram(nodes, edges)
 
 
 def _q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1269,6 +1299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_community_stats": _q_kg_community_stats,
         "kg_kcore": _q_kg_kcore,
+        "kg_degree_hist": _q_kg_degree_hist,
+        "kg_conv_neardup": _q_kg_conv_neardup,
         "kg_edge_split": _q_kg_edge_split,
         "kg_yield": _q_kg_yield,
         "kg_timeline": _q_kg_timeline,
@@ -1323,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ev_funnel": _q_dp_ev_funnel,
         "dp_ev_retention": _q_dp_ev_retention,
         "dp_ev_anomaly": _q_dp_ev_anomaly,
+        "dp_ev_transitions": _q_dp_ev_transitions,
     }
 
 
@@ -1373,6 +1406,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": o.kg_lpa_sql(),
         "kg_community_stats": o.kg_community_stats_sql(),
         "kg_kcore": o.kg_kcore_sql(),
+        "kg_degree_hist": o.kg_degree_hist_sql(),
+        "kg_conv_neardup": dp.conv_minhash_pairs_sql(),
         "kg_edge_split": o.kg_edge_split_sql(),
         "kg_yield": o.kg_yield_sql(),
         "kg_timeline": o.kg_timeline_sql(),
@@ -1426,4 +1461,5 @@ def oracle_sql() -> dict[str, str]:
         "dp_ev_funnel": dp.funnel_sql(),
         "dp_ev_retention": dp.retention_sql(),
         "dp_ev_anomaly": dp.anomalies_sql(),
+        "dp_ev_transitions": dp.event_transitions_sql(),
     }

@@ -417,3 +417,47 @@ def daily_anomalies(events: DataFrame, k: int = ANOM_K) -> DataFrame:
         )
         .select("event_type", "day", "n_events", "med", "mad", "is_anomaly")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type Markov transition matrix -> (from_type,
+    to_type, n_transitions, row_ppm): counts of chronologically
+    adjacent event-type pairs within each user's stream, plus the
+    exact round-down row-normalized share (ppm of all transitions
+    leaving from_type). The first-order behavioral model product
+    analytics builds (what follows a view? where do checkouts come
+    from?) and the input to next-event prediction baselines; the
+    funnel operator answers "did the ordered sequence happen",
+    this answers "what are ALL the observed orderings".
+
+    Ordering within a user is (ts, event_id) — a total key, so
+    simultaneous events (same timestamp) pair deterministically at
+    any parallelism and the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: ONE corpus-scale shuffle — the user_id window
+    partition (same key and cost class as sessionize); the bigram
+    collapse is a partial-aggregated groupBy whose output is bounded
+    by types² regardless of corpus size, and the row totals attach
+    via a types-sized broadcast join. Power-law users are stragglers
+    inside a streaming window partition, not a blow-up.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        _with_tz(events)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .localCheckpoint(eager=False)  # types²-sized; feeds two branches
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from"))
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type", "to_type", "n_transitions",
+            F.expr("n_transitions * 1000000 div n_from").alias("row_ppm"),
+        )
+    )

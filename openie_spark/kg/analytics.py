@@ -1096,3 +1096,46 @@ def graph_summary(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def degree_histogram(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Log2-binned degree distribution -> (bin, n_nodes, min_deg,
+    max_deg, sum_deg): the standard power-law profile plot of a graph
+    (straight line in log-log <=> scale-free), binned by
+    bit_length(degree) so bin b covers degrees [2^(b-1), 2^b).
+    Isolated entities land in bin 0. The profiling readout that
+    decides skew strategy (salting thresholds, hub caps) before a
+    big run — and 64 rows no matter the corpus.
+
+    Engine-portable binning: bit length via length(bin(deg)) — the
+    same no-floating-log2 trick as the HLL register rank — so the
+    DuckDB twin is bit-exact. Scale shape: one degree aggregation
+    (partial-agg on entity ids), one left join to include isolated
+    nodes, one <=64-group collapse. No windows, no corpus-scale
+    anything."""
+    und = undirected_edges(edges).localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("a").alias("entity_id"))
+        .unionAll(und.select(F.col("b").alias("entity_id")))
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    full = (
+        nodes.select("entity_id")
+        .join(deg, "entity_id", "left")
+        .select(F.coalesce("deg", F.lit(0)).alias("deg"))
+    )
+    return (
+        full.withColumn(
+            "bin",
+            F.when(F.col("deg") == 0, F.lit(0))
+            .otherwise(F.length(F.bin("deg"))).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").alias("sum_deg"),
+        )
+    )

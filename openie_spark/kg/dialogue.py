@@ -129,3 +129,56 @@ def dialogue_stats(transcripts: DataFrame) -> DataFrame:
         .alias("asst_user_char_ppm"),
         "longest_run",
     )
+
+
+def conv_documents(transcripts: DataFrame) -> DataFrame:
+    """Conversations flattened to one document each -> (doc_id=conv_id,
+    text = turn texts joined with ' ' in turn_idx order). The unit of
+    conversation-level dedup: agent-transcript corpora are full of
+    re-run conversations (same prompt, retried job) that turn-level
+    ops never see as duplicates.
+
+    One shuffle (groupBy conv_id); ordering is pinned by array_sort on
+    (turn_idx, text) structs — collect_list order is free but the sort
+    makes the result partition-independent. NULL texts coalesce to ''
+    (the DuckDB twin's string_agg skips NULLs; '' tokenizes to nothing
+    either way)."""
+    return (
+        transcripts
+        .select("conv_id", "turn_idx",
+                F.coalesce("text", F.lit("")).alias("text"))
+        .groupBy("conv_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"]),
+            " ").alias("text"))
+        .select(F.col("conv_id").alias("doc_id"), "text")
+    )
+
+
+def conv_neardup_pairs(transcripts: DataFrame) -> DataFrame:
+    """Near-duplicate CONVERSATION pairs -> (a, b, jaccard): the
+    turn-flattened conversations (plus deterministic perturbed twins
+    as planted ground truth, same recipe as dedup.planted_docs) run
+    through the standard minhash-LSH + exact-Jaccard-verify pair path.
+
+    Scale shape is exactly minhash_pairs_docs' (signature table
+    checkpointed, ids-only band self-join, shingles re-attached for
+    the verify) — the only addition is the one conv_id groupBy that
+    builds the conversation documents."""
+    from openie_spark.datapipe.dedup import (
+        PERTURB_DROP,
+        minhash_pairs_docs,
+    )
+    from openie_spark.datapipe.hashing import tokens_of
+
+    conv = conv_documents(transcripts)
+    toks = tokens_of(F.col("text"))
+    twins = conv.select(
+        F.concat(F.col("doc_id"), F.lit("~twin")).alias("doc_id"),
+        F.array_join(
+            F.filter(toks, lambda w, i: (i + 1) % PERTURB_DROP != 0), " "
+        ).alias("text"),
+    )
+    return minhash_pairs_docs(conv.unionByName(twins))

@@ -92,9 +92,13 @@ FROM sh l JOIN sh r ON l.doc_id < r.doc_id
 WHERE {j} >= {DOC_JACCARD}"""
 
 
-def minhash_pairs_sql() -> str:
+def minhash_pairs_sql(planted_cte: str | None = None) -> str:
     """Full minhash-LSH recomputation: signature slots → band hashes →
-    band-bucket self-join → exact-Jaccard verification."""
+    band-bucket self-join → exact-Jaccard verification. ``planted_cte``
+    swaps the input corpus (any CTE chain ending in
+    planted(doc_id, text)) — the conversation-level twin reuses the
+    whole pair path this way."""
+    planted = planted_cte if planted_cte is not None else _PLANTED_CTE
     perm = DOC_BANDS * DOC_ROWS
     slot_list = []
     for k in range(perm):
@@ -110,7 +114,7 @@ def minhash_pairs_sql() -> str:
         for b in range(DOC_BANDS)
     )
     j = _JACCARD.format(a="sa", b="sb")
-    return f"""WITH {_PLANTED_CTE}, {_SHINGLES_CTE},
+    return f"""WITH {planted}, {_SHINGLES_CTE},
 sigs AS (
   SELECT doc_id, shingles, [{slots}] AS sig FROM sh
 ),
@@ -1491,3 +1495,47 @@ SELECT CAST(rank AS INT) AS rank, word,
        CAST((est_count - exact_count) * 1000000 // exact_count
             AS BIGINT) AS over_ppm
 FROM ranked WHERE rank <= {CMS_TOPK}"""
+
+
+def event_transitions_sql() -> str:
+    """Twin of events.event_transitions: lead() over the total
+    (ts, event_id) per-user order, types^2 bigram collapse, row totals,
+    exact round-down row_ppm."""
+    return """WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_type, sum(n_transitions) AS n_from FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n_transitions,
+       CAST(p.n_transitions * 1000000 // t.n_from AS BIGINT) AS row_ppm
+FROM pairs p JOIN totals t USING (from_type)"""
+
+
+def conv_minhash_pairs_sql() -> str:
+    """Twin of kg.dialogue.conv_neardup_pairs: conversations flattened
+    via ORDER BY turn_idx string_agg (≡ Spark's array_sort on
+    (turn_idx, text) structs — turn_idx is unique per conv), perturbed
+    twins planted with the same every-PERTURB_DROPth-token drop, then
+    the standard minhash pair recomputation."""
+    from openie_spark.sources.transcripts import TRANSCRIPTS_CTE_DUCKDB
+
+    conv_planted = f"""{TRANSCRIPTS_CTE_DUCKDB},
+convdoc AS (
+  SELECT conv_id, string_agg(COALESCE(text, ''), ' ' ORDER BY turn_idx) AS text
+  FROM transcripts GROUP BY conv_id),
+planted AS (
+  SELECT conv_id AS doc_id, text FROM convdoc
+  UNION ALL
+  SELECT conv_id || '~twin' AS doc_id,
+         array_to_string(list_filter({_TOKS.format(c='text')},
+                                     (x, i) -> i % {PERTURB_DROP} <> 0), ' ') AS text
+  FROM convdoc)"""
+    return minhash_pairs_sql(planted_cte=conv_planted)

@@ -1411,3 +1411,29 @@ s_idf AS MATERIALIZED (
 s_tot AS (
   SELECT CAST(count(DISTINCT conv_id) AS BIGINT) AS n_total FROM s_occ)""",
     )
+
+
+def kg_degree_hist_sql() -> str:
+    """Twin of kg.analytics.degree_histogram: undirected simple
+    degrees with isolated nodes at degree 0, log2 bins via the same
+    unpadded bin()-bitlength trick as the HLL oracle."""
+    return _with_kg(
+        """
+SELECT CAST(CASE WHEN deg = 0 THEN 0 ELSE length(bin(deg)) END AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg,
+       CAST(sum(deg) AS BIGINT) AS sum_deg
+FROM full_deg GROUP BY 1""",
+        extra_ctes="""
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id),
+dg AS (
+  SELECT entity_id, count(*) AS deg FROM (
+    SELECT a AS entity_id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1),
+full_deg AS (
+  SELECT COALESCE(d.deg, 0) AS deg
+  FROM nodes n LEFT JOIN dg d ON n.entity_id = d.entity_id)""",
+    )

@@ -102,3 +102,34 @@ def test_dialogue_stats_single_turn_and_empty_text(spark):
             r.duration_min, r.longest_run) == (1, 0, 0, 0, 1)
     # no assistant chars but user length 0 -> denominator 0 -> NULL
     assert r.asst_user_char_ppm is None
+
+
+def test_conv_documents_orders_by_turn_idx(spark):
+    from openie_spark.kg.dialogue import conv_documents
+
+    df = spark.createDataFrame(
+        [("c1", 2, "three"), ("c1", 0, "one"), ("c1", 1, "two"),
+         ("c2", 0, None), ("c2", 1, "solo")],
+        "conv_id string, turn_idx int, text string")
+    got = {r.doc_id: r.text for r in conv_documents(df).collect()}
+    assert got["c1"] == "one two three"
+    assert got["c2"] in (" solo", "solo ", "solo")  # null -> '' join artifact ok
+    # partition independence
+    got2 = {r.doc_id: r.text
+            for r in conv_documents(df.repartition(5)).collect()}
+    assert got == got2
+
+
+def test_conv_neardup_finds_planted_twins_only(spark):
+    """Each conversation pairs with its own perturbed twin; two
+    vocabulary-disjoint conversations never pair with each other."""
+    from openie_spark.kg.dialogue import conv_neardup_pairs
+
+    rows = []
+    for c, base in (("ca", "alpha"), ("cb", "beta")):
+        for t in range(4):
+            rows.append((c, t, " ".join(f"{base}{t}w{j}" for j in range(20))))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {(r.a, r.b): r.jaccard for r in conv_neardup_pairs(df).collect()}
+    assert set(got) == {("ca", "ca~twin"), ("cb", "cb~twin")}
+    assert all(0.5 <= j <= 1.0 for j in got.values())

@@ -341,3 +341,48 @@ def test_daily_anomalies_mad_cutoff(spark):
               "event_type string, value double, props string")
     got = {r.n_events: r.is_anomaly for r in daily_anomalies(df).collect()}
     assert got == {1: False, 2: False, 3: False, 4: False, 5: False, 30: True}
+
+
+def test_event_transitions_hand_golden(spark):
+    """Two users: bigrams stay within a user, simultaneous events
+    order by event_id, ppm is exact round-down."""
+    from openie_spark.datapipe.events import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: view -> click -> view   (same-ts pair ordered by id)
+        (10, t0, 1, "view", 0.0, "{}"),
+        (11, t0, 1, "click", 0.0, "{}"),
+        (12, t0 + s, 1, "view", 0.0, "{}"),
+        # u2: view -> purchase ; no cross-user (click->view) bigram
+        (20, t0, 2, "view", 0.0, "{}"),
+        (21, t0 + s, 2, "purchase", 0.0, "{}"),
+        # u3: single event -> contributes nothing
+        (30, t0, 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.row_ppm)
+           for r in event_transitions(df).collect()}
+    assert got == {
+        ("view", "click"): (1, 500_000),
+        ("view", "purchase"): (1, 500_000),
+        ("click", "view"): (1, 1_000_000),
+    }
+
+
+def test_event_transitions_partition_invariance(spark, ev):
+    from openie_spark.datapipe.events import event_transitions
+
+    a = sorted(tuple(r) for r in event_transitions(ev).collect())
+    b = sorted(tuple(r) for r in event_transitions(ev.repartition(13)).collect())
+    assert a == b and len(a) > 0
+    # row shares of each from_type sum to <= 1e6 (round-down), > 0 each
+    from collections import defaultdict
+    tot = defaultdict(int)
+    for ft, _tt, n, ppm in a:
+        assert n > 0 and ppm > 0
+        tot[ft] += ppm
+    assert all(v <= 1_000_000 for v in tot.values())

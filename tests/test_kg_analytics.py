@@ -852,3 +852,20 @@ def test_kcore_raises_on_round_exhaustion(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
         kcore(_nodes(spark, [f"c{i}" for i in range(7)]),
               _edges(spark, chain), max_rounds=2)
+
+
+def test_degree_histogram_hand_golden(spark):
+    """Star S4 + isolated node: hub deg 4 -> bin 3, leaves deg 1 ->
+    bin 1, isolated -> bin 0; duplicate provenance edges collapse."""
+    from openie_spark.kg.analytics import degree_histogram
+
+    ids = list("habcdz")  # h hub, z isolated
+    pairs = [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("h", "a")]
+    got = {r.bin: (r.n_nodes, r.min_deg, r.max_deg, r.sum_deg)
+           for r in degree_histogram(
+               _nodes(spark, ids), _edges(spark, pairs)).collect()}
+    assert got == {
+        0: (1, 0, 0, 0),
+        1: (4, 1, 1, 4),
+        3: (1, 4, 4, 4),
+    }
