@@ -352,6 +352,8 @@ class KGPipeline:
             # resumable like every other stage, reading the
             # already-written nodes/edges tables (not re-deriving)
             from openie_spark.kg.analytics import (
+                degree_histogram,
+                kcore,
                 khop_distances,
                 label_prop_communities,
                 pagerank,
@@ -371,6 +373,12 @@ class KGPipeline:
             self._run_stage(
                 "communities", lambda: label_prop_communities(n_df, e_df),
                 "entity_id", ["nodes", "edges"], resume)
+            self._run_stage(
+                "kcore", lambda: kcore(n_df, e_df),
+                "entity_id", ["nodes", "edges"], resume)
+            self._run_stage(
+                "degree_hist", lambda: degree_histogram(n_df, e_df),
+                "bin", ["nodes", "edges"], resume)
 
         if self.export:
             # optional consumer-facing sinks: temporal relation

@@ -137,9 +137,14 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path_factory):
     assert s1["stages"]["triangles"]["rows"] == s1["nodes"]
     assert 0 < s1["stages"]["khop"]["rows"] <= s1["nodes"]
     assert s1["stages"]["communities"]["rows"] == s1["nodes"]
+    # kcore may legitimately be empty on a sparse test graph (rows>=0);
+    # degree_hist always has >=1 bin when nodes exist
+    assert s1["stages"]["kcore"]["rows"] >= 0
+    assert 0 < s1["stages"]["degree_hist"]["rows"] <= 65
     s2 = KGPipeline(spark, SF, out, analytics=True).run(resume=True)
     assert all(s2["stages"][st]["resumed"]
-               for st in ("pagerank", "triangles", "khop", "communities"))
+               for st in ("pagerank", "triangles", "khop", "communities",
+                          "kcore", "degree_hist"))
     assert {st: s2["stages"][st]["rows"] for st in s2["stages"]} == \
            {st: s1["stages"][st]["rows"] for st in s1["stages"]}
 
