@@ -1,6 +1,8 @@
 from openie_spark.streaming.dedup import (  # noqa: F401
     stream_exact_dedup,
+    stream_event_transitions,
     write_dedup_stream,
+    write_transitions_stream,
 )
 from openie_spark.streaming.ingest import (  # noqa: F401
     EVENTS_SCHEMA,

@@ -71,3 +71,72 @@ def write_dedup_stream(keepers: DataFrame, out_path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_event_transitions(events: DataFrame) -> DataFrame:
+    """Streaming events(user_id, ts, event_id, event_type, …) →
+    transition rows (user_id, from_type, to_type, ts_us): the
+    cross-batch complement of datapipe.events.event_transitions. The
+    batch operator orders each user's whole history at once; a
+    continuously-ingesting pipeline sees a user's stream sliced across
+    micro-batches, so the chain must survive the batch boundary — the
+    canonical per-key "remember the last event" applyInPandasWithState
+    use (state = ONE tiny row per user: last (ts_us, event_id, type)).
+
+    Pinned semantics: within an invocation rows chain in (ts_us,
+    event_id) order (same total key as the batch operator); across
+    invocations the chain continues from the stored last event in
+    ARRIVAL order — the at-ingest reading. A late event (ts before the
+    stored last) still chains where it arrived; feed ordered batches
+    (or pre-sort with a watermark upstream) for the batch-identical
+    result. State is bytes per user; the shuffle key is user_id.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def chain(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            return iter(())
+        batch = pd.concat(rows).sort_values(
+            ["ts_us", "event_id"], kind="mergesort")
+        last_type = state.get[2] if state.exists else None
+        out_from, out_to, out_ts = [], [], []
+        for ts_us, _eid, etype in zip(
+                batch["ts_us"], batch["event_id"], batch["event_type"]):
+            if last_type is not None:
+                out_from.append(last_type)
+                out_to.append(etype)
+                out_ts.append(int(ts_us))
+            last_type = etype
+        tail = batch.iloc[-1]
+        state.update((int(tail["ts_us"]), int(tail["event_id"]),
+                      str(tail["event_type"])))
+        if not out_from:
+            return iter(())
+        return iter([pd.DataFrame({
+            "user_id": key[0], "from_type": out_from,
+            "to_type": out_to, "ts_us": out_ts})])
+
+    keyed = events.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "event_type")
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        chain,
+        outputStructType=("user_id long, from_type string, "
+                          "to_type string, ts_us long"),
+        stateStructType="ts_us long, event_id long, etype string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_transitions_stream(trans: DataFrame, out_path: str, checkpoint: str):
+    """Parquet sink + checkpoint, availableNow drain."""
+    return (
+        trans.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

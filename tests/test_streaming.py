@@ -188,3 +188,48 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path):
     final = {r.text_hash: r.doc_id for r in spark.read.parquet(out).collect()}
     assert len(final) == 3                      # duplicate suppressed
     assert set(final.values()) == {1, 5, 7}
+
+
+def test_stream_event_transitions_across_batches(spark, tmp_path):
+    """The per-user chain must survive the micro-batch boundary: the
+    first event of batch 2 pairs with the LAST event of batch 1."""
+    import datetime as dt
+
+    from openie_spark.streaming import (
+        stream_event_transitions,
+        write_transitions_stream,
+    )
+
+    landing = str(tmp_path / "ev")
+    out = str(tmp_path / "trans")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    spark.createDataFrame(
+        [(1, t0, 1, "view", 0.0, "{}"),
+         (2, t0 + s, 1, "click", 0.0, "{}"),
+         (3, t0, 2, "view", 0.0, "{}")], schema
+    ).repartition(1).write.mode("overwrite").parquet(landing)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(landing)
+        q = write_transitions_stream(stream_event_transitions(src), out, ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    got = {(r.user_id, r.from_type, r.to_type)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "view", "click")}   # u2 has one event: no pair yet
+
+    spark.createDataFrame(
+        [(4, t0 + 2 * s, 1, "purchase", 0.0, "{}"),
+         (5, t0 + s, 2, "click", 0.0, "{}")], schema
+    ).repartition(1).write.mode("append").parquet(landing)
+    drain()
+    got = {(r.user_id, r.from_type, r.to_type)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "view", "click"),
+                   (1, "click", "purchase"),   # cross-batch chain
+                   (2, "view", "click")}       # u2 completes in batch 2
