@@ -763,6 +763,16 @@ def _q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_prop_communities(nodes, edges)
 
 
+def _q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-driven walk corpus from the md5-ticket seed
+    slice (node2vec-style KGE training input, no RNG state): per step
+    one frontier equi-join + one partial-agg min-of-struct."""
+    from openie_spark.kg.analytics import hash_walks
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return hash_walks(nodes, edges)
+
+
 def _q_kg_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate conversation pairs: turn-flattened conversations
     (+ planted perturbed twins as ground truth) through the standard
@@ -1301,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _q_kg_kcore,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
+        "kg_walks": _q_kg_walks,
         "kg_edge_split": _q_kg_edge_split,
         "kg_yield": _q_kg_yield,
         "kg_timeline": _q_kg_timeline,
@@ -1408,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": o.kg_kcore_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),
+        "kg_walks": o.kg_walks_sql(),
         "kg_edge_split": o.kg_edge_split_sql(),
         "kg_yield": o.kg_yield_sql(),
         "kg_timeline": o.kg_timeline_sql(),

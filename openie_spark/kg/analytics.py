@@ -1139,3 +1139,55 @@ def degree_histogram(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             F.sum("deg").alias("sum_deg"),
         )
     )
+
+
+WALK_LEN = 4
+
+
+def hash_walks(nodes: DataFrame, edges: DataFrame,
+               length: int = WALK_LEN,
+               seed_mod: int = KHOP_SEED_MOD) -> DataFrame:
+    """Deterministic hash-driven graph walks -> (seed, step, node):
+    the node2vec/DeepWalk-style walk corpus a KG-embedding trainer
+    consumes, generated WITHOUT RNG state — at every step the walk at
+    ``seed`` moves to the neighbor minimizing
+    md5h60(seed || '#' || step || '#' || neighbor) (ties by neighbor
+    id, though md5 ties are unreachable in practice). Same md5-ticket
+    determinism as the sampling/negative-sampling operators: identical
+    output at any parallelism, resumable, and exactly reproducible in
+    the DuckDB oracle. Walks start from the khop seed slice, may
+    revisit nodes (standard), and stop early at dead ends.
+
+    Scale shape per step: ONE equi-join of the frontier (seed-slice
+    sized) against the symmetric edge table on the current node + one
+    partial-aggregated min-of-struct per seed — hubs contribute
+    candidate rows to a map-side-combining agg, never to a window
+    partition. ``length`` shuffles total; frontier localCheckpointed
+    between steps.
+    """
+    from openie_spark.datapipe.hashing import md5h60
+
+    und = undirected_edges(edges)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    walk = seed_entities(nodes, seed_mod).select(
+        F.col("entity_id").alias("seed"), F.col("entity_id").alias("node"))
+    acc = walk.select("seed", F.lit(0).cast("int").alias("step"), "node")
+    for step in range(1, length + 1):
+        nxt = (
+            walk.join(sym, walk.node == sym.a)
+            .select(
+                "seed",
+                F.col("b").alias("cand"),
+                md5h60(F.concat_ws("#", "seed", F.lit(step), "b")).alias("h"),
+            )
+            .groupBy("seed")
+            .agg(F.min(F.struct("h", "cand")).alias("m"))
+            .select("seed", F.col("m.cand").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        acc = acc.unionAll(
+            nxt.select("seed", F.lit(step).cast("int").alias("step"), "node"))
+        walk = nxt
+    return acc

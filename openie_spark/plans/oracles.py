@@ -1437,3 +1437,43 @@ full_deg AS (
   SELECT COALESCE(d.deg, 0) AS deg
   FROM nodes n LEFT JOIN dg d ON n.entity_id = d.entity_id)""",
     )
+
+
+def kg_walks_sql() -> str:
+    """Twin of kg.analytics.hash_walks: the deterministic hash-driven
+    walk unrolled to WALK_LEN steps — per step, each walk moves to the
+    neighbor minimizing md5h60(seed || '#step#' || neighbor) (row_number
+    ordered by (h, cand); the Spark side's min-of-struct is the same
+    total order)."""
+    from openie_spark.kg.analytics import KHOP_SALT, KHOP_SEED_MOD, WALK_LEN
+
+    ticket = (f"CAST(concat('0x', substr(md5('{KHOP_SALT}#' || entity_id), "
+              f"1, 15)) AS BIGINT)")
+    h = ("CAST(concat('0x', substr(md5(seed || '#{step}#' || s.b), 1, 15)) "
+         "AS BIGINT)")
+    ctes = [f"""
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id),
+sym AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+w0 AS MATERIALIZED (
+  SELECT entity_id AS seed, entity_id AS node FROM nodes
+  WHERE {ticket} % {KHOP_SEED_MOD} = 0)"""]
+    selects = ["SELECT seed, 0 AS step, node FROM w0"]
+    for step in range(1, WALK_LEN + 1):
+        hk = h.format(step=step)
+        ctes.append(f"""
+c{step} AS (
+  SELECT w.seed, s.b AS cand, {hk} AS h
+  FROM w{step - 1} w JOIN sym s ON w.node = s.a),
+w{step} AS MATERIALIZED (
+  SELECT seed, cand AS node FROM (
+    SELECT seed, cand,
+           row_number() OVER (PARTITION BY seed ORDER BY h, cand) AS rn
+    FROM c{step}) WHERE rn = 1)""")
+        selects.append(f"SELECT seed, {step} AS step, node FROM w{step}")
+    return _with_kg(
+        "\nUNION ALL\n".join(selects),
+        extra_ctes=",".join(ctes),
+    )

@@ -869,3 +869,53 @@ def test_degree_histogram_hand_golden(spark):
         1: (4, 1, 1, 4),
         3: (1, 4, 4, 4),
     }
+
+
+def test_hash_walks_matches_python_twin(spark):
+    """Every step's hop equals the argmin-of-md5 neighbor computed by
+    an independent python twin; dead ends stop early; revisits are
+    allowed (a 2-path walk alternates)."""
+    import hashlib
+
+    from openie_spark.kg.analytics import hash_walks
+
+    ids = list("abcdez")  # z isolated: walk = step 0 only
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    got = {}
+    for r in hash_walks(_nodes(spark, ids), _edges(spark, pairs),
+                        length=4, seed_mod=1).collect():
+        got[(r.seed, r.step)] = r.node
+
+    sym: dict = {}
+    for a, b in pairs:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for seed in ids:
+        node = seed
+        want[(seed, 0)] = node
+        for step in range(1, 5):
+            nbrs = sym.get(node)
+            if not nbrs:
+                break
+            node = min(nbrs, key=lambda n: (h60(f"{seed}#{step}#{n}"), n))
+            want[(seed, step)] = node
+    assert got == want
+    assert (("z", 1) not in got) and (("z", 0) in got)
+
+
+def test_hash_walks_partition_invariance(spark):
+    from openie_spark.kg.analytics import hash_walks
+
+    ids = [f"n{i}" for i in range(30)]
+    pairs = [(f"n{i}", f"n{(i * 3 + 1) % 30}") for i in range(30)]
+    a = sorted(tuple(r) for r in hash_walks(
+        _nodes(spark, ids), _edges(spark, pairs), seed_mod=1).collect())
+    b = sorted(tuple(r) for r in hash_walks(
+        _nodes(spark, ids).repartition(7),
+        _edges(spark, pairs).repartition(5), seed_mod=1).collect())
+    assert a == b and len(a) > 0
