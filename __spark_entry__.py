@@ -570,6 +570,15 @@ def _q_dp_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir))
 
 
+def _q_dp_ev_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature rollup (event counts, active days,
+    top type by min-by vote, epoch-micros bounds, exact cents sums) —
+    two partial-agg shuffles + user-sized joins, no windows."""
+    from openie_spark.datapipe.events import user_profiles
+
+    return user_profiles(_events(spark, sf_dir))
+
+
 def _q_dp_ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type Markov transition matrix: per-user chronologically
     adjacent type bigrams with exact row-normalized ppm shares — one
@@ -771,6 +780,16 @@ def _q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes, edges = _graph_parts(spark, sf_dir)
     return hash_walks(nodes, edges)
+
+
+def _q_kg_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, n_pairs) co-occurrence table from
+    the hash-walk corpus (|step distance| <= window) — the word2vec/
+    DeepWalk training input; walk-sized self-join + one partial agg."""
+    from openie_spark.kg.analytics import walk_skipgram_pairs
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return walk_skipgram_pairs(nodes, edges)
 
 
 def _q_kg_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
         "kg_walks": _q_kg_walks,
+        "kg_walk_pairs": _q_kg_walk_pairs,
         "kg_edge_split": _q_kg_edge_split,
         "kg_yield": _q_kg_yield,
         "kg_timeline": _q_kg_timeline,
@@ -1367,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ev_retention": _q_dp_ev_retention,
         "dp_ev_anomaly": _q_dp_ev_anomaly,
         "dp_ev_transitions": _q_dp_ev_transitions,
+        "dp_ev_profiles": _q_dp_ev_profiles,
     }
 
 
@@ -1420,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),
         "kg_walks": o.kg_walks_sql(),
+        "kg_walk_pairs": o.kg_walk_pairs_sql(),
         "kg_edge_split": o.kg_edge_split_sql(),
         "kg_yield": o.kg_yield_sql(),
         "kg_timeline": o.kg_timeline_sql(),
@@ -1474,4 +1496,5 @@ def oracle_sql() -> dict[str, str]:
         "dp_ev_retention": dp.retention_sql(),
         "dp_ev_anomaly": dp.anomalies_sql(),
         "dp_ev_transitions": dp.event_transitions_sql(),
+        "dp_ev_profiles": dp.user_profiles_sql(),
     }

@@ -461,3 +461,53 @@ def event_transitions(events: DataFrame) -> DataFrame:
             F.expr("n_transitions * 1000000 div n_from").alias("row_ppm"),
         )
     )
+
+
+def user_profiles(events: DataFrame) -> DataFrame:
+    """Per-user behavioral feature table -> (user_id, n_events,
+    n_active_days, n_types, top_type, first_us, last_us, span_days,
+    value_cents_sum): the standard entity-feature rollup a
+    personalization/abuse model consumes. top_type is the most
+    frequent event type, ties broken lexicographically (min_by on a
+    (-count, type) struct — the LPA vote pattern, partial-aggregated,
+    so a power-law user is combined map-side, never a window
+    partition). All integers: epoch-micros bounds, integer epoch-day
+    activity counts, value summed as exact cents.
+
+    Scale shape: TWO corpus-scale partial-agg shuffles (the (user,
+    day) dedup and the (user, type) counts) + user-sized rollup joins
+    — no windows anywhere."""
+    ev = _with_tz(events)
+    us = F.unix_micros(F.col("ts"))
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.sum(_cents(F.col("value"))).alias("value_cents_sum"),
+    )
+    days = (
+        ev.select("user_id", F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}")
+                  .alias("day")).distinct()
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_active_days"))
+    )
+    types = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.min_by(
+                "event_type",
+                F.struct((-F.col("n")).alias("nn"),
+                         F.col("event_type").alias("t"))).alias("top_type"),
+        )
+    )
+    return (
+        base.join(days, "user_id").join(types, "user_id")
+        .select(
+            "user_id", "n_events", "n_active_days", "n_types", "top_type",
+            "first_us", "last_us",
+            F.expr(f"(last_us - first_us) DIV {_US_PER_DAY}").alias("span_days"),
+            "value_cents_sum",
+        )
+    )

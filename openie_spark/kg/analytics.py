@@ -1191,3 +1191,36 @@ def hash_walks(nodes: DataFrame, edges: DataFrame,
             nxt.select("seed", F.lit(step).cast("int").alias("step"), "node"))
         walk = nxt
     return acc
+
+
+WALK_WINDOW = 2
+
+
+def walk_skipgram_pairs(nodes: DataFrame, edges: DataFrame,
+                        length: int = WALK_LEN,
+                        window: int = WALK_WINDOW,
+                        seed_mod: int = KHOP_SEED_MOD) -> DataFrame:
+    """Skip-gram training pairs from the hash-walk corpus ->
+    (center, context, n_pairs): for every walk, all (node_i, node_j)
+    with 0 < |i - j| <= window, aggregated over walks — exactly the
+    (center, context) co-occurrence table word2vec/DeepWalk trains on,
+    with n_pairs the exact multiplicity.
+
+    Scale shape: the walk table is (seeds x length)-sized; the pair
+    expansion is a self-equi-join ON seed with the step-distance
+    filter (each walk contributes <= 2*window*length rows), then one
+    partial-aggregated count. No windows, no corpus-scale shuffle
+    beyond the walk build itself."""
+    walks = hash_walks(nodes, edges, length=length, seed_mod=seed_mod) \
+        .localCheckpoint(eager=False)
+    a = walks.select("seed", F.col("step").alias("i"),
+                     F.col("node").alias("center"))
+    b = walks.select("seed", F.col("step").alias("j"),
+                     F.col("node").alias("context"))
+    return (
+        a.join(b, "seed")
+        .filter((F.col("i") != F.col("j"))
+                & (F.abs(F.col("i") - F.col("j")) <= window))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1539,3 +1539,39 @@ planted AS (
                                      (x, i) -> i % {PERTURB_DROP} <> 0), ' ') AS text
   FROM convdoc)"""
     return minhash_pairs_sql(planted_cte=conv_planted)
+
+
+def user_profiles_sql() -> str:
+    """Twin of events.user_profiles: per-user rollups with the exact
+    integer definitions (epoch-micros bounds, epoch-day activity,
+    cents sums) and min-by-(−count, type) top_type tie order."""
+    return """WITH base AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents_sum
+  FROM events GROUP BY 1
+),
+days AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_days FROM (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events)
+  GROUP BY 1
+),
+tc AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+nt AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_types FROM tc GROUP BY 1
+),
+types AS (
+  SELECT t.user_id, nt.n_types, t.event_type AS top_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n DESC, event_type ASC) AS rn
+    FROM tc) t JOIN nt USING (user_id) WHERE t.rn = 1
+)
+SELECT b.user_id, b.n_events, d.n_active_days, t.n_types, t.top_type,
+       b.first_us, b.last_us,
+       (b.last_us - b.first_us) // 86400000000 AS span_days,
+       b.value_cents_sum
+FROM base b JOIN days d USING (user_id) JOIN types t USING (user_id)"""

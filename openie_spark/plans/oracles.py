@@ -1439,12 +1439,10 @@ full_deg AS (
     )
 
 
-def kg_walks_sql() -> str:
-    """Twin of kg.analytics.hash_walks: the deterministic hash-driven
-    walk unrolled to WALK_LEN steps — per step, each walk moves to the
-    neighbor minimizing md5h60(seed || '#step#' || neighbor) (row_number
-    ordered by (h, cand); the Spark side's min-of-struct is the same
-    total order)."""
+def _walk_ctes() -> tuple[str, str]:
+    """Shared unrolled walk CTE chain for kg_walks_sql /
+    kg_walk_pairs_sql: returns (ctes, union_select) where union_select
+    yields (seed, step, node)."""
     from openie_spark.kg.analytics import KHOP_SALT, KHOP_SEED_MOD, WALK_LEN
 
     ticket = (f"CAST(concat('0x', substr(md5('{KHOP_SALT}#' || entity_id), "
@@ -1473,7 +1471,32 @@ w{step} AS MATERIALIZED (
            row_number() OVER (PARTITION BY seed ORDER BY h, cand) AS rn
     FROM c{step}) WHERE rn = 1)""")
         selects.append(f"SELECT seed, {step} AS step, node FROM w{step}")
+    return ",".join(ctes), "\nUNION ALL\n".join(selects)
+
+
+def kg_walks_sql() -> str:
+    """Twin of kg.analytics.hash_walks: the deterministic hash-driven
+    walk unrolled to WALK_LEN steps — per step, each walk moves to the
+    neighbor minimizing md5h60(seed || '#step#' || neighbor) (row_number
+    ordered by (h, cand); the Spark side's min-of-struct is the same
+    total order)."""
+    ctes, union_select = _walk_ctes()
+    return _with_kg(union_select, extra_ctes=ctes)
+
+
+def kg_walk_pairs_sql() -> str:
+    """Twin of kg.analytics.walk_skipgram_pairs: the walk table
+    self-joined on seed with 0 < |i - j| <= WALK_WINDOW, counted."""
+    from openie_spark.kg.analytics import WALK_WINDOW
+
+    ctes, union_select = _walk_ctes()
     return _with_kg(
-        "\nUNION ALL\n".join(selects),
-        extra_ctes=",".join(ctes),
+        f"""
+SELECT a.node AS center, b.node AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b ON a.seed = b.seed
+WHERE a.step <> b.step AND abs(a.step - b.step) <= {WALK_WINDOW}
+GROUP BY 1, 2""",
+        extra_ctes=ctes + f""",
+walks AS MATERIALIZED ({union_select})""",
     )

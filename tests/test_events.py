@@ -386,3 +386,37 @@ def test_event_transitions_partition_invariance(spark, ev):
         assert n > 0 and ppm > 0
         tot[ft] += ppm
     assert all(v <= 1_000_000 for v in tot.values())
+
+
+def test_user_profiles_hand_golden(spark):
+    from openie_spark.datapipe.events import user_profiles
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d = dt.timedelta(days=1)
+    rows = [
+        (0, t0, 1, "view", 1.25, "{}"),
+        (1, t0 + d, 1, "view", 0.50, "{}"),
+        (2, t0 + d, 1, "click", 0.00, "{}"),   # view 2 > click 1
+        (3, t0 + 2 * d, 1, "click", 0.25, "{}"),  # tie 2-2 -> 'click' wins lexicographically? no: counts 2-2, min type
+        (4, t0, 2, "view", 10.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.user_id: r.asDict() for r in user_profiles(df).collect()}
+    u1 = got[1]
+    assert (u1["n_events"], u1["n_active_days"], u1["n_types"]) == (4, 3, 2)
+    assert u1["top_type"] == "click"     # 2-2 tie -> lexicographic min
+    assert u1["span_days"] == 2
+    assert u1["value_cents_sum"] == 200
+    u2 = got[2]
+    assert (u2["n_events"], u2["n_active_days"], u2["top_type"],
+            u2["span_days"], u2["value_cents_sum"]) == (1, 1, "view", 0, 1000)
+
+
+def test_user_profiles_partition_invariance(spark, ev):
+    from openie_spark.datapipe.events import user_profiles
+
+    a = sorted(tuple(r) for r in user_profiles(ev).collect())
+    b = sorted(tuple(r) for r in user_profiles(ev.repartition(11)).collect())
+    assert a == b and len(a) > 0

@@ -919,3 +919,24 @@ def test_hash_walks_partition_invariance(spark):
         _nodes(spark, ids).repartition(7),
         _edges(spark, pairs).repartition(5), seed_mod=1).collect())
     assert a == b and len(a) > 0
+
+
+def test_walk_skipgram_pairs_hand_golden(spark):
+    """Pairs are within-walk, |i-j| <= window, multiplicity-counted;
+    a walk that alternates a<->b produces repeated pairs."""
+    from openie_spark.kg.analytics import hash_walks, walk_skipgram_pairs
+
+    ids = ["a", "b"]
+    pairs = [("a", "b")]
+    walks = {(r.seed, r.step): r.node for r in hash_walks(
+        _nodes(spark, ids), _edges(spark, pairs),
+        length=2, seed_mod=1).collect()}
+    # both walks alternate: a,b,a and b,a,b
+    assert walks == {("a", 0): "a", ("a", 1): "b", ("a", 2): "a",
+                     ("b", 0): "b", ("b", 1): "a", ("b", 2): "b"}
+    got = {(r.center, r.context): r.n_pairs for r in walk_skipgram_pairs(
+        _nodes(spark, ids), _edges(spark, pairs),
+        length=2, window=1, seed_mod=1).collect()}
+    # per walk: (0,1),(1,0),(1,2),(2,1) -> a->b x2 and b->a x2; both
+    # walks are mirror images so counts double
+    assert got == {("a", "b"): 4, ("b", "a"): 4}
