@@ -570,6 +570,15 @@ def _q_dp_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir))
 
 
+def _q_dp_bloom_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter with exact audit (planted
+    exact twins as ground truth): ≤m_bits broadcast bitmap, k-bit
+    probe join, one partial agg — the shuffle-free anti-join stand-in."""
+    from openie_spark.datapipe.decontam import bloom_flags, planted_exact
+
+    return bloom_flags(planted_exact(_docs(spark, sf_dir)))
+
+
 def _q_dp_ev_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral feature rollup (event counts, active days,
     top type by min-by vote, epoch-micros bounds, exact cents sums) —
@@ -1388,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ev_anomaly": _q_dp_ev_anomaly,
         "dp_ev_transitions": _q_dp_ev_transitions,
         "dp_ev_profiles": _q_dp_ev_profiles,
+        "dp_bloom_flags": _q_dp_bloom_flags,
     }
 
 
@@ -1497,4 +1507,5 @@ def oracle_sql() -> dict[str, str]:
         "dp_ev_anomaly": dp.anomalies_sql(),
         "dp_ev_transitions": dp.event_transitions_sql(),
         "dp_ev_profiles": dp.user_profiles_sql(),
+        "dp_bloom_flags": dp.bloom_flags_sql(),
     }

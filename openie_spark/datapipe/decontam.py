@@ -166,3 +166,79 @@ def boilerplate_stats(docs: DataFrame,
                 ppm.alias("boiler_ppm"),
                 (ppm >= flag_ppm).alias("flagged"))
     )
+
+
+BLOOM_M_BITS = 1 << 16       # filter size (bits)
+BLOOM_K = 4                  # hash functions; fpp ~ (1-e^{-kn/m})^k
+
+
+def bloom_flags(docs: DataFrame, m_bits: int = BLOOM_M_BITS,
+                k: int = BLOOM_K) -> DataFrame:
+    """Bloom-filter membership pre-filter with an exact audit ->
+    (doc_id, bloom_hit, true_member): the shuffle-free alternative to
+    a corpus×corpus anti-join. The KEY set is the exact content hashes
+    of the md5-ticket eval slice (the same deterministic split
+    decontaminate uses); every TRAIN doc is tested for "content seen
+    in the key set". bloom_hit is the filter's answer, true_member the
+    exact one — Bloom never misses (bloom_hit is true for every true
+    member by construction; a pytest pins it), so the interesting rows
+    are the false positives, whose rate sizes m/k for the real corpus.
+
+    Engine-portable bits: bit_j(x) = md5h60('bloomj#' || x) % m_bits —
+    the filter content is a deterministic function of the key set, so
+    the DuckDB twin rebuilds the identical bitmap.
+
+    Scale shape: the bit table is a distinct over keys×k (≤ m_bits
+    rows TOTAL regardless of corpus — broadcast side of every probe
+    join); probes explode each test doc to k bit rows, join the bit
+    table (broadcast hash join), and a partial-aggregated count==k per
+    doc gives the verdict. ONE corpus-scale agg, no corpus×corpus
+    join anywhere; the exact audit column joins only against the
+    eval-slice-sized distinct hash set (semi-join)."""
+    hashed = docs.select(
+        "doc_id", F.md5("text").alias("h"),
+        (_ticket(F.col("doc_id")) < DECON_HOLDOUT_PPM).alias("is_eval"),
+    ).localCheckpoint(eager=False)
+    keys = hashed.filter("is_eval").select("h").distinct()
+
+    def bits_of(col):
+        return [
+            F.pmod(md5h60(F.concat(F.lit(f"bloom{j}#"), col)),
+                   F.lit(m_bits)).alias("bit")
+            for j in range(k)
+        ]
+
+    bitmap = (
+        keys.select(F.explode(F.array(*bits_of(F.col("h")))).alias("bit"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    train = hashed.filter(~F.col("is_eval"))
+    probes = train.select(
+        "doc_id", "h", F.explode(F.array(*bits_of(F.col("h")))).alias("bit"))
+    hits = (
+        probes.join(bitmap, "bit", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    member = keys.select(F.col("h").alias("mh")).distinct()
+    return (
+        train.join(hits, "doc_id", "left")
+        .join(member, train.h == member.mh, "left")
+        .select(
+            "doc_id",
+            (F.coalesce("n_set", F.lit(0)) == k).alias("bloom_hit"),
+            F.col("mh").isNotNull().alias("true_member"),
+        )
+    )
+
+
+def planted_exact(docs: DataFrame) -> DataFrame:
+    """docs ∪ EXACT copies (doc_id += PLANT_OFFSET, text unchanged):
+    ground truth for bloom_flags — each text exists exactly twice with
+    independent md5 tickets, so ~2·holdout_ppm of train docs have
+    their twin in the eval slice and are TRUE members."""
+    from openie_spark.datapipe.dedup import PLANT_OFFSET
+
+    return docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"))

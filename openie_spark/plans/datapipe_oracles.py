@@ -1575,3 +1575,47 @@ SELECT b.user_id, b.n_events, d.n_active_days, t.n_types, t.top_type,
        (b.last_us - b.first_us) // 86400000000 AS span_days,
        b.value_cents_sum
 FROM base b JOIN days d USING (user_id) JOIN types t USING (user_id)"""
+
+
+def bloom_flags_sql() -> str:
+    """Twin of decontam.bloom_flags over decontam.planted_exact: the
+    identical md5-derived bitmap rebuilt in SQL, probes counted
+    against it, exact membership from a distinct eval-hash semi-join."""
+    from openie_spark.datapipe.decontam import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        DECON_HOLDOUT_PPM,
+        DECON_SALT,
+    )
+    from openie_spark.datapipe.dedup import PLANT_OFFSET
+
+    tick = (f"CAST(concat('0x', substr(md5('{DECON_SALT}#' || "
+            f"CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000")
+    bit = ("CAST(concat('0x', substr(md5('bloom{j}#' || h), 1, 15)) "
+           f"AS BIGINT) % {BLOOM_M_BITS}")
+    bits_k = ", ".join(bit.format(j=j) for j in range(BLOOM_K))
+    return f"""WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text FROM documents
+),
+hashed AS (
+  SELECT doc_id, md5(text) AS h, ({tick}) < {DECON_HOLDOUT_PPM} AS is_eval
+  FROM planted
+),
+keys AS (SELECT DISTINCT h FROM hashed WHERE is_eval),
+bitmap AS (
+  SELECT DISTINCT unnest([{bits_k}]) AS bit FROM keys
+),
+train AS (SELECT doc_id, h FROM hashed WHERE NOT is_eval),
+probes AS (
+  SELECT doc_id, unnest([{bits_k}]) AS bit FROM train
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_set FROM probes
+  WHERE bit IN (SELECT bit FROM bitmap) GROUP BY 1
+)
+SELECT t.doc_id,
+       COALESCE(hi.n_set, 0) = {BLOOM_K} AS bloom_hit,
+       t.h IN (SELECT h FROM keys) AS true_member
+FROM train t LEFT JOIN hits hi USING (doc_id)"""
