@@ -545,6 +545,15 @@ def _q_kg_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard(edges)
 
 
+def _q_kg_linkpred_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction: non-adjacent entity pairs
+    ranked by sum(1/deg) over shared neighbors (exact integer ppm)."""
+    from openie_spark.kg.analytics import resource_allocation
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return resource_allocation(edges)
+
+
 def _q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic tail-corruption negative samples for KGE
     training (md5 hash-ring pick, broadcast representative table)."""
@@ -832,6 +841,32 @@ def _q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(nodes, edges)
 
 
+def _q_kg_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss edge decomposition over the entity CO-MENTION graph
+    (edges embedded in >= 1 triangle within the surviving set,
+    monotone peel — the edge-level k-core). The relation KG itself is
+    near-bipartite (subject->object edges; triangle-free on this
+    corpus at every sf), so the truss runs where triangles live:
+    conversations mentioning >= 3 entities contribute cliques."""
+    from pyspark.sql import functions as F
+
+    from openie_spark.kg.analytics import comention_pairs, truss
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    co = comention_pairs(edges).select(
+        F.col("a").alias("src_id"), F.col("b").alias("dst_id"))
+    return truss(nodes, co)
+
+
+def _q_kg_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores: integer-exact degree-normalized
+    HITS over the simple directed graph, 5 Gauss-Seidel steps."""
+    from openie_spark.kg.analytics import salsa
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return salsa(nodes, edges)
+
+
 def _q_kg_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant linking candidates: capped blocking + Levenshtein
     <= 3 verification with the threshold pushed into Spark's early-
@@ -915,6 +950,22 @@ def _q_dp_ev_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.events import windowed_counts
 
     return windowed_counts(_events(spark, sf_dir))
+
+
+def _q_dp_ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (20 min / 5 min slide) counts, distinct users and
+    value sums per event_type — native F.window(ts, L, S) explode."""
+    from openie_spark.datapipe.events import sliding_counts
+
+    return sliding_counts(_events(spark, sf_dir))
+
+
+def _q_dp_ev_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per active epoch day, DAU, trailing-7-day
+    WAU, and the exact-ppm DAU/WAU stickiness ratio."""
+    from openie_spark.datapipe.events import active_users
+
+    return active_users(_events(spark, sf_dir))
 
 
 def _q_dp_ev_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1025,6 +1076,15 @@ def _q_dp_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.dedup import winnow_pairs
 
     return winnow_pairs(_docs(spark, sf_dir))
+
+
+def _q_dp_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs over winnow fingerprint sets —
+    the quote/excerpt signal Jaccard misses (both directional ppm
+    ratios, either-side threshold)."""
+    from openie_spark.datapipe.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir))
 
 
 def _q_dp_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1326,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_metapaths": _q_kg_metapaths,
         "kg_comention": _q_kg_comention,
         "kg_neighbor_jaccard": _q_kg_neighbor_jaccard,
+        "kg_linkpred_ra": _q_kg_linkpred_ra,
         "kg_negatives": _q_kg_negatives,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "kg_edges_incremental": _q_kg_edges_incremental,
@@ -1337,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": _q_kg_communities,
         "kg_community_stats": _q_kg_community_stats,
         "kg_kcore": _q_kg_kcore,
+        "kg_truss": _q_kg_truss,
+        "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
         "kg_walks": _q_kg_walks,
@@ -1359,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_fingerprint": _q_dp_fingerprint,
         "dp_winnow": _q_dp_winnow,
         "dp_winnow_pairs": _q_dp_winnow_pairs,
+        "dp_containment": _q_dp_containment,
         "dp_bpe_pairs": _q_dp_bpe_pairs,
         "dp_bpe_merges": _q_dp_bpe_merges,
         "dp_kmv_distinct": _q_dp_kmv_distinct,
@@ -1389,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ev_sessions": _q_dp_ev_sessions,
         "dp_ev_sessions_sw": _q_dp_ev_sessions_sw,
         "dp_ev_windowed": _q_dp_ev_windowed,
+        "dp_ev_sliding": _q_dp_ev_sliding,
+        "dp_ev_active": _q_dp_ev_active,
         "dp_ev_props": _q_dp_ev_props,
         "dp_ev_asof": _q_dp_ev_asof,
         "dp_ev_intervals": _q_dp_ev_intervals,
@@ -1437,6 +1503,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_metapaths": o.kg_metapaths_sql(),
         "kg_comention": o.kg_comention_sql(),
         "kg_neighbor_jaccard": o.kg_neighbor_jaccard_sql(),
+        "kg_linkpred_ra": o.kg_linkpred_ra_sql(),
         "kg_negatives": o.kg_negatives_sql(),
         "kg_nodes_incremental": o.kg_nodes_sql(),
         "kg_edges_incremental": o.kg_edges_sql(),
@@ -1448,6 +1515,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": o.kg_lpa_sql(),
         "kg_community_stats": o.kg_community_stats_sql(),
         "kg_kcore": o.kg_kcore_sql(),
+        "kg_truss": o.kg_truss_sql(),
+        "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),
         "kg_walks": o.kg_walks_sql(),
@@ -1470,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_fingerprint": dp.fingerprint_sql(),
         "dp_winnow": dp.winnow_sql(),
         "dp_winnow_pairs": dp.winnow_pairs_sql(),
+        "dp_containment": dp.containment_pairs_sql(),
         "dp_bpe_pairs": dp.bpe_pairs_sql(),
         "dp_kmv_distinct": dp.kmv_distinct_sql(),
         "dp_hll_distinct": dp.hll_distinct_sql(),
@@ -1499,6 +1569,8 @@ def oracle_sql() -> dict[str, str]:
         "dp_ev_sessions": dp.session_stats_sql(),
         "dp_ev_sessions_sw": dp.session_window_stats_sql(),
         "dp_ev_windowed": dp.windowed_counts_sql(),
+        "dp_ev_sliding": dp.sliding_counts_sql(),
+        "dp_ev_active": dp.active_users_sql(),
         "dp_ev_props": dp.props_k_sql(),
         "dp_ev_asof": dp.asof_last_ref_sql(),
         "dp_ev_intervals": dp.interval_events_sql(),

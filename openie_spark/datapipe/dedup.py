@@ -386,3 +386,63 @@ def winnow_pairs(docs: DataFrame, cap: int = WINNOW_BUCKET_CAP,
         .where(F.col("jaccard_ppm") >= min_ppm)
         .select("a", "b", "n_shared", "nf_a", "nf_b", "jaccard_ppm")
     )
+
+
+CONTAIN_MIN_PPM = 500_000   # keep pairs where EITHER direction >= 50%
+
+
+def containment_pairs(docs: DataFrame, cap: int = WINNOW_BUCKET_CAP,
+                      min_ppm: int = CONTAIN_MIN_PPM) -> DataFrame:
+    """Asymmetric containment pairs (Broder 1997's containment
+    coefficient over the winnowing fingerprint sets) ->
+    (a, b, n_shared, nf_a, nf_b, cont_a_ppm, cont_b_ppm):
+    cont_a = |F_A ∩ F_B| / |F_A| — how much of A lives inside B — and
+    symmetrically cont_b; one row per unordered pair (a < b) carrying
+    BOTH directions, kept when EITHER clears ``min_ppm``. This is the
+    signal Jaccard structurally misses: a short doc pasted into a much
+    longer one has tiny Jaccard (union is huge) but containment ~1 on
+    the short side — the quote/excerpt/boilerplate-expansion case a
+    training-data pipeline must catch, and the reason the candidate
+    step here is the shared-fingerprint equi-join (size-ratio blind)
+    rather than minhash bands (which approximate Jaccard and therefore
+    inherit its blindness).
+
+    Ratios are round-half-up integer ppm against each side's own
+    fingerprint count — no float division. Same scale shape and
+    boilerplate-bucket cap as winnow_pairs (ONE fp shuffle reused by
+    the bucket count and the self-join; per-doc counts exact and
+    uncapped)."""
+    from openie_spark.datapipe.textstats import winnow_fingerprints
+
+    d = (winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+         .localCheckpoint(eager=False))
+    nf = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    small_fp = (
+        d.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") <= cap)
+        .select("fp")
+    )
+    bucketed = (
+        d.join(small_fp, "fp", "left_semi")
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=False)
+    )
+    l = bucketed.select("fp", F.col("doc_id").alias("a"))
+    r = bucketed.select("fp", F.col("doc_id").alias("b"))
+    pairs = (
+        l.join(r, "fp").where(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = nf.select(F.col("doc_id").alias("a"), F.col("nf").alias("nf_a"))
+    nb = nf.select(F.col("doc_id").alias("b"), F.col("nf").alias("nf_b"))
+    return (
+        pairs.join(na, "a").join(nb, "b")
+        .withColumn("cont_a_ppm", F.expr(
+            "(2 * n_shared * 1000000 + nf_a) DIV (2 * nf_a)"))
+        .withColumn("cont_b_ppm", F.expr(
+            "(2 * n_shared * 1000000 + nf_b) DIV (2 * nf_b)"))
+        .where((F.col("cont_a_ppm") >= min_ppm)
+               | (F.col("cont_b_ppm") >= min_ppm))
+        .select("a", "b", "n_shared", "nf_a", "nf_b",
+                "cont_a_ppm", "cont_b_ppm")
+    )

@@ -155,6 +155,49 @@ def windowed_counts(events: DataFrame,
     )
 
 
+SLIDE_MINUTES = 5
+SLIDING_WINDOW_MINUTES = 20
+
+
+def sliding_counts(events: DataFrame,
+                   window_minutes: int = SLIDING_WINDOW_MINUTES,
+                   slide_minutes: int = SLIDE_MINUTES) -> DataFrame:
+    """(window_start, event_type, n, n_users, sum_value_cents) per
+    SLIDING window — length ``window_minutes``, advancing every
+    ``slide_minutes`` (must divide it). The moving-aggregate view of
+    the stream: each event lands in exactly L/S windows, so Spark's
+    native ``F.window(ts, L, S)`` explodes it L/S ways and the rest is
+    the same partial-aggregated groupBy as the tumbling operator —
+    the shuffle carries one row per (window, type, input partition),
+    never one per event, and output is bounded by
+    (time span / slide) x types regardless of corpus size.
+
+    n_users is an exact COUNT(DISTINCT user_id) — fine in batch where
+    the aggregate runs per final window; a streaming twin would swap
+    it for approx_count_distinct or drop it (exact distinct is not
+    incrementally maintainable without keeping the id set in state).
+
+    window_start is the window's epoch second (integer — engine-
+    portable, same convention as windowed_counts)."""
+    if window_minutes % slide_minutes:
+        raise ValueError("slide_minutes must divide window_minutes")
+    win = F.window("ts", f"{window_minutes} minutes",
+                   f"{slide_minutes} minutes")
+    return (
+        _with_tz(events).groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) / _US_PER_SEC).cast("long")
+            .alias("window_start"),
+            "event_type", "n", "n_users", "sum_value_cents",
+        )
+    )
+
+
 def props_k(events: DataFrame) -> DataFrame:
     """(event_id, event_type, k) — typed JSON field extraction from the
     props column."""
@@ -510,4 +553,52 @@ def user_profiles(events: DataFrame) -> DataFrame:
             F.expr(f"(last_us - first_us) DIV {_US_PER_DAY}").alias("span_days"),
             "value_cents_sum",
         )
+    )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def active_users(events: DataFrame,
+                 window_days: int = WAU_WINDOW_DAYS) -> DataFrame:
+    """(day, dau, wau, stickiness_ppm) — rolling engagement: for each
+    ACTIVE epoch day, the distinct users active that day (DAU), the
+    distinct users active in the trailing ``window_days`` window
+    ending that day (WAU), and the exact round-down integer-ppm
+    DAU/WAU stickiness ratio — the standard product-engagement rollup
+    (no float division, no date/timezone arithmetic: integer epoch-day
+    buckets like retention_cohorts).
+
+    Scale shape: one (user_id, day) dedup shuffle; after it each user
+    contributes one row per active day, so DAU is a plain count. The
+    rolling side maps each (user, day) to the ``window_days`` window
+    END days it supports (a bounded explode, x7 on user-days — NOT on
+    events) and counts distinct users per end day; that is the one
+    countDistinct in the module and its state per group is bounded by
+    the window's active users. Output is bounded by distinct active
+    days, independent of corpus size. Days with zero activity emit
+    nothing (inner join on the DAU side), so trailing ghost windows
+    past the data's end never appear."""
+    ud = (
+        _with_tz(events)
+        .select("user_id",
+                F.expr(f"unix_micros(ts) DIV {_US_PER_DAY}").alias("day"))
+        .distinct()
+        # feeds both the DAU count and the window expansion
+        .localCheckpoint(eager=False)
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(
+                F.col("day"),
+                F.col("day") + F.lit(window_days - 1))).alias("day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau",
+        # wau >= dau >= 1 on every emitted day, so never div-by-zero
+        F.expr("(1000000 * dau) DIV wau").alias("stickiness_ppm"),
     )

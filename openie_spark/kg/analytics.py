@@ -391,6 +391,60 @@ def neighbor_jaccard(edges: DataFrame, cap: int = NJ_CAP,
     )
 
 
+RA_MIN_COMMON = 1       # one RARE shared neighbor is already signal
+                        # (that's RA's point); raise to shrink output
+
+
+def resource_allocation(edges: DataFrame, cap: int = NJ_CAP,
+                        min_common: int = RA_MIN_COMMON) -> DataFrame:
+    """Resource-allocation link prediction -> (a, b, n_common, ra_ppm):
+    NON-adjacent node pairs scored by the RA index (Zhou, Lu, Zhang,
+    EPJ B 2009), RA(a,b) = sum over shared neighbors z of 1/deg(z) —
+    the strongest of the classic local link-prediction indices because
+    a promiscuous hub pivot contributes almost nothing while a rare
+    shared neighbor contributes a lot. Complements neighbor_jaccard
+    (which scores ALL structural pairs symmetrically): this one
+    anti-joins the existing edge set, so every output row is a
+    predicted MISSING edge, ranked by ra_ppm.
+
+    Engine-portable scoring: each pivot contributes
+    floor(1_000_000 / deg(z)) and the pair score is the BIGINT sum of
+    those per-pivot integers — no float division to drift between
+    engines. deg(z) is the pivot's TRUE degree (uncapped); ``cap``
+    only bounds pair emission per pivot (lowest-id neighbors kept,
+    deterministic — same hot-key rule as neighbor_jaccard, without
+    which one 10^5-degree hub emits 10^10 candidate pairs).
+
+    Scale shape: one shuffle to dedupe the undirected edge, a
+    node-sized degree aggregate attached to the capped adjacency
+    (AQE broadcasts it), a per-pivot window bounded by ``cap``, a
+    partial-aggregated (a, b) sum, and a left-anti join against the
+    edge set (shuffle bounded by the candidate pairs)."""
+    und = undirected_edges(edges).localCheckpoint(eager=False)
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+    adj = adj.localCheckpoint(eager=False)  # feeds deg + capped
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    w = Window.partitionBy("v").orderBy("n")
+    capped = (adj.withColumn("r", F.row_number().over(w))
+              .where(F.col("r") <= cap).drop("r")
+              .join(deg, "v")
+              .withColumn("w_ppm", F.expr("1000000 DIV deg"))
+              .drop("deg")
+              .localCheckpoint(eager=False))  # self-join: one lineage
+    l = capped.select("v", F.col("n").alias("a"), "w_ppm")
+    r = capped.select("v", F.col("n").alias("b"))
+    scored = (
+        l.join(r, "v")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"),
+             F.sum("w_ppm").alias("ra_ppm"))
+        .where(F.col("n_common") >= min_common)
+    )
+    return scored.join(und, ["a", "b"], "left_anti")
+
+
 NEG_BUCKETS = 64        # hash-ring granularity for corruption picks
 NEG_PER_POS = 2         # negatives emitted per positive triple
 NEG_SALT = "neg-v1"
@@ -1224,3 +1278,177 @@ def walk_skipgram_pairs(nodes: DataFrame, edges: DataFrame,
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+TRUSS_K = 3
+TRUSS_MAX_ROUNDS = 12
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(a, b, support) — per-edge triangle support over an undirected
+    simple edge set (a < b): the number of triangles the edge closes.
+    Degree-oriented enumeration (see triangle_counts) so hub fan-out
+    stays O(sqrt(m)); each oriented triangle x->y->z is mapped back to
+    its three UNDIRECTED edges via least/greatest. Only edges in >= 1
+    triangle appear."""
+    und = und.localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("a").alias("entity_id"))
+        .unionAll(und.select(F.col("b").alias("entity_id")))
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("entity_id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("entity_id").alias("b"), F.col("deg").alias("deg_b"))
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+        .localCheckpoint(eager=False)  # feeds all three triangle legs
+    )
+    e1 = ori.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = ori.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    e3 = ori.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    pair = lambda u, v: F.struct(  # noqa: E731 — local shorthand
+        F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+    return (
+        tris.select(F.explode(F.array(
+            pair("x", "y"), pair("y", "z"), pair("x", "z"))).alias("e"))
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def truss(nodes: DataFrame, edges: DataFrame, k: int = TRUSS_K,
+          max_rounds: int = TRUSS_MAX_ROUNDS) -> DataFrame:
+    """k-truss decomposition (Cohen 2008) -> (a, b, support): the
+    maximal subgraph in which every EDGE participates in at least k-2
+    triangles, with each surviving edge's triangle support inside that
+    subgraph. The edge-level strengthening of k-core: cores keep any
+    well-connected node, trusses keep only edges embedded in dense
+    neighborhoods — the standard backbone/community-seed pass over a
+    noisy extraction graph (a spurious triple rarely closes triangles).
+
+    Same monotone-fixpoint contract as kcore: each round recomputes
+    per-edge support within the surviving edge set and drops edges
+    below k-2; the set only shrinks, a round that removes nothing is
+    the answer, and round exhaustion raises a loud RuntimeError so the
+    fixed-round-unrolled DuckDB oracle stays exact (extra unrolled
+    rounds past the fixpoint are no-ops).
+
+    Scale shape per round: the degree-oriented triangle enumeration
+    (hub out-lists O(sqrt(m)), the Suri & Vassilvitskii bound) + one
+    partial-aggregated (a, b) support count; every round's support
+    table already IS the kept-edge candidate set (a triangle edge is
+    by construction an edge), so no re-join against the edge table.
+    Rounds are bounded by the truss peel depth, tiny on power-law
+    graphs."""
+    if k < 3:
+        raise ValueError("truss: k must be >= 3 (k=2 keeps every edge)")
+    need = k - 2
+    live = undirected_edges(edges).localCheckpoint(eager=True)
+    n_prev = live.count()
+    if n_prev == 0:
+        return live.select("a", "b", F.lit(0).cast("long").alias("support"))
+    for _ in range(max_rounds):
+        kept = (
+            _edge_support(live)
+            .where(F.col("support") >= need)
+            .localCheckpoint(eager=True)
+        )
+        n_now = kept.count()
+        if n_now in (n_prev, 0):
+            # monotone shrink: equal counts <=> equal sets <=> fixpoint;
+            # support was computed over THAT same set, so it is the
+            # in-truss support.
+            return kept.select(
+                "a", "b", F.col("support").cast("long").alias("support"))
+        live = kept.select("a", "b")
+        n_prev = n_now
+    raise RuntimeError(
+        f"truss: no fixpoint after {max_rounds} peel rounds; raise "
+        "max_rounds (the oracle unrolls the same bound)")
+
+
+SALSA_ITERS = 5
+
+
+def salsa(nodes: DataFrame, edges: DataFrame,
+          iters: int = SALSA_ITERS,
+          scale: int = PAGERANK_SCALE) -> DataFrame:
+    """SALSA hub/authority scores (Lempel & Moran, WWW 2000) ->
+    (entity_id, auth, hub) over the simple DIRECTED graph — the
+    degree-normalized cousin of HITS: authority mass flows along
+    in-edges divided by the source's out-degree, hub mass back along
+    out-edges divided by the target's in-degree. Unlike HITS there is
+    NO global normalization scalar per iteration (the degree division
+    conserves mass up to floor loss), which is exactly what makes an
+    integer-exact, partitioning-independent distributed version
+    possible — no float norm to drift between engines or cluster
+    sizes. Directed complements pagerank: a subject-heavy entity
+    scores as hub, an object-heavy one as authority.
+
+        auth_{t+1}(v) = SUM over edges u->v of hub_t(u)   DIV out_deg(u)
+        hub_{t+1}(u)  = SUM over edges u->v of auth_{t+1}(v) DIV in_deg(v)
+
+    (Gauss-Seidel order: the hub step reads the FRESH auth — the
+    classic HITS/SALSA update order.) Scores are integer mass units
+    (PAGERANK_SCALE per node initially); nodes outside the edge set
+    report 0. This is our own pinned integer semantics, not an
+    approximation of someone else's float run.
+
+    Scale shape: identical to pagerank — the degree-annotated edge
+    table is partitioned once and localCheckpointed, each iteration is
+    two edge-x-scores equi-joins + two partial-aggregated groupBys +
+    node-sized left joins, chained lazily into one fused job. BIGINT
+    headroom: total mass n_nodes * SCALE never grows (floor loss only
+    shrinks it), same bound as pagerank."""
+    ids = nodes.select("entity_id").localCheckpoint(eager=False)
+    se = simple_edges(edges)
+    out_deg = se.groupBy("src_id").agg(F.count(F.lit(1)).alias("out_deg"))
+    in_deg = se.groupBy("dst_id").agg(F.count(F.lit(1)).alias("in_deg"))
+    linked = (
+        se.join(out_deg, "src_id").join(in_deg, "dst_id")
+        .repartition("src_id")
+        .localCheckpoint(eager=False)
+    )
+    hubs = ids.select("entity_id", F.lit(scale).cast("long").alias("hub"))
+    auths = ids.select("entity_id", F.lit(scale).cast("long").alias("auth"))
+    for i in range(iters):
+        a_in = (
+            linked.join(hubs.withColumnRenamed("entity_id", "src_id"),
+                        "src_id")
+            .select("dst_id", F.expr("hub DIV out_deg").alias("share"))
+            .groupBy("dst_id")
+            .agg(F.sum("share").alias("a_raw"))
+        )
+        auths = (
+            ids.join(a_in.withColumnRenamed("dst_id", "entity_id"),
+                     "entity_id", "left")
+            .select("entity_id",
+                    F.coalesce("a_raw", F.lit(0)).cast("long").alias("auth"))
+        )
+        h_in = (
+            linked.join(auths.withColumnRenamed("entity_id", "dst_id"),
+                        "dst_id")
+            .select("src_id", F.expr("auth DIV in_deg").alias("share"))
+            .groupBy("src_id")
+            .agg(F.sum("share").alias("h_raw"))
+        )
+        hubs = (
+            ids.join(h_in.withColumnRenamed("src_id", "entity_id"),
+                     "entity_id", "left")
+            .select("entity_id",
+                    F.coalesce("h_raw", F.lit(0)).cast("long").alias("hub"))
+        )
+        if (i + 1) % PAGERANK_CKPT_EVERY == 0 and (i + 1) < iters:
+            auths = auths.localCheckpoint(eager=False)
+            hubs = hubs.localCheckpoint(eager=False)
+    return auths.join(hubs, "entity_id").select("entity_id", "auth", "hub")

@@ -870,6 +870,28 @@ def windowed_counts_sql() -> str:
 FROM events GROUP BY 1, 2"""
 
 
+def sliding_counts_sql() -> str:
+    """Twin of events.sliding_counts: each event belongs to the L/S
+    slide-aligned windows covering it — enumerated with an explicit
+    k-offset unnest (Spark's F.window(ts, L, S) explode, replayed) —
+    then the same integer-cents aggregate."""
+    from openie_spark.datapipe.events import (
+        SLIDE_MINUTES,
+        SLIDING_WINDOW_MINUTES,
+    )
+
+    s = SLIDE_MINUTES * 60
+    n_k = SLIDING_WINDOW_MINUTES // SLIDE_MINUTES
+    return f"""SELECT
+  CAST(((epoch_us(ts) // 1000000 // {s}) - k.k) * {s} AS BIGINT) AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events, (SELECT unnest(range(0, {n_k})) AS k) k
+GROUP BY 1, 2"""
+
+
 def props_k_sql() -> str:
     return """SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS INT) AS k
@@ -1619,3 +1641,54 @@ SELECT t.doc_id,
        COALESCE(hi.n_set, 0) = {BLOOM_K} AS bloom_hit,
        t.h IN (SELECT h FROM keys) AS true_member
 FROM train t LEFT JOIN hits hi USING (doc_id)"""
+
+
+def active_users_sql() -> str:
+    """Twin of events.active_users: distinct (user, day) epoch-day
+    activity, DAU count, trailing-window WAU via a bounded k-offset
+    unnest (each user-day supports the window ending on day+k), exact
+    round-down ppm stickiness."""
+    from openie_spark.datapipe.events import WAU_WINDOW_DAYS
+
+    return f"""WITH au_ud AS MATERIALIZED (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+au_dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM au_ud GROUP BY 1
+),
+au_wau AS (
+  SELECT u.day + k.k AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM au_ud u, (SELECT unnest(range(0, {WAU_WINDOW_DAYS})) AS k) k
+  GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau,
+       CAST((1000000 * d.dau) // w.wau AS BIGINT) AS stickiness_ppm
+FROM au_dau d JOIN au_wau w USING (day)"""
+
+
+def containment_pairs_sql() -> str:
+    """Twin of dedup.containment_pairs on winnow_sql's selection:
+    both directional round-half-up ppm containments, either-side
+    threshold."""
+    from openie_spark.datapipe.dedup import CONTAIN_MIN_PPM, WINNOW_BUCKET_CAP
+
+    return f"""WITH cfp AS ({winnow_sql()}),
+cd AS (SELECT DISTINCT doc_id, fp FROM cfp),
+cnf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM cd GROUP BY 1),
+cok AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_docs FROM cd)
+  WHERE n_docs <= {WINNOW_BUCKET_CAP}
+),
+cp AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM cok l JOIN cok r USING (fp)
+  WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+)
+SELECT a, b, n_shared, ca.nf AS nf_a, cb.nf AS nf_b,
+       (2 * n_shared * 1000000 + ca.nf) // (2 * ca.nf) AS cont_a_ppm,
+       (2 * n_shared * 1000000 + cb.nf) // (2 * cb.nf) AS cont_b_ppm
+FROM cp JOIN cnf ca ON cp.a = ca.doc_id JOIN cnf cb ON cp.b = cb.doc_id
+WHERE (2 * n_shared * 1000000 + ca.nf) // (2 * ca.nf) >= {CONTAIN_MIN_PPM}
+   OR (2 * n_shared * 1000000 + cb.nf) // (2 * cb.nf) >= {CONTAIN_MIN_PPM}"""

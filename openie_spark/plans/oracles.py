@@ -465,6 +465,45 @@ nj_inter AS MATERIALIZED (
 )""")
 
 
+def kg_linkpred_ra_sql() -> str:
+    """Twin of kg.analytics.resource_allocation: capped pivot
+    adjacency, per-pivot floor(1e6/deg) weights summed as BIGINT,
+    NON-adjacent pairs only (NOT EXISTS against the undirected edge
+    set)."""
+    from openie_spark.kg.analytics import NJ_CAP, RA_MIN_COMMON
+
+    return _with_kg(f"""
+SELECT a, b, n_common, ra_ppm
+FROM ra_pairs p
+WHERE NOT EXISTS (SELECT 1 FROM ra_und u WHERE u.ua = p.a AND u.ub = p.b)""",
+                    extra_ctes=f"""
+ra_und AS (
+  SELECT DISTINCT least(src_id, dst_id) AS ua, greatest(src_id, dst_id) AS ub
+  FROM kg_edges WHERE src_id <> dst_id
+),
+ra_adj AS MATERIALIZED (
+  SELECT ua AS v, ub AS n FROM ra_und UNION ALL SELECT ub, ua FROM ra_und
+),
+ra_deg AS MATERIALIZED (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM ra_adj GROUP BY v
+),
+ra_capped AS MATERIALIZED (
+  SELECT c.v, c.n, CAST(1000000 // d.deg AS BIGINT) AS w_ppm
+  FROM (
+    SELECT v, n FROM (
+      SELECT v, n, row_number() OVER (PARTITION BY v ORDER BY n) AS r
+      FROM ra_adj)
+    WHERE r <= {NJ_CAP}) c
+  JOIN ra_deg d ON c.v = d.v
+),
+ra_pairs AS MATERIALIZED (
+  SELECT l.n AS a, r.n AS b, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(l.w_ppm) AS BIGINT) AS ra_ppm
+  FROM ra_capped l JOIN ra_capped r ON l.v = r.v AND l.n < r.n
+  GROUP BY 1, 2 HAVING count(*) >= {RA_MIN_COMMON}
+)""")
+
+
 def kg_negatives_sql() -> str:
     """Twin of kg.analytics.negative_samples (md5 hash-ring bucket →
     min-entity representative, broadcast pick, collision drop)."""
@@ -1499,4 +1538,89 @@ WHERE a.step <> b.step AND abs(a.step - b.step) <= {WALK_WINDOW}
 GROUP BY 1, 2""",
         extra_ctes=ctes + f""",
 walks AS MATERIALIZED ({union_select})""",
+    )
+
+
+def kg_truss_sql() -> str:
+    """Twin of __spark_entry__._q_kg_truss: the k-truss peel over the
+    entity CO-MENTION pair graph (the relation KG is near-bipartite —
+    triangle-free — so the truss runs on co-mention cliques), unrolled
+    to TRUSS_MAX_ROUNDS rounds — each round enumerates triangles over
+    the surviving edge set (id-ordered a<b<c here; orientation is only
+    a performance trick, the triangle set is identical) and keeps
+    edges with support >= k-2. Spark fails loudly past the round
+    budget and peeling is monotone, so extra unrolled rounds are exact
+    no-ops."""
+    from openie_spark.kg.analytics import (
+        COMENTION_CAP,
+        TRUSS_K,
+        TRUSS_MAX_ROUNDS,
+    )
+
+    need = TRUSS_K - 2
+    ctes = [f"""
+tr_ents AS (
+  SELECT DISTINCT conv_id, e FROM (
+    SELECT conv_id, src_id AS e FROM kg_edges
+    UNION ALL SELECT conv_id, dst_id AS e FROM kg_edges)
+),
+tr_capped AS MATERIALIZED (
+  SELECT conv_id, e FROM (
+    SELECT conv_id, e,
+           row_number() OVER (PARTITION BY conv_id ORDER BY e) AS r
+    FROM tr_ents)
+  WHERE r <= {COMENTION_CAP}
+),
+te0 AS MATERIALIZED (
+  SELECT DISTINCT l.e AS a, r.e AS b
+  FROM tr_capped l JOIN tr_capped r
+    ON l.conv_id = r.conv_id AND l.e < r.e)"""]
+    for r in range(TRUSS_MAX_ROUNDS):
+        ctes.append(f"""
+tt{r} AS (
+  SELECT p.a AS x, p.b AS y, q.b AS z
+  FROM te{r} p JOIN te{r} q ON q.a = p.b
+  JOIN te{r} w ON w.a = p.a AND w.b = q.b),
+te{r + 1} AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+    SELECT x AS a, y AS b FROM tt{r}
+    UNION ALL SELECT y, z FROM tt{r}
+    UNION ALL SELECT x, z FROM tt{r})
+  GROUP BY 1, 2 HAVING count(*) >= {need})""")
+    return _with_kg(
+        f"SELECT a, b, support FROM te{TRUSS_MAX_ROUNDS}",
+        extra_ctes=",".join(ctes),
+    )
+
+
+def kg_salsa_sql() -> str:
+    """Twin of kg.analytics.salsa: the degree-normalized hub/authority
+    recurrence unrolled to SALSA_ITERS Gauss-Seidel steps (auth from
+    the previous hubs, hubs from the FRESH auths). Positive-BIGINT
+    floor division, so // ≡ DIV and sums are order-independent."""
+    from openie_spark.kg.analytics import PAGERANK_SCALE, SALSA_ITERS
+
+    ctes = [f"""
+se AS MATERIALIZED (SELECT DISTINCT src_id, dst_id FROM kg_edges WHERE src_id <> dst_id),
+sod AS MATERIALIZED (SELECT src_id, count(*) AS od FROM se GROUP BY 1),
+sid AS MATERIALIZED (SELECT dst_id, count(*) AS idg FROM se GROUP BY 1),
+sh0 AS (SELECT entity_id, CAST({PAGERANK_SCALE} AS BIGINT) AS hub FROM nodes)"""]
+    for k in range(SALSA_ITERS):
+        ctes.append(f"""
+sa{k + 1} AS MATERIALIZED (
+  SELECT n.entity_id, CAST(COALESCE(c.s, 0) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst_id AS entity_id, sum(h.hub // o.od) AS s
+    FROM se e JOIN sh{k} h ON e.src_id = h.entity_id
+    JOIN sod o ON e.src_id = o.src_id GROUP BY 1) c USING (entity_id)),
+sh{k + 1} AS MATERIALIZED (
+  SELECT n.entity_id, CAST(COALESCE(c.s, 0) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.src_id AS entity_id, sum(a.auth // i.idg) AS s
+    FROM se e JOIN sa{k + 1} a ON e.dst_id = a.entity_id
+    JOIN sid i ON e.dst_id = i.dst_id GROUP BY 1) c USING (entity_id))""")
+    return _with_kg(
+        f"""SELECT a.entity_id, a.auth, h.hub
+FROM sa{SALSA_ITERS} a JOIN sh{SALSA_ITERS} h USING (entity_id)""",
+        extra_ctes=",".join(ctes),
     )

@@ -998,3 +998,67 @@ def test_bloom_flags_never_misses_and_audits_fp(spark):
     for hit, member in got.values():
         assert hit or not member                     # no false negatives
     assert any(h and not m for h, m in got.values())  # fp audit non-vacuous
+
+
+def test_containment_excerpt_is_asymmetric(spark):
+    """A short doc pasted verbatim into a much longer one: the short
+    side's containment is ~1e6 while the long side's is well below —
+    and below the default threshold the pair survives only via the
+    short direction (the case Jaccard misses by construction)."""
+    from openie_spark.datapipe.dedup import containment_pairs
+
+    short = "the adaptive query engine rewrites physical plans at runtime"
+    long = ("completely unrelated preamble material occupies space here "
+            "before quoting: " + short + " and then the analysis keeps "
+            "going with several more unrelated observations afterwards "
+            "about storage formats and shuffle behavior in general")
+    other = "zxqj wvk yyy uuu iii ooo ppp qqq lll kkk jjj hhh mmm"
+    df = spark.createDataFrame(
+        [(0, short), (1, long), (2, other)], "doc_id long, text string")
+    got = {(r.a, r.b): r for r in containment_pairs(df).collect()}
+    assert set(got) == {(0, 1)}
+    r = got[(0, 1)]
+    # every selected fingerprint of the short doc appears in the long
+    # one except possibly spans crossing the paste boundary
+    assert r.cont_a_ppm >= 500_000 and r.nf_a < r.nf_b
+    assert r.cont_b_ppm < r.cont_a_ppm
+
+
+def test_containment_python_twin_and_partition_invariance(spark):
+    """Parity vs an independent python recompute over _winnow_py's
+    fingerprint sets (both directions, round-half-up ppm)."""
+    from openie_spark.datapipe.dedup import containment_pairs
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        2: "alpha beta gamma delta epsilon zeta",
+        3: "entirely different content with no overlap at all here",
+    }
+    # containment works on DISTINCT fp values (positions dropped)
+    fps = {i: {fp for _, fp in _winnow_py(t)} for i, t in texts.items()}
+    expected = {}
+    for a in texts:
+        for b in texts:
+            if a >= b:
+                continue
+            shared = len(fps[a] & fps[b])
+            if not shared:
+                continue
+            ca = (2 * shared * 1_000_000 + len(fps[a])) // (2 * len(fps[a]))
+            cb = (2 * shared * 1_000_000 + len(fps[b])) // (2 * len(fps[b]))
+            if ca >= 500_000 or cb >= 500_000:
+                expected[(a, b)] = (shared, len(fps[a]), len(fps[b]), ca, cb)
+
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {(r.a, r.b): (r.n_shared, r.nf_a, r.nf_b,
+                        r.cont_a_ppm, r.cont_b_ppm)
+           for r in containment_pairs(df).collect()}
+    assert got == expected and expected
+
+    again = {(r.a, r.b): (r.n_shared, r.nf_a, r.nf_b,
+                          r.cont_a_ppm, r.cont_b_ppm)
+             for r in containment_pairs(df.repartition(7)).collect()}
+    assert again == expected

@@ -77,6 +77,36 @@ def test_windowed_counts(ev):
     assert got[(epoch0 + 3000, "error")] == (1, 400)  # event 3 (min 51)
 
 
+def test_sliding_counts(ev):
+    """Sliding 20-min/5-min windows: exhaustive python twin (every
+    event lands in exactly L/S = 4 slide-aligned windows) plus
+    hand-checked overlap cells."""
+    from openie_spark.datapipe.events import sliding_counts
+
+    L_div_S, S = 4, 300
+    exp = {}
+    for r in ev.collect():
+        t = int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp())
+        for k in range(L_div_S):
+            ws = (t // S - k) * S
+            n, users, cents = exp.get((ws, r.event_type), (0, set(), 0))
+            exp[(ws, r.event_type)] = (
+                n + 1, users | {r.user_id}, cents + round(r.value * 100))
+    expected = {k: (n, len(u), c) for k, (n, u, c) in exp.items()}
+
+    got = {(r.window_start, r.event_type): (r.n, r.n_users, r.sum_value_cents)
+           for r in sliding_counts(ev).collect()}
+    assert got == expected and expected
+    epoch0 = 1704067200
+    # window [15, 35): clicks at min 20 (user 1, 25c) and min 30
+    # (user 2, 330c) — the cross-user overlap cell
+    assert got[(epoch0 + 900, "click")] == (2, 2, 355)
+    assert got[(epoch0 + 1800, "view")] == (1, 1, 220)
+
+    with pytest.raises(ValueError):
+        sliding_counts(ev, window_minutes=20, slide_minutes=7)
+
+
 def test_props_k(ev):
     from openie_spark.datapipe.events import props_k
 
@@ -420,3 +450,64 @@ def test_user_profiles_partition_invariance(spark, ev):
     a = sorted(tuple(r) for r in user_profiles(ev).collect())
     b = sorted(tuple(r) for r in user_profiles(ev.repartition(11)).collect())
     assert a == b and len(a) > 0
+
+
+def test_active_users_hand_and_window(spark):
+    """u1 active days 0 and 2, u2 day 0, u3 day 8: only ACTIVE days
+    emit; day 2's trailing-7 window reaches back to u2 (and counts u1
+    once despite two active days); day 8's window still sees day 2 but
+    not day 0."""
+    from openie_spark.datapipe.events import active_users
+
+    d0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(days, user, eid):
+        return (eid, d0 + dt.timedelta(days=days), user, "view", 1.0, "{}")
+
+    ev = spark.createDataFrame(
+        [at(0, 1, 0), at(0, 1, 1), at(2, 1, 2), at(0, 2, 3), at(8, 3, 4)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string")
+    day0 = (int(d0.replace(tzinfo=dt.timezone.utc).timestamp())
+            // 86400)
+    got = {r.day: (r.dau, r.wau, r.stickiness_ppm)
+           for r in active_users(ev).collect()}
+    assert got == {
+        day0: (2, 2, 1_000_000),
+        day0 + 2: (1, 2, 500_000),
+        day0 + 8: (1, 2, 500_000),
+    }
+
+
+def test_active_users_random_python_twin(spark):
+    import random
+
+    from openie_spark.datapipe.events import active_users
+
+    rnd = random.Random(82)
+    d0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, d0 + dt.timedelta(days=rnd.randrange(20),
+                              hours=rnd.randrange(24)),
+         rnd.randrange(8), "view", 1.0, "{}")
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    ud = {(r[2], int(r[1].replace(tzinfo=dt.timezone.utc).timestamp())
+           // 86400) for r in rows}
+    days = sorted({d for _, d in ud})
+    expected = {}
+    for d in days:
+        dau = {u for u, ad in ud if ad == d}
+        wau = {u for u, ad in ud if d - 6 <= ad <= d}
+        expected[d] = (len(dau), len(wau), 1_000_000 * len(dau) // len(wau))
+
+    got = {r.day: (r.dau, r.wau, r.stickiness_ppm)
+           for r in active_users(ev).collect()}
+    assert got == expected and len(expected) > 5
+
+    again = {r.day: (r.dau, r.wau, r.stickiness_ppm)
+             for r in active_users(ev.repartition(9)).collect()}
+    assert again == expected

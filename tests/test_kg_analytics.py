@@ -384,6 +384,75 @@ def test_neighbor_jaccard_hub_cap_and_determinism(spark):
     assert {(r.a, r.b) for r in again.collect()} == set(got)
 
 
+def _ra(spark, pairs, **kw):
+    from openie_spark.kg.analytics import resource_allocation
+
+    out = resource_allocation(_edges(spark, pairs), **kw)
+    return {(r.a, r.b): (r.n_common, r.ra_ppm) for r in out.collect()}
+
+
+def test_resource_allocation_square_golden(spark):
+    """C4 a-b-c-d-a: the two diagonals each share TWO deg-2 pivots ->
+    ra_ppm = 2 * floor(1e6/2); the four adjacent pairs are edges and
+    must never appear (link prediction = missing edges only)."""
+    got = _ra(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+    assert got == {
+        ("a", "c"): (2, 1000000),
+        ("b", "d"): (2, 1000000),
+    }
+
+
+def test_resource_allocation_excludes_existing_edges(spark):
+    """K3 {a,b,c} + pendant d on c, min_common=1: (a,b) shares pivot c
+    but IS an edge -> excluded; (a,d)/(b,d) share the deg-3 pivot c ->
+    floor(1e6/3) = 333333 (true degree, uncapped)."""
+    got = _ra(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+              min_common=1)
+    assert got == {
+        ("a", "d"): (1, 333333),
+        ("b", "d"): (1, 333333),
+    }
+
+
+def test_resource_allocation_random_python_twin(spark):
+    """Randomized parity vs an independent pure-python RA computation
+    (same cap rule: pivots emit only their cap lowest-id neighbors,
+    weights from TRUE degree), plus partition-count invariance."""
+    import random
+
+    rnd = random.Random(417)
+    names = [f"e{i}" for i in range(18)]
+    pairs = sorted({tuple(sorted(rnd.sample(names, 2)))
+                    for _ in range(40)})
+    cap, min_common = 4, 1
+
+    adj = {}
+    for x, y in pairs:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    edge_set = set(pairs)
+    expected = {}
+    for v, ns in adj.items():
+        w = 1_000_000 // len(ns)
+        kept = sorted(ns)[:cap]
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                n, s = expected.get((a, b), (0, 0))
+                expected[(a, b)] = (n + 1, s + w)
+    expected = {k: v for k, v in expected.items()
+                if v[0] >= min_common and k not in edge_set}
+
+    got = _ra(spark, pairs, cap=cap, min_common=min_common)
+    assert got == expected and expected
+
+    from openie_spark.kg.analytics import resource_allocation
+
+    again = resource_allocation(_edges(spark, pairs).repartition(7),
+                                cap=cap, min_common=min_common)
+    assert {(r.a, r.b): (r.n_common, r.ra_ppm)
+            for r in again.collect()} == expected
+
+
 def test_export_graphml_parses_and_counts(spark):
     """Reassembled document is well-formed XML; node/edge elements
     match the inputs; line keys are unique within parts."""
@@ -940,3 +1009,139 @@ def test_walk_skipgram_pairs_hand_golden(spark):
     # per walk: (0,1),(1,0),(1,2),(2,1) -> a->b x2 and b->a x2; both
     # walks are mirror images so counts double
     assert got == {("a", "b"): 4, ("b", "a"): 4}
+
+
+def _truss_py(pairs, k):
+    """Independent reference: naive support recompute + peel to
+    fixpoint over plain python sets."""
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        kept = {e for e in edges if sup[e] >= k - 2}
+        if kept == edges:
+            return {e: sup[e] for e in kept}
+        edges = kept
+
+
+def _truss(spark, pairs, **kw):
+    from openie_spark.kg.analytics import truss
+
+    nodes = _nodes(spark, sorted({v for p in pairs for v in p}))
+    out = truss(nodes, _edges(spark, pairs), **kw)
+    return {(r.a, r.b): r.support for r in out.collect()}
+
+
+def test_truss_k4_golden(spark):
+    """K4: every edge closes 2 triangles -> the whole graph is its own
+    3-truss (and 4-truss), support 2 everywhere; a pendant edge and a
+    duplicate provenance edge must not change that."""
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    got = _truss(spark, k4 + [("d", "e"), ("a", "b")])
+    assert got == {e: 2 for e in k4}
+
+
+def test_truss_cascade_peel(spark):
+    """K4 minus one edge under k=4: only (a,b) has support 2 in round
+    1, but alone it closes nothing in round 2 -> empty truss. The
+    2-round cascade is what distinguishes truss from one-shot support
+    filtering."""
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    assert _truss(spark, pairs, k=4) == {}
+    # same graph at k=3: both triangles survive, shared edge support 2
+    assert _truss(spark, pairs, k=3) == {
+        ("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1,
+        ("a", "d"): 1, ("b", "d"): 1}
+
+
+def test_truss_rejects_k2_and_handles_empty(spark):
+    from openie_spark.kg.analytics import truss
+
+    with pytest.raises(ValueError):
+        truss(_nodes(spark, ["a"]), _edges(spark, [("a", "b")]), k=2)
+    # triangle-free graph -> empty 3-truss, stable schema
+    got = _truss(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {}
+
+
+def test_truss_random_python_twin(spark):
+    import random
+
+    rnd = random.Random(991)
+    names = [f"t{i}" for i in range(14)]
+    pairs = sorted({tuple(sorted(rnd.sample(names, 2)))
+                    for _ in range(45)})
+    expected = _truss_py(pairs, 3)
+    got = _truss(spark, pairs)
+    assert got == expected and expected
+
+    from openie_spark.kg.analytics import truss
+
+    nodes = _nodes(spark, names)
+    again = truss(nodes, _edges(spark, pairs).repartition(7))
+    assert {(r.a, r.b): r.support for r in again.collect()} == expected
+
+
+def _salsa_py(ids, pairs, iters, scale):
+    """Independent reference: the same pinned integer Gauss-Seidel
+    recurrence over plain dicts."""
+    simple = sorted({(a, b) for a, b in pairs if a != b})
+    od, idg = {}, {}
+    for a, b in simple:
+        od[a] = od.get(a, 0) + 1
+        idg[b] = idg.get(b, 0) + 1
+    hub = {v: scale for v in ids}
+    auth = dict(hub)
+    for _ in range(iters):
+        auth = {v: 0 for v in ids}
+        for a, b in simple:
+            auth[b] += hub[a] // od[a]
+        hub = {v: 0 for v in ids}
+        for a, b in simple:
+            hub[a] += auth[b] // idg[b]
+    return auth, hub
+
+
+def test_salsa_hand_golden_one_iter(spark):
+    """a->b, a->c, b->c + isolated d, SCALE=1e9, one iteration:
+    auth(b) = S//2, auth(c) = S//2 + S; hub reads the FRESH auth:
+    hub(a) = auth(b)//1 + auth(c)//2, hub(b) = auth(c)//2."""
+    from openie_spark.kg.analytics import salsa
+
+    S = 10**9
+    out = salsa(_nodes(spark, list("abcd")),
+                _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")]),
+                iters=1, scale=S)
+    got = {r.entity_id: (r.auth, r.hub) for r in out.collect()}
+    assert got == {
+        "a": (0, S // 2 + (3 * S // 2) // 2),
+        "b": (S // 2, (3 * S // 2) // 2),
+        "c": (3 * S // 2, 0),
+        "d": (0, 0),
+    }
+
+
+def test_salsa_random_python_twin(spark):
+    """Randomized parity vs the independent python recurrence (incl.
+    self-loop/duplicate-edge dropping), plus partition invariance."""
+    import random
+
+    from openie_spark.kg.analytics import PAGERANK_SCALE, salsa
+
+    rnd = random.Random(4177)
+    ids = [f"s{i}" for i in range(12)]
+    pairs = [(rnd.choice(ids), rnd.choice(ids)) for _ in range(40)]
+    auth, hub = _salsa_py(ids, pairs, 5, PAGERANK_SCALE)
+    expected = {v: (auth[v], hub[v]) for v in ids}
+
+    out = salsa(_nodes(spark, ids), _edges(spark, pairs))
+    got = {r.entity_id: (r.auth, r.hub) for r in out.collect()}
+    assert got == expected and any(v != (0, 0) for v in expected.values())
+
+    again = salsa(_nodes(spark, ids), _edges(spark, pairs).repartition(5))
+    assert {r.entity_id: (r.auth, r.hub)
+            for r in again.collect()} == expected
