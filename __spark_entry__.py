@@ -867,6 +867,22 @@ def _q_kg_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salsa(nodes, edges)
 
 
+def _q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients over the entity co-mention graph
+    (exact round-down ppm; same triangle-bearing base as kg_truss)."""
+    from pyspark.sql import functions as F
+
+    from openie_spark.kg.analytics import (
+        clustering_coefficients,
+        comention_pairs,
+    )
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    co = comention_pairs(edges).select(
+        F.col("a").alias("src_id"), F.col("b").alias("dst_id"))
+    return clustering_coefficients(nodes, co)
+
+
 def _q_kg_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant linking candidates: capped blocking + Levenshtein
     <= 3 verification with the threshold pushed into Spark's early-
@@ -1085,6 +1101,14 @@ def _q_dp_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.dedup import containment_pairs
 
     return containment_pairs(_docs(spark, sf_dir))
+
+
+def _q_dp_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram likelihood quality score per document (count-based
+    LM-perplexity stand-in; exact BIGINT mean bigram frequency)."""
+    from openie_spark.datapipe.textstats import bigram_likelihood
+
+    return bigram_likelihood(_docs(spark, sf_dir))
 
 
 def _q_dp_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1399,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_community_stats": _q_kg_community_stats,
         "kg_kcore": _q_kg_kcore,
         "kg_truss": _q_kg_truss,
+        "kg_clustering": _q_kg_clustering,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1423,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_winnow": _q_dp_winnow,
         "dp_winnow_pairs": _q_dp_winnow_pairs,
         "dp_containment": _q_dp_containment,
+        "dp_bigram_score": _q_dp_bigram_score,
         "dp_bpe_pairs": _q_dp_bpe_pairs,
         "dp_bpe_merges": _q_dp_bpe_merges,
         "dp_kmv_distinct": _q_dp_kmv_distinct,
@@ -1516,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_community_stats": o.kg_community_stats_sql(),
         "kg_kcore": o.kg_kcore_sql(),
         "kg_truss": o.kg_truss_sql(),
+        "kg_clustering": o.kg_clustering_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),
@@ -1540,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_winnow": dp.winnow_sql(),
         "dp_winnow_pairs": dp.winnow_pairs_sql(),
         "dp_containment": dp.containment_pairs_sql(),
+        "dp_bigram_score": dp.bigram_likelihood_sql(),
         "dp_bpe_pairs": dp.bpe_pairs_sql(),
         "dp_kmv_distinct": dp.kmv_distinct_sql(),
         "dp_hll_distinct": dp.hll_distinct_sql(),

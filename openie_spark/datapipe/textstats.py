@@ -653,3 +653,58 @@ def cms_heavy_hitters(docs: DataFrame, depth: int = CMS_DEPTH,
             .alias("over_ppm"),
         )
     )
+
+
+def bigram_likelihood(docs: DataFrame) -> DataFrame:
+    """Corpus-likelihood quality scoring -> (doc_id, n_bigrams,
+    freq_sum, avg_freq): each document scored by how typical its
+    adjacent word bigrams are of THIS corpus — the count-based
+    stand-in for LM-perplexity filtering (CCNet-style): a document of
+    common constructions scores high, word salad / boilerplate-mangled
+    / wrong-language text scores near the floor. avg_freq is the
+    round-down integer mean corpus frequency of the doc's bigrams
+    (freq_sum DIV n_bigrams) — exact BIGINT arithmetic end-to-end, no
+    log-probabilities whose rounding differs between engines. Docs
+    with < 2 words report (0, 0, 0).
+
+    Scale shape: bigram formation is map-only array work inside the
+    scan projection, checkpointed once to feed BOTH the count
+    aggregate and the score join; the global bigram table is one
+    partial-aggregated shuffle (Heaps'-law size); the score join is
+    occurrence x vocab on the bigram key — hot bigrams are probe-side
+    fan-out AQE can skew-split, one output row per probe; the per-doc
+    rollup is a second partial-aggregated shuffle."""
+    ws = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    n = F.size(ws)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("w1"),
+            F.element_at(ws, i + 1).alias("w2"),
+        ),
+    )).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    per_doc = (
+        docs.select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+        .localCheckpoint(eager=False)   # feeds counts AND the join
+    )
+    counts = per_doc.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_xy"))
+    scored = (
+        per_doc.join(counts, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("n_xy").alias("freq_sum"),
+        )
+    )
+    return (
+        docs.select("doc_id").join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("freq_sum", F.lit(0)).cast("long").alias("freq_sum"),
+            F.coalesce(F.expr("freq_sum DIV n_bigrams"), F.lit(0))
+            .cast("long").alias("avg_freq"),
+        )
+    )

@@ -1452,3 +1452,24 @@ def salsa(nodes: DataFrame, edges: DataFrame,
             auths = auths.localCheckpoint(eager=False)
             hubs = hubs.localCheckpoint(eager=False)
     return auths.join(hubs, "entity_id").select("entity_id", "auth", "hub")
+
+
+def clustering_coefficients(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998) ->
+    (entity_id, deg, n_tri, cc_ppm): how close each node's
+    neighborhood is to a clique, cc = 2*T(v) / (deg(v)*(deg(v)-1)),
+    as exact round-down integer ppm — no float division to drift
+    between engines. Nodes with deg < 2 report 0 (the conventional
+    guard for the undefined denominator).
+
+    Cost is one reuse of triangle_counts' degree-oriented enumeration
+    plus a map-only projection; BIGINT headroom: T(v) <= C(deg, 2) so
+    2*T*1e6 < 9.2e18 up to deg ~ 2e6 — far past any post-cap hub.
+    """
+    return triangle_counts(nodes, edges).select(
+        "entity_id", "deg", "n_tri",
+        F.when(
+            F.col("deg") >= 2,
+            F.expr("(2 * n_tri * 1000000) DIV (deg * (deg - 1))"),
+        ).otherwise(F.lit(0)).cast("long").alias("cc_ppm"),
+    )

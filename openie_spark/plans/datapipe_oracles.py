@@ -1692,3 +1692,31 @@ SELECT a, b, n_shared, ca.nf AS nf_a, cb.nf AS nf_b,
 FROM cp JOIN cnf ca ON cp.a = ca.doc_id JOIN cnf cb ON cp.b = cb.doc_id
 WHERE (2 * n_shared * 1000000 + ca.nf) // (2 * ca.nf) >= {CONTAIN_MIN_PPM}
    OR (2 * n_shared * 1000000 + cb.nf) // (2 * cb.nf) >= {CONTAIN_MIN_PPM}"""
+
+
+def bigram_likelihood_sql() -> str:
+    """Twin of textstats.bigram_likelihood: adjacent [a-z]+ bigrams,
+    global counts, per-doc integer mean corpus frequency; < 2-word
+    docs report zeros."""
+    return """WITH bl_words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+),
+bl_b AS MATERIALIZED (
+  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+  FROM bl_words, unnest(range(1, len(ws))) AS r(i)
+),
+bl_c AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+  FROM bl_b GROUP BY 1, 2
+),
+bl_d AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(c.n_xy) AS BIGINT) AS freq_sum
+  FROM bl_b b JOIN bl_c c USING (w1, w2) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.freq_sum, 0) AS BIGINT) AS freq_sum,
+       CAST(COALESCE(s.freq_sum // s.n_bigrams, 0) AS BIGINT) AS avg_freq
+FROM documents d LEFT JOIN bl_d s USING (doc_id)"""

@@ -1624,3 +1624,58 @@ sh{k + 1} AS MATERIALIZED (
 FROM sa{SALSA_ITERS} a JOIN sh{SALSA_ITERS} h USING (entity_id)""",
         extra_ctes=",".join(ctes),
     )
+
+
+def kg_clustering_sql() -> str:
+    """Twin of __spark_entry__._q_kg_clustering: local clustering
+    coefficients over the entity CO-MENTION pair graph (same base as
+    kg_truss — the relation KG is triangle-free on this corpus).
+    Id-ordered triangle enumeration (orientation-free), per-node
+    corner counts, exact round-down ppm."""
+    from openie_spark.kg.analytics import COMENTION_CAP
+
+    return _with_kg("""
+SELECT n.entity_id,
+       CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN COALESCE(d.deg, 0) >= 2
+                 THEN (2 * COALESCE(t.n_tri, 0) * 1000000)
+                        // (d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS cc_ppm
+FROM nodes n
+LEFT JOIN cc_deg d USING (entity_id)
+LEFT JOIN cc_tri t USING (entity_id)""", extra_ctes=f"""
+cc_ents AS (
+  SELECT DISTINCT conv_id, e FROM (
+    SELECT conv_id, src_id AS e FROM kg_edges
+    UNION ALL SELECT conv_id, dst_id AS e FROM kg_edges)
+),
+cc_capped AS MATERIALIZED (
+  SELECT conv_id, e FROM (
+    SELECT conv_id, e,
+           row_number() OVER (PARTITION BY conv_id ORDER BY e) AS r
+    FROM cc_ents)
+  WHERE r <= {COMENTION_CAP}
+),
+cc_und AS MATERIALIZED (
+  SELECT DISTINCT l.e AS a, r.e AS b
+  FROM cc_capped l JOIN cc_capped r
+    ON l.conv_id = r.conv_id AND l.e < r.e
+),
+cc_deg AS MATERIALIZED (
+  SELECT entity_id, count(*) AS deg FROM (
+    SELECT a AS entity_id FROM cc_und UNION ALL SELECT b FROM cc_und)
+  GROUP BY 1
+),
+cc_t AS (
+  SELECT p.a AS x, p.b AS y, q.b AS z
+  FROM cc_und p JOIN cc_und q ON q.a = p.b
+  JOIN cc_und w ON w.a = p.a AND w.b = q.b
+),
+cc_tri AS MATERIALIZED (
+  SELECT entity_id, count(*) AS n_tri FROM (
+    SELECT x AS entity_id FROM cc_t
+    UNION ALL SELECT y FROM cc_t
+    UNION ALL SELECT z FROM cc_t)
+  GROUP BY 1
+)""")

@@ -11,6 +11,7 @@ from openie_spark.streaming.ingest import (  # noqa: F401
     stream_transcripts,
     stream_triples,
     streaming_session_stats,
+    streaming_sliding_counts,
     windowed_triple_counts,
     windowed_turn_stats,
     write_triples_stream,

@@ -135,3 +135,41 @@ def windowed_triple_counts(triples: DataFrame, transcripts_static: DataFrame,
         .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
                 "n_triples")
     )
+
+
+def streaming_sliding_counts(events: DataFrame,
+                             watermark: str = "60 minutes") -> DataFrame:
+    """The batch sliding_counts aggregation over a watermarked stream,
+    MINUS its exact n_users column: COUNT(DISTINCT) is not
+    incrementally maintainable without keeping the whole id set in
+    state (the batch docstring pins this), so the streaming twin
+    carries the additive aggregates only (count + integer-cents sum).
+    Each event updates its L/S overlapping windows' state; append mode
+    emits a (window, type) row exactly once, when the watermark passes
+    the window end; late events beyond the watermark are dropped.
+
+    test_streaming.py proves the drained stream row-identical to the
+    batch twin (n_users dropped) over the same files, modulo windows
+    still open at the final watermark."""
+    from openie_spark.datapipe.events import (
+        _US_PER_SEC,
+        SLIDE_MINUTES,
+        SLIDING_WINDOW_MINUTES,
+        _cents,
+    )
+
+    win = F.window("ts", f"{SLIDING_WINDOW_MINUTES} minutes",
+                   f"{SLIDE_MINUTES} minutes")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) / _US_PER_SEC).cast("long")
+            .alias("window_start"),
+            "event_type", "n", "sum_value_cents",
+        )
+    )

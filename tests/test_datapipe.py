@@ -1062,3 +1062,56 @@ def test_containment_python_twin_and_partition_invariance(spark):
                           r.cont_a_ppm, r.cont_b_ppm)
              for r in containment_pairs(df.repartition(7)).collect()}
     assert again == expected
+
+
+def test_bigram_likelihood_hand_and_short_doc(spark):
+    """Corpus of three docs: shared bigrams score above unique ones;
+    a one-word doc reports zeros; integer round-down mean."""
+    from openie_spark.datapipe.textstats import bigram_likelihood
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "word")],
+        "doc_id long, text string")
+    # bigram counts: (the,cat)=2, (cat,sat)=1, (cat,ran)=1
+    got = {r.doc_id: (r.n_bigrams, r.freq_sum, r.avg_freq)
+           for r in bigram_likelihood(df).collect()}
+    assert got == {
+        0: (2, 3, 1),   # 2+1=3, 3 DIV 2 = 1
+        1: (2, 3, 1),
+        2: (0, 0, 0),
+    }
+
+
+def test_bigram_likelihood_python_twin_partition_invariant(spark):
+    import random
+    import re
+
+    from openie_spark.datapipe.textstats import bigram_likelihood
+
+    rnd = random.Random(59)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = {i: " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randrange(0, 9)))
+             for i in range(25)}
+    bg = {}
+    doc_bg = {}
+    for i, t in texts.items():
+        ws = re.findall("[a-z]+", t.lower())
+        doc_bg[i] = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        for p in doc_bg[i]:
+            bg[p] = bg.get(p, 0) + 1
+    expected = {}
+    for i in texts:
+        n = len(doc_bg[i])
+        s = sum(bg[p] for p in doc_bg[i])
+        expected[i] = (n, s, s // n if n else 0)
+
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.freq_sum, r.avg_freq)
+           for r in bigram_likelihood(df).collect()}
+    assert got == expected and any(v[0] for v in expected.values())
+
+    again = {r.doc_id: (r.n_bigrams, r.freq_sum, r.avg_freq)
+             for r in bigram_likelihood(df.repartition(7)).collect()}
+    assert again == expected

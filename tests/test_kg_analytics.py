@@ -1145,3 +1145,50 @@ def test_salsa_random_python_twin(spark):
     again = salsa(_nodes(spark, ids), _edges(spark, pairs).repartition(5))
     assert {r.entity_id: (r.auth, r.hub)
             for r in again.collect()} == expected
+
+
+def test_clustering_coefficients_hand_golden(spark):
+    """K4 + pendant e on d + isolated f: K4-only nodes have cc = 1
+    (neighborhood is a clique); d's pendant dilutes it to
+    2*3*1e6 DIV (4*3); deg<2 nodes report 0."""
+    from openie_spark.kg.analytics import clustering_coefficients
+
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e")]
+    out = clustering_coefficients(_nodes(spark, list("abcdef")),
+                                  _edges(spark, pairs))
+    got = {r.entity_id: (r.deg, r.n_tri, r.cc_ppm) for r in out.collect()}
+    assert got == {
+        "a": (3, 3, 1_000_000),
+        "b": (3, 3, 1_000_000),
+        "c": (3, 3, 1_000_000),
+        "d": (4, 3, 500_000),
+        "e": (1, 0, 0),
+        "f": (0, 0, 0),
+    }
+
+
+def test_clustering_random_python_twin(spark):
+    import random
+
+    from openie_spark.kg.analytics import clustering_coefficients
+
+    rnd = random.Random(311)
+    ids = [f"c{i}" for i in range(15)]
+    pairs = sorted({tuple(sorted(rnd.sample(ids, 2))) for _ in range(40)})
+    adj = {v: set() for v in ids}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for v in ids:
+        deg = len(adj[v])
+        tri = sum(
+            1 for a in adj[v] for b in adj[v]
+            if a < b and b in adj[a])
+        cc = (2 * tri * 1_000_000) // (deg * (deg - 1)) if deg >= 2 else 0
+        expected[v] = (deg, tri, cc)
+
+    out = clustering_coefficients(_nodes(spark, ids), _edges(spark, pairs))
+    got = {r.entity_id: (r.deg, r.n_tri, r.cc_ppm) for r in out.collect()}
+    assert got == expected and any(v[2] for v in expected.values())

@@ -233,3 +233,59 @@ def test_stream_event_transitions_across_batches(spark, tmp_path):
     assert got == {(1, "view", "click"),
                    (1, "click", "purchase"),   # cross-batch chain
                    (2, "view", "click")}       # u2 completes in batch 2
+
+
+def test_streaming_sliding_counts_append(spark, tmp_path):
+    """Sliding-window (20m/5m) aggregation in APPEND mode: each
+    (window, type) cell emits exactly once when the watermark passes
+    the window end, and the drained output is row-identical to the
+    batch sliding_counts twin (n_users dropped — COUNT DISTINCT is
+    not incrementally maintainable) over the same files."""
+    import datetime as dt
+
+    from openie_spark.datapipe.events import sliding_counts
+    from openie_spark.streaming import (
+        stream_events,
+        streaming_sliding_counts,
+    )
+
+    landing = str(tmp_path / "events")
+    out = str(tmp_path / "sliding")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    real = [
+        (0, t0, 1, "click", 1.00, "{}"),
+        (1, t0 + dt.timedelta(minutes=10), 1, "view", 2.50, "{}"),
+        (2, t0 + dt.timedelta(minutes=20), 2, "click", 0.25, "{}"),
+        (3, t0 + dt.timedelta(minutes=30), 2, "view", 2.20, "{}"),
+    ]
+    spark.createDataFrame(real, schema).repartition(1) \
+        .write.mode("overwrite").parquet(landing)
+
+    def drain():
+        s = streaming_sliding_counts(stream_events(spark, landing))
+        q = (
+            s.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # watermark at max(real) - 60min: nothing closed yet
+    for i, days in enumerate((2, 4)):
+        spark.createDataFrame(
+            [(100 + i, t0 + dt.timedelta(days=days), 900 + i,
+              "flush", 0.0, "{}")], schema
+        ).repartition(1).write.mode("append").parquet(landing)
+        drain()
+
+    batch = sliding_counts(
+        spark.createDataFrame(real, schema)).drop("n_users")
+    got = spark.read.parquet(out).filter(F.col("event_type") != "flush")
+    # every real event lands in 4 windows; all real windows are closed
+    # by the sentinel watermark advance
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
