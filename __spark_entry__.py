@@ -883,6 +883,24 @@ def _q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficients(nodes, co)
 
 
+def _q_kg_rel_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style per-relation cardinality profile (functionality and
+    inverse functionality as exact round-half-up ppm)."""
+    from openie_spark.kg.analytics import relation_cardinality
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return relation_cardinality(edges)
+
+
+def _q_kg_assoc_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity association strength: co-mention pairs scored by exact
+    integer-ppm Dice over conversation support (min support 2)."""
+    from openie_spark.kg.analytics import assoc_dice
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return assoc_dice(edges)
+
+
 def _q_kg_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant linking candidates: capped blocking + Levenshtein
     <= 3 verification with the threshold pushed into Spark's early-
@@ -1424,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": _q_kg_kcore,
         "kg_truss": _q_kg_truss,
         "kg_clustering": _q_kg_clustering,
+        "kg_rel_cardinality": _q_kg_rel_cardinality,
+        "kg_assoc_dice": _q_kg_assoc_dice,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1543,6 +1563,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": o.kg_kcore_sql(),
         "kg_truss": o.kg_truss_sql(),
         "kg_clustering": o.kg_clustering_sql(),
+        "kg_rel_cardinality": o.kg_rel_cardinality_sql(),
+        "kg_assoc_dice": o.kg_assoc_dice_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),

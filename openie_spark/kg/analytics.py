@@ -1473,3 +1473,92 @@ def clustering_coefficients(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             F.expr("(2 * n_tri * 1000000) DIV (deg * (deg - 1))"),
         ).otherwise(F.lit(0)).cast("long").alias("cc_ppm"),
     )
+
+
+def relation_cardinality(edges: DataFrame) -> DataFrame:
+    """Per-relation cardinality profile (the AMIE functionality
+    statistics, Galarraga et al. WWW 2013) -> (pred, n_edges, n_src,
+    n_dst, fun_ppm, inv_fun_ppm): over the simple distinct
+    (src, dst, pred) statements, how close each relation is to
+    functional (one object per subject: fun = n_src / n_edges -> 1e6)
+    or inverse-functional (n_dst / n_edges). The ontology-quality
+    table rule mining and link-prediction filtering read first — a
+    near-functional relation with multi-object subjects is a
+    contradiction candidate, a low-functionality one is a property
+    tag. Exact round-half-up integer ppm, no floats.
+
+    Scale shape: one distinct shuffle on the statement key, then one
+    partial-aggregated groupBy(pred) carrying two count_distincts
+    whose per-group state is bounded by the relation's entity reach;
+    output is bounded by the relation vocabulary."""
+    stmts = (
+        edges.where(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id", "pred")
+        .distinct()
+    )
+    return (
+        stmts.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("src_id").alias("n_src"),
+            F.countDistinct("dst_id").alias("n_dst"),
+        )
+        .select(
+            "pred", "n_edges", "n_src", "n_dst",
+            F.expr("(2 * n_src * 1000000 + n_edges) DIV (2 * n_edges)")
+            .alias("fun_ppm"),
+            F.expr("(2 * n_dst * 1000000 + n_edges) DIV (2 * n_edges)")
+            .alias("inv_fun_ppm"),
+        )
+    )
+
+
+ASSOC_MIN_CONVS = 2     # pairs below this support are co-mention noise
+
+
+def assoc_dice(edges: DataFrame, cap: int = COMENTION_CAP,
+               min_convs: int = ASSOC_MIN_CONVS) -> DataFrame:
+    """Entity association strength -> (a, b, n_convs, n_a, n_b,
+    dice_ppm): co-mention pairs scored by the Dice coefficient
+    2*n_ab/(n_a + n_b) over conversation support — the entity-level
+    collocation table (same exact-integer Dice rationale as
+    textstats.collocations: no PMI log, no overflow). High-Dice pairs
+    are alias/merge candidates and KGE neighborhood priors; raw
+    n_convs alone over-ranks pairs of merely-frequent entities, which
+    is exactly what the marginals correct.
+
+    All three counts are computed over the SAME capped per-conv
+    entity sets that form the pairs (deterministic keep-lowest-id cap
+    per conversation, the comention_pairs hot-key rule), so the
+    identity n_ab <= min(n_a, n_b) holds exactly. One extra
+    entity-sized aggregate + two AQE-broadcastable attach joins on
+    top of comention_pairs' shape."""
+    ents = (
+        edges.select("conv_id", F.col("src_id").alias("e"))
+        .unionAll(edges.select("conv_id", F.col("dst_id").alias("e")))
+        .distinct()
+    )
+    w = Window.partitionBy("conv_id").orderBy("e")
+    capped = (ents.withColumn("r", F.row_number().over(w))
+              .where(F.col("r") <= cap).drop("r")
+              .localCheckpoint(eager=False))   # pairs + both marginals
+    marg = capped.groupBy("e").agg(F.count(F.lit(1)).alias("n_e"))
+    l = capped.select("conv_id", F.col("e").alias("a"))
+    r = capped.select("conv_id", F.col("e").alias("b"))
+    pairs = (
+        l.join(r, "conv_id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+        .where(F.col("n_convs") >= min_convs)
+    )
+    ma = marg.select(F.col("e").alias("a"), F.col("n_e").alias("n_a"))
+    mb = marg.select(F.col("e").alias("b"), F.col("n_e").alias("n_b"))
+    return (
+        pairs.join(ma, "a").join(mb, "b")
+        .select(
+            "a", "b", "n_convs", "n_a", "n_b",
+            F.expr("(2 * (2 * n_convs) * 1000000 + (n_a + n_b))"
+                   " DIV (2 * (n_a + n_b))").alias("dice_ppm"),
+        )
+    )

@@ -1679,3 +1679,57 @@ cc_tri AS MATERIALIZED (
     UNION ALL SELECT z FROM cc_t)
   GROUP BY 1
 )""")
+
+
+def kg_rel_cardinality_sql() -> str:
+    """Twin of kg.analytics.relation_cardinality: distinct simple
+    statements, per-pred edge/src/dst counts, round-half-up ppm
+    functionality and inverse functionality."""
+    return _with_kg("""
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT src_id) AS BIGINT) AS n_src,
+       CAST(count(DISTINCT dst_id) AS BIGINT) AS n_dst,
+       (2 * count(DISTINCT src_id) * 1000000 + count(*))
+         // (2 * count(*)) AS fun_ppm,
+       (2 * count(DISTINCT dst_id) * 1000000 + count(*))
+         // (2 * count(*)) AS inv_fun_ppm
+FROM (SELECT DISTINCT src_id, dst_id, pred FROM kg_edges
+      WHERE src_id <> dst_id)
+GROUP BY pred""")
+
+
+def kg_assoc_dice_sql() -> str:
+    """Twin of kg.analytics.assoc_dice: capped per-conv entity sets,
+    pair supports with a min-conv floor, per-entity marginals over the
+    SAME capped sets, round-half-up ppm Dice."""
+    from openie_spark.kg.analytics import ASSOC_MIN_CONVS, COMENTION_CAP
+
+    return _with_kg(f"""
+SELECT p.a, p.b, p.n_convs, ma.n_e AS n_a, mb.n_e AS n_b,
+       (2 * (2 * p.n_convs) * 1000000 + (ma.n_e + mb.n_e))
+         // (2 * (ma.n_e + mb.n_e)) AS dice_ppm
+FROM ad_pairs p
+JOIN ad_marg ma ON p.a = ma.e
+JOIN ad_marg mb ON p.b = mb.e""", extra_ctes=f"""
+ad_ents AS (
+  SELECT DISTINCT conv_id, e FROM (
+    SELECT conv_id, src_id AS e FROM kg_edges
+    UNION ALL SELECT conv_id, dst_id AS e FROM kg_edges)
+),
+ad_capped AS MATERIALIZED (
+  SELECT conv_id, e FROM (
+    SELECT conv_id, e,
+           row_number() OVER (PARTITION BY conv_id ORDER BY e) AS r
+    FROM ad_ents)
+  WHERE r <= {COMENTION_CAP}
+),
+ad_marg AS MATERIALIZED (
+  SELECT e, CAST(count(*) AS BIGINT) AS n_e FROM ad_capped GROUP BY 1
+),
+ad_pairs AS MATERIALIZED (
+  SELECT l.e AS a, r.e AS b, CAST(count(*) AS BIGINT) AS n_convs
+  FROM ad_capped l JOIN ad_capped r
+    ON l.conv_id = r.conv_id AND l.e < r.e
+  GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_CONVS}
+)""")

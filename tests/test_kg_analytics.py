@@ -1192,3 +1192,86 @@ def test_clustering_random_python_twin(spark):
     out = clustering_coefficients(_nodes(spark, ids), _edges(spark, pairs))
     got = {r.entity_id: (r.deg, r.n_tri, r.cc_ppm) for r in out.collect()}
     assert got == expected and any(v[2] for v in expected.values())
+
+
+def test_relation_cardinality_hand_golden(spark):
+    """pred 'leads': a->b, a->c, d->b (3 stmts, 2 src, 2 dst);
+    pred 'owns': functional a->b (1,1,1); duplicate provenance rows
+    and a self-loop collapse/drop before counting."""
+    from openie_spark.kg.analytics import relation_cardinality
+
+    pairs = [("a", "b"), ("a", "c"), ("d", "b"), ("a", "b"), ("e", "e")]
+    preds = {("a", "b"): "leads", ("a", "c"): "leads", ("d", "b"): "leads",
+             ("e", "e"): "leads"}
+    rows = [
+        ("a", "b", "leads", "c0", 0, 0, 0),
+        ("a", "c", "leads", "c0", 0, 0, 1),
+        ("d", "b", "leads", "c0", 0, 0, 2),
+        ("a", "b", "leads", "c1", 0, 0, 3),   # dup statement
+        ("e", "e", "leads", "c0", 0, 0, 4),   # self loop
+        ("a", "b", "owns", "c0", 0, 0, 5),
+    ]
+    df = spark.createDataFrame(rows, _EDGE_SCHEMA)
+    got = {r.pred: (r.n_edges, r.n_src, r.n_dst, r.fun_ppm, r.inv_fun_ppm)
+           for r in relation_cardinality(df).collect()}
+    assert got == {
+        "leads": (3, 2, 2, (2 * 2 * 1_000_000 + 3) // 6,
+                  (2 * 2 * 1_000_000 + 3) // 6),
+        "owns": (1, 1, 1, 1_000_000, 1_000_000),
+    }
+    assert preds and pairs  # docs the fixture shape
+
+
+def test_assoc_dice_hand_golden(spark):
+    """Entities a,b co-mentioned in 2 convs; a,c in 1 (below the
+    min-conv floor -> dropped). Marginals over the same capped sets:
+    n_a=3 (c0,c1,c2), n_b=2 -> dice = 2*2/(3+2)."""
+    from openie_spark.kg.analytics import assoc_dice
+
+    rows = [
+        ("a", "b", "rel", "c0", 0, 0, 0),
+        ("a", "b", "rel", "c1", 0, 0, 1),
+        ("a", "c", "rel", "c2", 0, 0, 2),
+    ]
+    df = spark.createDataFrame(rows, _EDGE_SCHEMA)
+    got = {(r.a, r.b): (r.n_convs, r.n_a, r.n_b, r.dice_ppm)
+           for r in assoc_dice(df).collect()}
+    assert got == {
+        ("a", "b"): (2, 3, 2, (2 * 4 * 1_000_000 + 5) // 10),
+    }
+
+
+def test_assoc_dice_python_twin(spark):
+    import random
+
+    from openie_spark.kg.analytics import assoc_dice
+
+    rnd = random.Random(733)
+    rows = []
+    for i in range(60):
+        conv = f"c{rnd.randrange(8)}"
+        a, b = rnd.sample([f"e{j}" for j in range(10)], 2)
+        rows.append((a, b, "rel", conv, 0, 0, i))
+    df = spark.createDataFrame(rows, _EDGE_SCHEMA)
+
+    by_conv = {}
+    for a, b, _, conv, *_ in rows:
+        by_conv.setdefault(conv, set()).update((a, b))
+    marg, sup = {}, {}
+    for conv, ents in by_conv.items():
+        for e in ents:       # 10 entities < cap: no truncation
+            marg[e] = marg.get(e, 0) + 1
+        es = sorted(ents)
+        for i, a in enumerate(es):
+            for b in es[i + 1:]:
+                sup[(a, b)] = sup.get((a, b), 0) + 1
+    expected = {
+        k: (n, marg[k[0]], marg[k[1]],
+            (2 * 2 * n * 1_000_000 + marg[k[0]] + marg[k[1]])
+            // (2 * (marg[k[0]] + marg[k[1]])))
+        for k, n in sup.items() if n >= 2
+    }
+
+    got = {(r.a, r.b): (r.n_convs, r.n_a, r.n_b, r.dice_ppm)
+           for r in assoc_dice(df).collect()}
+    assert got == expected and expected
