@@ -847,14 +847,25 @@ def _q_kg_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone peel — the edge-level k-core). The relation KG itself is
     near-bipartite (subject->object edges; triangle-free on this
     corpus at every sf), so the truss runs where triangles live:
-    conversations mentioning >= 3 entities contribute cliques."""
+    conversations mentioning >= 3 entities contribute cliques.
+    Restricted to the REPEATED backbone (n_convs >= 2): a single
+    conversation's clique puts every one of its edges in trivial
+    triangles — support there measures conversation size, not
+    association strength — and those one-off cliques also dominate
+    the enumeration cost (the full-graph truss at sf0.1 spends ~106s
+    confirming noise the min-conv floor removes for 6s)."""
     from pyspark.sql import functions as F
 
-    from openie_spark.kg.analytics import comention_pairs, truss
+    from openie_spark.kg.analytics import (
+        ASSOC_MIN_CONVS,
+        comention_pairs,
+        truss,
+    )
 
     nodes, edges = _graph_parts(spark, sf_dir)
-    co = comention_pairs(edges).select(
-        F.col("a").alias("src_id"), F.col("b").alias("dst_id"))
+    co = (comention_pairs(edges)
+          .where(F.col("n_convs") >= ASSOC_MIN_CONVS)
+          .select(F.col("a").alias("src_id"), F.col("b").alias("dst_id")))
     return truss(nodes, co)
 
 

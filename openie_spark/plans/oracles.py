@@ -1552,6 +1552,7 @@ def kg_truss_sql() -> str:
     budget and peeling is monotone, so extra unrolled rounds are exact
     no-ops."""
     from openie_spark.kg.analytics import (
+        ASSOC_MIN_CONVS,
         COMENTION_CAP,
         TRUSS_K,
         TRUSS_MAX_ROUNDS,
@@ -1572,9 +1573,10 @@ tr_capped AS MATERIALIZED (
   WHERE r <= {COMENTION_CAP}
 ),
 te0 AS MATERIALIZED (
-  SELECT DISTINCT l.e AS a, r.e AS b
+  SELECT l.e AS a, r.e AS b
   FROM tr_capped l JOIN tr_capped r
-    ON l.conv_id = r.conv_id AND l.e < r.e)"""]
+    ON l.conv_id = r.conv_id AND l.e < r.e
+  GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_CONVS})"""]
     for r in range(TRUSS_MAX_ROUNDS):
         ctes.append(f"""
 tt{r} AS (
