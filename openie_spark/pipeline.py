@@ -352,12 +352,17 @@ class KGPipeline:
             # resumable like every other stage, reading the
             # already-written nodes/edges tables (not re-deriving)
             from openie_spark.kg.analytics import (
+                ASSOC_MIN_CONVS,
+                comention_pairs,
                 degree_histogram,
                 kcore,
                 khop_distances,
                 label_prop_communities,
                 pagerank,
+                relation_cardinality,
+                salsa,
                 triangle_counts,
+                truss,
             )
 
             n_df, e_df = nodes.drop("bucket"), edges.drop("bucket")
@@ -379,6 +384,23 @@ class KGPipeline:
             self._run_stage(
                 "degree_hist", lambda: degree_histogram(n_df, e_df),
                 "bin", ["nodes", "edges"], resume)
+            self._run_stage(
+                "salsa", lambda: salsa(n_df, e_df),
+                "entity_id", ["nodes", "edges"], resume)
+            self._run_stage(
+                "rel_cardinality", lambda: relation_cardinality(e_df),
+                "pred", ["edges"], resume)
+
+            def _truss_backbone():
+                co = (comention_pairs(e_df)
+                      .where(F.col("n_convs") >= ASSOC_MIN_CONVS)
+                      .select(F.col("a").alias("src_id"),
+                              F.col("b").alias("dst_id")))
+                return truss(n_df, co)
+
+            self._run_stage(
+                "truss", _truss_backbone,
+                "a", ["nodes", "edges"], resume)
 
         if self.export:
             # optional consumer-facing sinks: temporal relation

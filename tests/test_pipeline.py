@@ -141,10 +141,16 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path_factory):
     # degree_hist always has >=1 bin when nodes exist
     assert s1["stages"]["kcore"]["rows"] >= 0
     assert 0 < s1["stages"]["degree_hist"]["rows"] <= 65
+    # salsa scores every node; cardinality one row per relation; the
+    # truss backbone may be empty on a sparse test slice (rows >= 0)
+    assert s1["stages"]["salsa"]["rows"] == s1["nodes"]
+    assert 0 < s1["stages"]["rel_cardinality"]["rows"]
+    assert s1["stages"]["truss"]["rows"] >= 0
     s2 = KGPipeline(spark, SF, out, analytics=True).run(resume=True)
     assert all(s2["stages"][st]["resumed"]
                for st in ("pagerank", "triangles", "khop", "communities",
-                          "kcore", "degree_hist"))
+                          "kcore", "degree_hist", "salsa",
+                          "rel_cardinality", "truss"))
     assert {st: s2["stages"][st]["rows"] for st in s2["stages"]} == \
            {st: s1["stages"][st]["rows"] for st in s1["stages"]}
 
