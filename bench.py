@@ -67,6 +67,8 @@ def main() -> None:
     e._triples_memo(spark, sf_dir)
     e._kg_parts(spark, sf_dir)
     e._graph_parts(spark, sf_dir)
+    # shared winnow fingerprint table (dp_winnow_pairs + dp_containment)
+    e._winnow_fp_memo(spark, sf_dir)
     # the incremental pair's shared prior-graph + merge build (lazy
     # checkpoints — force them so the cost lands here, not in whichever
     # incremental query runs first)

@@ -331,7 +331,8 @@ WINNOW_MIN_JACCARD_PPM = 100_000  # keep pairs with fp-Jaccard >= 10%
 
 
 def winnow_pairs(docs: DataFrame, cap: int = WINNOW_BUCKET_CAP,
-                 min_ppm: int = WINNOW_MIN_JACCARD_PPM) -> DataFrame:
+                 min_ppm: int = WINNOW_MIN_JACCARD_PPM,
+                 fp: DataFrame | None = None) -> DataFrame:
     """Substring-level near-dup pairs from shared winnowing
     fingerprints (the MOSS pairing step on top of
     textstats.winnow_fingerprints): two documents pair when the Jaccard
@@ -349,11 +350,16 @@ def winnow_pairs(docs: DataFrame, cap: int = WINNOW_BUCKET_CAP,
     window count and the self-join reuse the same partitioning), a
     doc-sized count aggregate whose two attach joins AQE broadcasts,
     and a partial-aggregated (a, b) rollup filtered by the exact-ppm
-    threshold."""
+    threshold.
+
+    ``fp`` lets a caller running several fingerprint consumers (this,
+    containment_pairs) supply one shared distinct-(doc_id, fp) table
+    instead of recomputing the winnowing pass per operator."""
     from openie_spark.datapipe.textstats import winnow_fingerprints
 
-    d = (winnow_fingerprints(docs).select("doc_id", "fp").distinct()
-         .localCheckpoint(eager=False))   # feeds nf + both join sides
+    d = fp if fp is not None else (
+        winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+        .localCheckpoint(eager=False))   # feeds nf + both join sides
     nf = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
     # bucket sizes via partial-agg groupBy + semi-join, NOT a window
     # over fp: a corpus-boilerplate fingerprint would land its whole
@@ -392,7 +398,8 @@ CONTAIN_MIN_PPM = 500_000   # keep pairs where EITHER direction >= 50%
 
 
 def containment_pairs(docs: DataFrame, cap: int = WINNOW_BUCKET_CAP,
-                      min_ppm: int = CONTAIN_MIN_PPM) -> DataFrame:
+                      min_ppm: int = CONTAIN_MIN_PPM,
+                      fp: DataFrame | None = None) -> DataFrame:
     """Asymmetric containment pairs (Broder 1997's containment
     coefficient over the winnowing fingerprint sets) ->
     (a, b, n_shared, nf_a, nf_b, cont_a_ppm, cont_b_ppm):
@@ -411,11 +418,13 @@ def containment_pairs(docs: DataFrame, cap: int = WINNOW_BUCKET_CAP,
     fingerprint count — no float division. Same scale shape and
     boilerplate-bucket cap as winnow_pairs (ONE fp shuffle reused by
     the bucket count and the self-join; per-doc counts exact and
-    uncapped)."""
+    uncapped; ``fp`` = optional caller-shared fingerprint table, as in
+    winnow_pairs)."""
     from openie_spark.datapipe.textstats import winnow_fingerprints
 
-    d = (winnow_fingerprints(docs).select("doc_id", "fp").distinct()
-         .localCheckpoint(eager=False))
+    d = fp if fp is not None else (
+        winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+        .localCheckpoint(eager=False))
     nf = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
     small_fp = (
         d.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -602,3 +602,57 @@ def active_users(events: DataFrame,
         # wau >= dau >= 1 on every emitted day, so never div-by-zero
         F.expr("(1000000 * dau) DIV wau").alias("stickiness_ppm"),
     )
+
+
+AFFINITY_MIN_SESSIONS = 2
+
+
+def type_affinity(events: DataFrame,
+                  gap_minutes: int = SESSION_GAP_MINUTES,
+                  min_sessions: int = AFFINITY_MIN_SESSIONS) -> DataFrame:
+    """Event-type affinity -> (ta, tb, n_sessions, n_a, n_b,
+    dice_ppm): which event types co-occur within the same user
+    session, scored by the exact-integer Dice coefficient
+    2*n_ab/(n_a + n_b) over session support — transitions capture
+    ADJACENT pairs, this captures same-intent co-membership at any
+    distance inside the session (the market-basket view of the event
+    stream, types as items, sessions as baskets). A min-session floor
+    drops singleton noise; the marginals stop merely-frequent types
+    from out-ranking genuinely affine ones (the collocations/
+    assoc_dice rationale, same round-half-up ppm arithmetic).
+
+    Scale shape: sessionize's ONE user-window shuffle, a
+    (user, session, type) dedup shuffle, a within-session type
+    self-join whose fan-out is bounded by the TYPE VOCABULARY per
+    session (not session length), and type²-bounded aggregates with
+    AQE-broadcastable marginal joins."""
+    st = (
+        sessionize(events, gap_minutes)
+        .select("user_id", "session_idx", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)   # pairs + marginals, one lineage
+    )
+    marg = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_e"))
+    l = st.select("user_id", "session_idx",
+                  F.col("event_type").alias("ta"))
+    r = st.select("user_id", "session_idx",
+                  F.col("event_type").alias("tb"))
+    pairs = (
+        l.join(r, ["user_id", "session_idx"])
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .where(F.col("n_sessions") >= min_sessions)
+    )
+    ma = marg.select(F.col("event_type").alias("ta"),
+                     F.col("n_e").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("tb"),
+                     F.col("n_e").alias("n_b"))
+    return (
+        pairs.join(ma, "ta").join(mb, "tb")
+        .select(
+            "ta", "tb", "n_sessions", "n_a", "n_b",
+            F.expr("(2 * (2 * n_sessions) * 1000000 + (n_a + n_b))"
+                   " DIV (2 * (n_a + n_b))").alias("dice_ppm"),
+        )
+    )

@@ -1562,3 +1562,68 @@ def assoc_dice(edges: DataFrame, cap: int = COMENTION_CAP,
                    " DIV (2 * (n_a + n_b))").alias("dice_ppm"),
         )
     )
+
+
+def weighted_pagerank(nodes: DataFrame, pairs: DataFrame,
+                      iters: int = PAGERANK_ITERS,
+                      scale: int = PAGERANK_SCALE) -> DataFrame:
+    """Integer-exact weighted PageRank (Xing & Ghorbani 2004's WPR
+    idea in our pinned integer semantics) -> (entity_id, rank) over an
+    UNDIRECTED weighted pair table (a, b, w) — built for the
+    co-mention graph, where w = conversation support: rank flows along
+    both directions of each pair proportionally to edge weight over
+    the source's total strength s(u) = SUM of its edge weights.
+
+        share(u->v) = (rank(u) * w_uv) DIV s(u)
+        rank'(v)    = (15*SCALE) DIV 100 + (85 * SUM shares) DIV 100
+
+    The naive rank*w product overflows BIGINT at corpus scale (rank is
+    bounded by total mass n*SCALE; w by per-pair conversation counts),
+    so the share uses the exact decomposition
+
+        (rank*w) DIV s  ==  w*(rank DIV s) + (w*(rank % s)) DIV s
+
+    whose intermediates stay bounded: rank%s < s, so w*(rank%s) <
+    w*s <= w * total_edge_weight — headroom documented per input
+    rather than silently wrapped. DuckDB's // and % agree with
+    Spark's DIV/% on non-negative BIGINTs, so the unrolled oracle is
+    bit-exact.
+
+    Same partition-once/iterate-lazily shape as pagerank; the
+    symmetrized pair table plays the edge role and strength the
+    out-degree role."""
+    ids = nodes.select("entity_id").localCheckpoint(eager=False)
+    sym = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                       F.col("w").alias("w")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"),
+                     F.col("w").alias("w")))
+    strength = sym.groupBy("src").agg(F.sum("w").alias("s"))
+    linked = (
+        sym.join(strength, "src")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    base = (15 * scale) // _DAMP_DEN
+    ranks = ids.select("entity_id", F.lit(scale).cast("long").alias("rank"))
+    for i in range(iters):
+        contrib = (
+            linked.join(ranks.withColumnRenamed("entity_id", "src"), "src")
+            .select("dst", F.expr(
+                "w * (rank DIV s) + (w * (rank % s)) DIV s").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_sum"))
+        )
+        ranks = (
+            ids.join(contrib.withColumnRenamed("dst", "entity_id"),
+                     "entity_id", "left")
+            .select(
+                "entity_id",
+                (F.lit(base)
+                 + F.expr(f"({_DAMP_NUM} * coalesce(in_sum, 0L))"
+                          f" DIV {_DAMP_DEN}")
+                 ).cast("long").alias("rank"),
+            )
+        )
+        if (i + 1) % PAGERANK_CKPT_EVERY == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -1720,3 +1720,48 @@ SELECT d.doc_id,
        CAST(COALESCE(s.freq_sum, 0) AS BIGINT) AS freq_sum,
        CAST(COALESCE(s.freq_sum // s.n_bigrams, 0) AS BIGINT) AS avg_freq
 FROM documents d LEFT JOIN bl_d s USING (doc_id)"""
+
+
+def type_affinity_sql() -> str:
+    """Twin of events.type_affinity: sessionize CTE (gap rule,
+    (ts, event_id) tie order), distinct session-type membership,
+    within-session pairs with a min-session floor, round-half-up ppm
+    Dice against type marginals."""
+    from openie_spark.datapipe.events import (
+        AFFINITY_MIN_SESSIONS,
+        SESSION_GAP_MINUTES,
+    )
+
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    return f"""WITH ta_e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+ta_b AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM ta_e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+ta_s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+  FROM ta_b
+),
+ta_st AS MATERIALIZED (
+  SELECT DISTINCT user_id, session_idx, event_type FROM ta_s
+),
+ta_marg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_e FROM ta_st GROUP BY 1
+),
+ta_p AS (
+  SELECT l.event_type AS ta, r.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS n_sessions
+  FROM ta_st l JOIN ta_st r
+    ON l.user_id = r.user_id AND l.session_idx = r.session_idx
+   AND l.event_type < r.event_type
+  GROUP BY 1, 2 HAVING count(*) >= {AFFINITY_MIN_SESSIONS}
+)
+SELECT p.ta, p.tb, p.n_sessions, ma.n_e AS n_a, mb.n_e AS n_b,
+       (2 * (2 * p.n_sessions) * 1000000 + (ma.n_e + mb.n_e))
+         // (2 * (ma.n_e + mb.n_e)) AS dice_ppm
+FROM ta_p p
+JOIN ta_marg ma ON p.ta = ma.event_type
+JOIN ta_marg mb ON p.tb = mb.event_type"""

@@ -1630,11 +1630,12 @@ FROM sa{SALSA_ITERS} a JOIN sh{SALSA_ITERS} h USING (entity_id)""",
 
 def kg_clustering_sql() -> str:
     """Twin of __spark_entry__._q_kg_clustering: local clustering
-    coefficients over the entity CO-MENTION pair graph (same base as
-    kg_truss — the relation KG is triangle-free on this corpus).
-    Id-ordered triangle enumeration (orientation-free), per-node
-    corner counts, exact round-down ppm."""
-    from openie_spark.kg.analytics import COMENTION_CAP
+    coefficients over the REPEATED (n_convs >= 2) co-mention backbone
+    (same base and noise rationale as kg_truss — the relation KG is
+    triangle-free on this corpus). Id-ordered triangle enumeration
+    (orientation-free), per-node corner counts, exact round-down
+    ppm."""
+    from openie_spark.kg.analytics import ASSOC_MIN_CONVS, COMENTION_CAP
 
     return _with_kg("""
 SELECT n.entity_id,
@@ -1660,9 +1661,10 @@ cc_capped AS MATERIALIZED (
   WHERE r <= {COMENTION_CAP}
 ),
 cc_und AS MATERIALIZED (
-  SELECT DISTINCT l.e AS a, r.e AS b
+  SELECT l.e AS a, r.e AS b
   FROM cc_capped l JOIN cc_capped r
     ON l.conv_id = r.conv_id AND l.e < r.e
+  GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_CONVS}
 ),
 cc_deg AS MATERIALIZED (
   SELECT entity_id, count(*) AS deg FROM (
@@ -1735,3 +1737,61 @@ ad_pairs AS MATERIALIZED (
     ON l.conv_id = r.conv_id AND l.e < r.e
   GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_CONVS}
 )""")
+
+
+def kg_wpagerank_sql() -> str:
+    """Twin of __spark_entry__._q_kg_wpagerank: the weighted-PageRank
+    integer recurrence over the co-mention pair graph (w = n_convs),
+    unrolled; shares use the same overflow-free decomposition
+    w*(rank // s) + (w*(rank % s)) // s as the Spark side."""
+    from openie_spark.kg.analytics import (
+        COMENTION_CAP,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+    )
+
+    base = (15 * PAGERANK_SCALE) // 100
+    ctes = [f"""
+wp_ents AS (
+  SELECT DISTINCT conv_id, e FROM (
+    SELECT conv_id, src_id AS e FROM kg_edges
+    UNION ALL SELECT conv_id, dst_id AS e FROM kg_edges)
+),
+wp_capped AS MATERIALIZED (
+  SELECT conv_id, e FROM (
+    SELECT conv_id, e,
+           row_number() OVER (PARTITION BY conv_id ORDER BY e) AS r
+    FROM wp_ents)
+  WHERE r <= {COMENTION_CAP}
+),
+wp_pairs AS MATERIALIZED (
+  SELECT l.e AS a, r.e AS b, CAST(count(*) AS BIGINT) AS w
+  FROM wp_capped l JOIN wp_capped r
+    ON l.conv_id = r.conv_id AND l.e < r.e
+  GROUP BY 1, 2
+),
+wp_sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM wp_pairs
+  UNION ALL SELECT b, a, w FROM wp_pairs
+),
+wp_str AS MATERIALIZED (
+  SELECT src, CAST(sum(w) AS BIGINT) AS s FROM wp_sym GROUP BY 1
+),
+wr0 AS (SELECT entity_id, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM nodes)"""]
+    for k in range(PAGERANK_ITERS):
+        ctes.append(f"""
+wc{k + 1} AS (
+  SELECT e.dst AS entity_id,
+         sum(e.w * (r.rank // t.s) + (e.w * (r.rank % t.s)) // t.s) AS i
+  FROM wp_sym e
+  JOIN wr{k} r ON e.src = r.entity_id
+  JOIN wp_str t ON e.src = t.src
+  GROUP BY 1),
+wr{k + 1} AS (
+  SELECT n.entity_id,
+         CAST({base} + (85 * COALESCE(c.i, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN wc{k + 1} c ON n.entity_id = c.entity_id)""")
+    return _with_kg(
+        f"SELECT entity_id, rank FROM wr{PAGERANK_ITERS}",
+        extra_ctes=",".join(ctes),
+    )

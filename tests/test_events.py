@@ -511,3 +511,34 @@ def test_active_users_random_python_twin(spark):
     again = {r.day: (r.dau, r.wau, r.stickiness_ppm)
              for r in active_users(ev.repartition(9)).collect()}
     assert again == expected
+
+
+def test_type_affinity_hand_golden(spark):
+    """u1 has two sessions {click,view,error}+{click,view}; u2 one
+    session {click,view}: (click,view) in 3 sessions; error pairs
+    appear once each -> dropped by the min-session floor; marginals
+    count SESSIONS (click in 3, view in 3, dice = 2*3/(3+3) = 1e6)."""
+    from openie_spark.datapipe.events import type_affinity
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=5), 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 1, "error", 1.0, "{}"),
+        # 31-min gap -> u1 session 2
+        (3, t0 + dt.timedelta(minutes=41), 1, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=45), 1, "view", 1.0, "{}"),
+        (5, t0, 2, "view", 1.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=3), 2, "click", 1.0, "{}"),
+        (7, t0 + dt.timedelta(minutes=4), 2, "click", 1.0, "{}"),  # dup type
+    ]
+    ev2 = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.ta, r.tb): (r.n_sessions, r.n_a, r.n_b, r.dice_ppm)
+           for r in type_affinity(ev2).collect()}
+    assert got == {("click", "view"): (3, 3, 3, 1_000_000)}
+    # floor off: the error pairs surface with session support 1
+    loose = {(r.ta, r.tb): r.n_sessions
+             for r in type_affinity(ev2, min_sessions=1).collect()}
+    assert loose[("click", "error")] == 1 and loose[("error", "view")] == 1

@@ -1275,3 +1275,59 @@ def test_assoc_dice_python_twin(spark):
     got = {(r.a, r.b): (r.n_convs, r.n_a, r.n_b, r.dice_ppm)
            for r in assoc_dice(df).collect()}
     assert got == expected and expected
+
+
+def _wpr_py(ids, wpairs, iters, scale):
+    """Independent reference: the same weighted integer recurrence
+    (incl. the overflow-free share split) over plain dicts."""
+    sym = [(a, b, w) for a, b, w in wpairs] + \
+          [(b, a, w) for a, b, w in wpairs]
+    s = {}
+    for a, _, w in sym:
+        s[a] = s.get(a, 0) + w
+    rank = {v: scale for v in ids}
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        in_sum = {v: 0 for v in ids}
+        for a, b, w in sym:
+            in_sum[b] += w * (rank[a] // s[a]) + (w * (rank[a] % s[a])) // s[a]
+        rank = {v: base + (85 * in_sum[v]) // 100 for v in ids}
+    return rank
+
+
+def test_weighted_pagerank_python_twin(spark):
+    """Randomized parity vs the independent python recurrence; a
+    heavy edge must pull more rank than a light one from the same
+    source; partition invariance."""
+    import random
+
+    from openie_spark.kg.analytics import PAGERANK_SCALE, weighted_pagerank
+
+    rnd = random.Random(9009)
+    ids = [f"w{i}" for i in range(10)]
+    wpairs = sorted({tuple(sorted(rnd.sample(ids, 2)))
+                     for _ in range(18)})
+    wpairs = [(a, b, rnd.randrange(1, 9)) for a, b in wpairs]
+    expected = _wpr_py(ids, wpairs, 5, PAGERANK_SCALE)
+
+    pdf = spark.createDataFrame(wpairs, "a string, b string, w long")
+    nodes = _nodes(spark, ids)
+    got = {r.entity_id: r.rank
+           for r in weighted_pagerank(nodes, pdf).collect()}
+    assert got == expected
+
+    again = {r.entity_id: r.rank
+             for r in weighted_pagerank(nodes, pdf.repartition(5)).collect()}
+    assert again == expected
+
+
+def test_weighted_pagerank_weight_pull(spark):
+    """Star a-{b,c} with w(a,b)=9, w(a,c)=1: b receives 9x c's share
+    from a each round, so rank(b) > rank(c) strictly."""
+    from openie_spark.kg.analytics import weighted_pagerank
+
+    pdf = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], "a string, b string, w long")
+    got = {r.entity_id: r.rank
+           for r in weighted_pagerank(_nodes(spark, list("abc")), pdf).collect()}
+    assert got["b"] > got["c"] > 0
