@@ -959,6 +959,15 @@ def _q_kg_wpagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_pagerank(nodes, pairs)
 
 
+def _q_kg_support_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned statement-support distribution (how often each
+    distinct statement is re-asserted) — the KG trust profile."""
+    from openie_spark.kg.analytics import support_histogram
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return support_histogram(edges)
+
+
 def _q_kg_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant linking candidates: capped blocking + Levenshtein
     <= 3 verification with the threshold pushed into Spark's early-
@@ -1066,6 +1075,14 @@ def _q_dp_ev_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.events import type_affinity
 
     return type_affinity(_events(spark, sf_dir))
+
+
+def _q_dp_ev_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value-cents quantile sketch (bottom-k-by-hash uniform
+    sample, nearest-rank integer quantiles, exact n/min/max)."""
+    from openie_spark.datapipe.events import value_quantiles
+
+    return value_quantiles(_events(spark, sf_dir))
 
 
 def _q_dp_ev_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1513,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rel_cardinality": _q_kg_rel_cardinality,
         "kg_assoc_dice": _q_kg_assoc_dice,
         "kg_wpagerank": _q_kg_wpagerank,
+        "kg_support_hist": _q_kg_support_hist,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1571,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ev_sliding": _q_dp_ev_sliding,
         "dp_ev_active": _q_dp_ev_active,
         "dp_ev_affinity": _q_dp_ev_affinity,
+        "dp_ev_quantiles": _q_dp_ev_quantiles,
         "dp_ev_props": _q_dp_ev_props,
         "dp_ev_asof": _q_dp_ev_asof,
         "dp_ev_intervals": _q_dp_ev_intervals,
@@ -1636,6 +1655,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rel_cardinality": o.kg_rel_cardinality_sql(),
         "kg_assoc_dice": o.kg_assoc_dice_sql(),
         "kg_wpagerank": o.kg_wpagerank_sql(),
+        "kg_support_hist": o.kg_support_hist_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),
@@ -1693,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_ev_sliding": dp.sliding_counts_sql(),
         "dp_ev_active": dp.active_users_sql(),
         "dp_ev_affinity": dp.type_affinity_sql(),
+        "dp_ev_quantiles": dp.value_quantiles_sql(),
         "dp_ev_props": dp.props_k_sql(),
         "dp_ev_asof": dp.asof_last_ref_sql(),
         "dp_ev_intervals": dp.interval_events_sql(),

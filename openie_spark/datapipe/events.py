@@ -656,3 +656,65 @@ def type_affinity(events: DataFrame,
                    " DIV (2 * (n_a + n_b))").alias("dice_ppm"),
         )
     )
+
+
+VQ_K = 256          # sample size per type (stderr ~ sqrt(p(1-p)/k))
+VQ_SALTS = 32       # first-level top-k fan-out
+VQ_PCTS = (50, 90, 99)
+
+
+def value_quantiles(events: DataFrame, k: int = VQ_K,
+                    salts: int = VQ_SALTS,
+                    pcts: tuple = VQ_PCTS) -> DataFrame:
+    """Per-event-type value quantile sketch -> (event_type, n_events,
+    n_sample, min_cents, max_cents, p50, p90, p99): the grouped twin
+    of textstats.sampled_quantiles — deterministic bottom-k-by-
+    md5h60(event_id) sampling (value-independent, so uniform), then
+    NEAREST-RANK integer-cents quantiles over the sample; exact
+    n/min/max come from a map-side partial pass. Every output is an
+    integer — no quantile interpolation to drift between engines.
+    This is the revenue/latency distribution readout per event class
+    (medians and tails that plain avg aggregates hide).
+
+    Scale shape: the value column never shuffles at occurrence scale —
+    exact aggregates are partial, and the sample uses the salted
+    two-level top-k (per-(type, h%salts) row_number, then a final
+    window over <= salts*k survivors), so a hot event type spreads
+    over ``salts`` external sorts and two-level == global bottom-k at
+    any parallelism. Windows order by (h, cents): deterministic under
+    hash ties."""
+    from openie_spark.datapipe.hashing import md5h60
+
+    stats = events.select(
+        "event_type",
+        _cents(F.col("value")).alias("cents"),
+        md5h60(F.col("event_id").cast("string")).alias("h"),
+    )
+    exact = stats.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    d = stats.withColumn("salt", F.pmod(F.col("h"), F.lit(salts)))
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h", "cents")
+    w2 = Window.partitionBy("event_type").orderBy("h", "cents")
+    kept = (
+        d.withColumn("r", F.row_number().over(w1)).filter(F.col("r") <= k)
+        .select("event_type", "cents", "h")
+        .withColumn("r", F.row_number().over(w2)).filter(F.col("r") <= k)
+    )
+    samp = kept.groupBy("event_type").agg(
+        F.count("*").cast("int").alias("n_sample"),
+        F.sort_array(F.collect_list(F.struct("cents", "h"))).alias("vals"),
+    )
+    out = samp.join(exact, "event_type")
+    for p in pcts:
+        out = out.withColumn(
+            f"p{p}",
+            F.element_at(
+                "vals", F.expr(f"CAST((n_sample * {p} + 99) DIV 100 AS INT)")
+            )["cents"],
+        )
+    return out.select("event_type", "n_events", "n_sample",
+                      "min_cents", "max_cents",
+                      *[f"p{p}" for p in pcts])

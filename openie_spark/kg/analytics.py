@@ -1627,3 +1627,33 @@ def weighted_pagerank(nodes: DataFrame, pairs: DataFrame,
         if (i + 1) % PAGERANK_CKPT_EVERY == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def support_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-binned statement-support distribution -> (bin,
+    n_statements, min_support, max_support, sum_support): how often is
+    each distinct (src, dst, pred) statement re-asserted across the
+    corpus, binned by bit_length(support) — bin b covers [2^(b-1),
+    2^b). The KG-trust profile: a long tail of support-1 statements is
+    extraction noise to downweight, a fat high bin is redundancy worth
+    deduplicating at ingest. Same no-floating-log2 bin(deg) trick as
+    degree_histogram, <= 64 output rows at any corpus size.
+
+    Scale shape: one partial-aggregated statement count (the
+    relation_weights shuffle) + one <= 64-group collapse. No windows."""
+    support = (
+        edges.where(F.col("src_id") != F.col("dst_id"))
+        .groupBy("src_id", "dst_id", "pred")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        support
+        .withColumn("bin", F.length(F.bin("support")).cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_statements"),
+            F.min("support").alias("min_support"),
+            F.max("support").alias("max_support"),
+            F.sum("support").alias("sum_support"),
+        )
+    )

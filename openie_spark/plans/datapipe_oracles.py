@@ -1765,3 +1765,45 @@ SELECT p.ta, p.tb, p.n_sessions, ma.n_e AS n_a, mb.n_e AS n_b,
 FROM ta_p p
 JOIN ta_marg ma ON p.ta = ma.event_type
 JOIN ta_marg mb ON p.tb = mb.event_type"""
+
+
+def value_quantiles_sql() -> str:
+    """Twin of events.value_quantiles: bottom-k-by-md5h60(event_id)
+    uniform sample per type (two-level salted top-k == global, oracle
+    skips the salt), nearest-rank integer-cents quantiles, exact
+    n/min/max from a full pass. (h, cents) keep order, (cents, h)
+    quantile rank order — mirrors the Spark windows/sort_array."""
+    from openie_spark.datapipe.events import VQ_K, VQ_PCTS
+
+    picks = ",\n       ".join(
+        f"max(CASE WHEN vr = (n_sample * {p} + 99) // 100 THEN cents END)"
+        f" AS p{p}" for p in VQ_PCTS)
+    return f"""WITH vq_stats AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         {_md5h60('CAST(event_id AS VARCHAR)')} AS h
+  FROM events
+),
+vq_exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         min(cents) AS min_cents, max(cents) AS max_cents
+  FROM vq_stats GROUP BY 1
+),
+vq_kept AS (
+  SELECT event_type, cents, h FROM (
+    SELECT event_type, cents, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h, cents) AS r
+    FROM vq_stats
+  ) WHERE r <= {VQ_K}
+),
+vq_ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, h) AS vr,
+         CAST(count(*) OVER (PARTITION BY event_type) AS INT) AS n_sample
+  FROM vq_kept
+)
+SELECT e.event_type, e.n_events, max(r.n_sample) AS n_sample,
+       e.min_cents, e.max_cents,
+       {picks}
+FROM vq_ranked r JOIN vq_exact e USING (event_type)
+GROUP BY e.event_type, e.n_events, e.min_cents, e.max_cents"""

@@ -1795,3 +1795,21 @@ wr{k + 1} AS (
         f"SELECT entity_id, rank FROM wr{PAGERANK_ITERS}",
         extra_ctes=",".join(ctes),
     )
+
+
+def kg_support_hist_sql() -> str:
+    """Twin of kg.analytics.support_histogram: distinct-statement
+    re-assertion counts, bit-length bins (same unpadded
+    length(bin(x)) semantics in both engines — the kg_degree_hist /
+    HLL trick; support >= 1 so the zero case never arises)."""
+    return _with_kg("""
+SELECT CAST(length(bin(support)) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_statements,
+       CAST(min(support) AS BIGINT) AS min_support,
+       CAST(max(support) AS BIGINT) AS max_support,
+       CAST(sum(support) AS BIGINT) AS sum_support
+FROM (
+  SELECT src_id, dst_id, pred, count(*) AS support
+  FROM kg_edges WHERE src_id <> dst_id
+  GROUP BY 1, 2, 3)
+GROUP BY 1""")

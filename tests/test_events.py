@@ -542,3 +542,33 @@ def test_type_affinity_hand_golden(spark):
     loose = {(r.ta, r.tb): r.n_sessions
              for r in type_affinity(ev2, min_sessions=1).collect()}
     assert loose[("click", "error")] == 1 and loose[("error", "view")] == 1
+
+
+def test_value_quantiles_python_twin(ev):
+    """Sample = whole corpus when n < k: nearest-rank quantiles over
+    (cents, h)-sorted values must match an independent python
+    recompute (incl. md5h60 tie order and exact n/min/max)."""
+    import hashlib
+
+    from openie_spark.datapipe.events import VQ_PCTS, value_quantiles
+
+    def h60(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+    rows = ev.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            (round(r.value * 100), h60(r.event_id)))
+    expected = {}
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        picks = tuple(vals[(n * p + 99) // 100 - 1][0] for p in VQ_PCTS)
+        expected[t] = (n, n, min(v for v, _ in vals),
+                       max(v for v, _ in vals)) + picks
+
+    got = {r.event_type: (r.n_events, r.n_sample, r.min_cents,
+                          r.max_cents, r.p50, r.p90, r.p99)
+           for r in value_quantiles(ev).collect()}
+    assert got == expected and len(expected) == 3

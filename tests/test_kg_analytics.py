@@ -1331,3 +1331,24 @@ def test_weighted_pagerank_weight_pull(spark):
     got = {r.entity_id: r.rank
            for r in weighted_pagerank(_nodes(spark, list("abc")), pdf).collect()}
     assert got["b"] > got["c"] > 0
+
+
+def test_support_histogram_hand_golden(spark):
+    """Statements with supports {1, 1, 2, 4}: bin = bit_length ->
+    bin1 holds the two singletons, bin2 the support-2, bin3 the
+    support-4; self-loops never count."""
+    from openie_spark.kg.analytics import support_histogram
+
+    rows = []
+    i = 0
+    for (s, d, p), n in {("a", "b", "r1"): 1, ("a", "c", "r1"): 1,
+                         ("b", "c", "r2"): 2, ("c", "d", "r2"): 4}.items():
+        for _ in range(n):
+            rows.append((s, d, p, f"c{i}", 0, 0, i))
+            i += 1
+    rows.append(("e", "e", "r1", "cx", 0, 0, 99))   # self loop: dropped
+    df = spark.createDataFrame(rows, _EDGE_SCHEMA)
+    got = {r.bin: (r.n_statements, r.min_support, r.max_support,
+                   r.sum_support)
+           for r in support_histogram(df).collect()}
+    assert got == {1: (2, 1, 1, 2), 2: (1, 2, 2, 2), 3: (1, 4, 4, 4)}
