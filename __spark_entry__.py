@@ -212,6 +212,29 @@ def _winnow_fp_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _WINNOW_FP_MEMO[key]
 
 
+_COMENTION_MEMO: dict = {}
+
+
+def _comention_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full co-mention pair table (a, b, n_convs), computed ONCE
+    per (application, sf_dir) and localCheckpointed: five queries
+    (truss, clustering, assoc Dice, weighted PageRank, and the raw
+    pair query's consumers) start from this table — the warehouse
+    pattern again (a real deployment materializes the co-mention sink
+    once and analytics read the TABLE), same rationale as
+    _TRIPLES_MEMO. (kg_comention itself stays un-memoized so its
+    bench time reflects the real build cost.)"""
+    from openie_spark.kg.analytics import comention_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COMENTION_MEMO:
+        _evict_stale(_COMENTION_MEMO, key)
+        _, edges = _graph_parts(spark, sf_dir)
+        _COMENTION_MEMO[key] = comention_pairs(edges).localCheckpoint(
+            eager=True)
+    return _COMENTION_MEMO[key]
+
+
 def _evict_stale(memo: dict, new_key) -> None:
     """Keep only the latest (application, sf_dir): a long-lived driver
     iterating sf dirs must not pin every dir's checkpointed tables for
@@ -879,14 +902,10 @@ def _q_kg_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     confirming noise the min-conv floor removes for 6s)."""
     from pyspark.sql import functions as F
 
-    from openie_spark.kg.analytics import (
-        ASSOC_MIN_CONVS,
-        comention_pairs,
-        truss,
-    )
+    from openie_spark.kg.analytics import ASSOC_MIN_CONVS, truss
 
-    nodes, edges = _graph_parts(spark, sf_dir)
-    co = (comention_pairs(edges)
+    nodes, _ = _graph_parts(spark, sf_dir)
+    co = (_comention_memo(spark, sf_dir)
           .where(F.col("n_convs") >= ASSOC_MIN_CONVS)
           .select(F.col("a").alias("src_id"), F.col("b").alias("dst_id")))
     return truss(nodes, co)
@@ -913,17 +932,12 @@ def _q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.kg.analytics import (
         ASSOC_MIN_CONVS,
         clustering_coefficients,
-        comention_pairs,
     )
 
-    nodes, edges = _graph_parts(spark, sf_dir)
-    # EAGER checkpoint: triangle_counts fans the base into deg/ori/
-    # join branches whose stages would otherwise race to materialize a
-    # lazily-checkpointed co-mention build several times over
-    co = (comention_pairs(edges)
+    nodes, _ = _graph_parts(spark, sf_dir)
+    co = (_comention_memo(spark, sf_dir)
           .where(F.col("n_convs") >= ASSOC_MIN_CONVS)
-          .select(F.col("a").alias("src_id"), F.col("b").alias("dst_id"))
-          .localCheckpoint(eager=True))
+          .select(F.col("a").alias("src_id"), F.col("b").alias("dst_id")))
     return clustering_coefficients(nodes, co)
 
 
@@ -950,12 +964,11 @@ def _q_kg_wpagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     support), integer-exact with the overflow-free share split."""
     from pyspark.sql import functions as F
 
-    from openie_spark.kg.analytics import comention_pairs, weighted_pagerank
+    from openie_spark.kg.analytics import weighted_pagerank
 
-    nodes, edges = _graph_parts(spark, sf_dir)
-    # EAGER: the symmetrization reads the pair table twice
-    pairs = comention_pairs(edges).select(
-        "a", "b", F.col("n_convs").alias("w")).localCheckpoint(eager=True)
+    nodes, _ = _graph_parts(spark, sf_dir)
+    pairs = _comention_memo(spark, sf_dir).select(
+        "a", "b", F.col("n_convs").alias("w"))
     return weighted_pagerank(nodes, pairs)
 
 

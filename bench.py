@@ -69,6 +69,8 @@ def main() -> None:
     e._graph_parts(spark, sf_dir)
     # shared winnow fingerprint table (dp_winnow_pairs + dp_containment)
     e._winnow_fp_memo(spark, sf_dir)
+    # shared co-mention pair table (truss / clustering / wpagerank)
+    e._comention_memo(spark, sf_dir)
     # the incremental pair's shared prior-graph + merge build (lazy
     # checkpoints — force them so the cost lands here, not in whichever
     # incremental query runs first)
