@@ -981,6 +981,58 @@ def _q_kg_support_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return support_histogram(edges)
 
 
+def _q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-lite relation implication mining: ordered canonical-
+    relation pairs with joint support and exact-ppm standard
+    confidence — the ontology-merge candidate table."""
+    from openie_spark.kg.analytics import rule_implications
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return rule_implications(edges)
+
+
+def _q_kg_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contradiction candidates: multi-object subjects on relations
+    the corpus itself measures as near-functional — the KG trust
+    triage queue."""
+    from openie_spark.kg.analytics import functional_conflicts
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return functional_conflicts(edges)
+
+
+def _q_kg_type_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed quotient graph: the entity graph collapsed to rule-ladder
+    entity types (<= |types|^2 rows) with edge/statement/relation/
+    endpoint counts per type pair."""
+    from openie_spark.kg.analytics import type_pair_graph
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return type_pair_graph(nodes, edges)
+
+
+def _q_kg_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG growth curve: per-epoch-day first-seen entity/statement
+    counts with running cumulative totals."""
+    from openie_spark.kg.analytics import kg_growth
+    from openie_spark.sources.transcripts import read_transcripts
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return kg_growth(edges, read_transcripts(_tune(spark), sf_dir))
+
+
+def _q_kg_linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linking-stage quality audit: one-row recall of the minhash-LSH
+    candidate path against the blocked exact-Jaccard ground truth
+    (plus the extra pairs LSH finds that prefix blocking missed) —
+    the P/R gate a production run asserts before publishing a
+    re-linked graph."""
+    from openie_spark.kg.linking import minhash_pairs, pair_generation_audit
+
+    _, vocab, pairs, _ = _kg_parts(spark, sf_dir)
+    return pair_generation_audit(pairs, minhash_pairs(vocab))
+
+
 def _q_kg_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant linking candidates: capped blocking + Levenshtein
     <= 3 verification with the threshold pushed into Spark's early-
@@ -1544,6 +1596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assoc_dice": _q_kg_assoc_dice,
         "kg_wpagerank": _q_kg_wpagerank,
         "kg_support_hist": _q_kg_support_hist,
+        "kg_rules": _q_kg_rules,
+        "kg_conflicts": _q_kg_conflicts,
+        "kg_type_graph": _q_kg_type_graph,
+        "kg_growth": _q_kg_growth,
+        "kg_linking_eval": _q_kg_linking_eval,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1669,6 +1726,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_assoc_dice": o.kg_assoc_dice_sql(),
         "kg_wpagerank": o.kg_wpagerank_sql(),
         "kg_support_hist": o.kg_support_hist_sql(),
+        "kg_rules": o.kg_rules_sql(),
+        "kg_conflicts": o.kg_conflicts_sql(),
+        "kg_type_graph": o.kg_type_graph_sql(),
+        "kg_growth": o.kg_growth_sql(),
+        "kg_linking_eval": o.kg_linking_eval_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),

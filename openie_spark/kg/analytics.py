@@ -1657,3 +1657,199 @@ def support_histogram(edges: DataFrame) -> DataFrame:
             F.sum("support").alias("sum_support"),
         )
     )
+
+
+# Minimum joint support for a rule to be emitted. 1 keeps every
+# co-assertion — output stays bounded because the per-key cap limits
+# emission to cap^2 per (src, dst); corpus-scale deployments raise
+# this (AMIE uses 100+) to keep only statistically-supported rules.
+# (Same default philosophy as NJ_MIN_COMMON.)
+RULE_MIN_SUPPORT = 1
+RULE_PAIR_CAP = 16      # max distinct relations per (src, dst) key
+
+
+def rule_implications(edges: DataFrame,
+                      min_support: int = RULE_MIN_SUPPORT,
+                      cap: int = RULE_PAIR_CAP) -> DataFrame:
+    """AMIE-lite relation implication mining (the simplest rule shape
+    of Galarraga et al. WWW 2013, body(x,y) => head(x,y)) ->
+    (body, head, n_both, n_body, conf_ppm): for every ordered pair of
+    CANONICAL relations, the joint support |{(x,y): body(x,y) AND
+    head(x,y)}| and the standard confidence n_both / n_body as exact
+    round-half-up integer ppm. High-confidence rows are relation
+    subsumption / paraphrase candidates ("acquired" => "owns") — the
+    ontology-merge input a KG curation pass reads after
+    relation_cardinality.
+
+    Scale shape: the aux-drop + lemma ladder runs on the DISTINCT-pred
+    table (Heaps'-law tiny, explicitly broadcast); statements are
+    deduped on (src, dst, rel) — one shuffle; the per-(src,dst)
+    rel-set self-join is bounded by a deterministic keep-lowest-rel
+    cap (the comention_pairs hot-key rule), so a pathological entity
+    pair asserted under every relation contributes <= cap^2 rows; the
+    body marginal is computed over the SAME capped statement set
+    (n_both <= n_body holds exactly, the assoc_dice rationale) and is
+    relation-sized, so its attach join broadcasts."""
+    from openie_spark.kg.enrich import canon_relation_col
+
+    rel = (edges.select("pred").distinct()
+           .withColumn("rel", canon_relation_col(F.col("pred"))))
+    stmts = (
+        edges.where(F.col("src_id") != F.col("dst_id"))
+        .join(F.broadcast(rel), "pred")
+        .select("src_id", "dst_id", "rel")
+        .distinct()
+    )
+    w = Window.partitionBy("src_id", "dst_id").orderBy("rel")
+    capped = (stmts.withColumn("r", F.row_number().over(w))
+              .where(F.col("r") <= cap).drop("r")
+              .localCheckpoint(eager=False))   # self-join + marginal share it
+    n_body = capped.groupBy("rel").agg(F.count(F.lit(1)).alias("n_body"))
+    l = capped.select("src_id", "dst_id", F.col("rel").alias("body"))
+    r = capped.select("src_id", "dst_id", F.col("rel").alias("head"))
+    both = (
+        l.join(r, ["src_id", "dst_id"])
+        .where(F.col("body") != F.col("head"))
+        .groupBy("body", "head")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_support)
+    )
+    return (
+        both.join(F.broadcast(n_body.withColumnRenamed("rel", "body")), "body")
+        .select(
+            "body", "head", "n_both", "n_body",
+            F.expr("(2 * n_both * 1000000 + n_body) DIV (2 * n_body)")
+            .alias("conf_ppm"),
+        )
+    )
+
+
+CONFLICT_FUN_PPM = 600000   # relations at least this functional...
+CONFLICT_MIN_EDGES = 4      # ...measured over at least this many statements
+CONFLICT_MIN_OBJS = 2       # subjects asserting at least this many objects
+
+
+def functional_conflicts(edges: DataFrame,
+                         min_fun_ppm: int = CONFLICT_FUN_PPM,
+                         min_edges: int = CONFLICT_MIN_EDGES,
+                         min_objs: int = CONFLICT_MIN_OBJS) -> DataFrame:
+    """Contradiction-candidate triage queue -> (pred, src_id, n_objs,
+    n_mentions): for relations the corpus itself measures as
+    near-functional (relation_cardinality's fun_ppm >= ``min_fun_ppm``
+    over >= ``min_edges`` distinct statements), the subjects asserting
+    >= ``min_objs`` DISTINCT objects. On a mostly-one-object-per-
+    subject relation, a multi-object subject is either an extraction
+    error or a genuinely conflicting assertion — exactly the rows a
+    KG trust reviewer (or a downstream consistency checker) wants
+    ranked first. The functionality floor is what separates this from
+    noise: multi-object subjects on a property-tag relation
+    (fun -> 0) are normal and never emitted.
+
+    Scale shape: relation_cardinality's output is relation-sized and
+    broadcast as a semi-join filter; then ONE partial-aggregated
+    groupBy on (pred, src_id) whose countDistinct state is bounded by
+    the subject's object reach. No windows, no self-joins."""
+    card = relation_cardinality(edges).where(
+        (F.col("fun_ppm") >= min_fun_ppm) & (F.col("n_edges") >= min_edges))
+    return (
+        edges.where(F.col("src_id") != F.col("dst_id"))
+        .join(F.broadcast(card.select("pred")), "pred")
+        .groupBy("pred", "src_id")
+        .agg(
+            F.countDistinct("dst_id").alias("n_objs"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+        .where(F.col("n_objs") >= min_objs)
+    )
+
+
+def type_pair_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Typed quotient graph (the SNAP-style graph summarization of
+    Tian et al. SIGMOD 2008, collapsed to the rule-ladder entity
+    types) -> (src_type, dst_type, n_edges, n_stmts, n_rels,
+    n_src_ents, n_dst_ents): the schema-level summary a consumer reads
+    before touching the entity-level graph — which type pairs carry
+    the mass, how relation-diverse each is, and how concentrated the
+    endpoints are (n_edges >> n_src_ents means hub subjects).
+
+    Scale shape: typing is map-only on the node table; the two type
+    attaches are node-sized equi-joins (AQE broadcasts them when the
+    node table fits, plain shuffle joins when it doesn't); ONE
+    partial-aggregated rollup whose output is bounded by |types|^2
+    (<= 81 rows at any corpus size); countDistinct state per group is
+    bounded by entity vocabulary, the same bound graph_summary pays."""
+    from openie_spark.kg.enrich import entity_types
+
+    types = entity_types(nodes).select("entity_id", "etype")
+    typed = (
+        edges.where(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id", "pred")
+        .join(types.select(F.col("entity_id").alias("src_id"),
+                           F.col("etype").alias("src_type")), "src_id")
+        .join(types.select(F.col("entity_id").alias("dst_id"),
+                           F.col("etype").alias("dst_type")), "dst_id")
+    )
+    return (
+        typed.groupBy("src_type", "dst_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("src_id", "dst_id", "pred").alias("n_stmts"),
+            F.countDistinct("pred").alias("n_rels"),
+            F.countDistinct("src_id").alias("n_src_ents"),
+            F.countDistinct("dst_id").alias("n_dst_ents"),
+        )
+    )
+
+
+def kg_growth(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """KG growth curve -> (day, new_entities, new_statements,
+    cum_entities, cum_statements): per UTC epoch-day (ts_us DIV 86.4e9
+    — integer day buckets, no date/tz arithmetic to diverge between
+    engines), how many entities and distinct (src, dst, pred)
+    statements were observed for the FIRST time, with running totals.
+    The corpus-audit readout ("is the graph saturating or still
+    discovering?") and the freshness axis incremental construction
+    (kg/incremental.py) is measured against.
+
+    Scale shape: one (conv_id, turn_idx) equi-join against the
+    two-column timestamp projection (column pruning reaches the
+    parquet scan), shared via a lazy localCheckpoint by the two
+    first-seen partial aggregations (entity-keyed and statement-keyed
+    — both map-side-combining min(day) rollups), then day-sized
+    rollups and ONE cumulative window over the day table. That window
+    is single-partition by construction but its input is bounded by
+    calendar span (the retention_cohorts rationale), never corpus."""
+    ts = transcripts.select(
+        "conv_id", "turn_idx", F.unix_micros("ts").alias("ts_us"))
+    stamped = (
+        edges.join(ts, ["conv_id", "turn_idx"])
+        .withColumn("day", F.expr("ts_us DIV 86400000000"))
+        .select("src_id", "dst_id", "pred", "day")
+        .localCheckpoint(eager=False)   # entity + statement aggs share it
+    )
+    ent_first = (
+        stamped.select(F.col("src_id").alias("e"), "day")
+        .unionAll(stamped.select(F.col("dst_id").alias("e"), "day"))
+        .groupBy("e").agg(F.min("day").alias("day"))
+        .groupBy("day").agg(F.count(F.lit(1)).alias("new_entities"))
+    )
+    stmt_first = (
+        stamped.groupBy("src_id", "dst_id", "pred")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day").agg(F.count(F.lit(1)).alias("new_statements"))
+    )
+    days = (
+        ent_first.join(stmt_first, "day", "full")
+        .select(
+            "day",
+            F.coalesce("new_entities", F.lit(0)).alias("new_entities"),
+            F.coalesce("new_statements", F.lit(0)).alias("new_statements"),
+        )
+    )
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return days.select(
+        "day", "new_entities", "new_statements",
+        F.sum("new_entities").over(w).alias("cum_entities"),
+        F.sum("new_statements").over(w).alias("cum_statements"),
+    )

@@ -194,3 +194,36 @@ def minhash_pairs(vocab: DataFrame, threshold: float = LINK_JACCARD,
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def pair_generation_audit(exact: DataFrame,
+                          candidate: DataFrame) -> DataFrame:
+    """One-row quality audit of a candidate pair generator against the
+    blocked exact-Jaccard ground truth -> (n_exact, n_candidate,
+    n_both, recall_ppm, n_extra): how many of ``exact``'s pairs the
+    candidate path (minhash-LSH, edit-distance, ...) reproduces
+    (recall as exact round-half-up ppm), and how many pairs it found
+    that exact blocking missed (n_extra — NOT errors: both generators
+    verify with the real similarity, they just route candidates
+    differently, so extras are usually pairs the prefix blocks
+    dropped). This is the linking-stage twin of the north rule's
+    P/R >= 0.95 gate: a production run asserts recall_ppm here before
+    publishing a re-linked graph.
+
+    Scale shape: both inputs are vocabulary-pair-sized (never corpus);
+    one full outer join on the (a, b) key + one single-row aggregate."""
+    e = exact.select("a", "b").withColumn("in_exact", F.lit(1))
+    c = candidate.select("a", "b").withColumn("in_cand", F.lit(1))
+    joined = e.join(c, ["a", "b"], "full")
+    return joined.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce("in_cand", F.lit(0))).alias("n_candidate"),
+        F.sum(F.when(F.col("in_exact").isNotNull()
+                     & F.col("in_cand").isNotNull(), 1)
+              .otherwise(0)).alias("n_both"),
+    ).select(
+        "n_exact", "n_candidate", "n_both",
+        F.expr("(2 * n_both * 1000000 + n_exact) DIV (2 * n_exact)")
+        .alias("recall_ppm"),
+        (F.col("n_candidate") - F.col("n_both")).alias("n_extra"),
+    )

@@ -239,12 +239,13 @@ def kg_pairs_sql() -> str:
     return _with_kg("SELECT a, b, round(jaccard, 6) AS jaccard FROM pairs")
 
 
-def kg_pairs_minhash_sql() -> str:
-    """Minhash-LSH pair path, fully recomputed: char-3-shingles of each
-    linkable vocab norm → md5h60 minhash slots → md5h60 band hashes →
-    band-bucket self-join → exact token-Jaccard verification. Mirrors
-    kg/linking.py minhash_pairs (md5-derived hashes exist exactly so
-    this oracle is possible)."""
+def _minhash_ctes() -> str:
+    """Minhash-LSH pair path as CTEs ending in ``mh_pairs(a, b,
+    jaccard)``: char-3-shingles of each linkable vocab norm → md5h60
+    minhash slots → md5h60 band hashes → band-bucket self-join → exact
+    token-Jaccard verification. Mirrors kg/linking.py minhash_pairs
+    (md5-derived hashes exist exactly so this oracle is possible).
+    Shared by kg_pairs_minhash_sql and kg_linking_eval_sql."""
     from openie_spark.config import (
         LINK_JACCARD,
         LSH_BANDS,
@@ -270,7 +271,7 @@ def kg_pairs_minhash_sql() -> str:
     jac = ("CAST(len(list_intersect(va.tokens, vb.tokens)) AS DOUBLE)"
            " / (len(va.tokens) + len(vb.tokens)"
            " - len(list_intersect(va.tokens, vb.tokens)))")
-    extra = f"""
+    return f"""
 mh_sigs AS (
   SELECT norm, [{slots}] AS sig
   FROM (SELECT norm, {shingles} AS shingles
@@ -279,16 +280,24 @@ mh_sigs AS (
 mh_banded AS MATERIALIZED (
   SELECT norm, b AS band_idx, list_extract([{band_exprs}], b + 1) AS band_hash
   FROM mh_sigs, range(0, {LSH_BANDS}) t(b)
+),
+mh_pairs AS MATERIALIZED (
+  SELECT a, b, jaccard FROM (
+    SELECT c.a, c.b, {jac} AS jaccard
+    FROM (
+      SELECT DISTINCT l.norm AS a, r.norm AS b
+      FROM mh_banded l JOIN mh_banded r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.norm < r.norm
+    ) c JOIN vocab va ON c.a = va.norm JOIN vocab vb ON c.b = vb.norm
+  ) WHERE jaccard >= {LINK_JACCARD}
 )"""
-    return _with_kg(f"""
-SELECT a, b, round(jaccard, 6) AS jaccard FROM (
-  SELECT c.a, c.b, {jac} AS jaccard
-  FROM (
-    SELECT DISTINCT l.norm AS a, r.norm AS b
-    FROM mh_banded l JOIN mh_banded r
-      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.norm < r.norm
-  ) c JOIN vocab va ON c.a = va.norm JOIN vocab vb ON c.b = vb.norm
-) WHERE jaccard >= {LINK_JACCARD}""", extra_ctes=extra)
+
+
+def kg_pairs_minhash_sql() -> str:
+    """Minhash-LSH pair path, fully recomputed (see _minhash_ctes)."""
+    return _with_kg(
+        "SELECT a, b, round(jaccard, 6) AS jaccard FROM mh_pairs",
+        extra_ctes=_minhash_ctes())
 
 
 def kg_pairs_editdist_sql() -> str:
@@ -1813,3 +1822,164 @@ FROM (
   FROM kg_edges WHERE src_id <> dst_id
   GROUP BY 1, 2, 3)
 GROUP BY 1""")
+
+
+def kg_rules_sql() -> str:
+    """Twin of kg.analytics.rule_implications: canonical-relation
+    statements deduped, capped per (src, dst) key, ordered-pair
+    self-join with the min-support floor, body marginal over the SAME
+    capped set, round-half-up ppm confidence."""
+    from openie_spark.kg.analytics import RULE_MIN_SUPPORT, RULE_PAIR_CAP
+    from openie_spark.kg.enrich import AUX_TOKENS
+
+    aux = "[" + ", ".join(f"'{w}'" for w in AUX_TOKENS) + "]"
+    return _with_kg(f"""
+SELECT b.body, b.head, b.n_both, m.n_body,
+       (2 * b.n_both * 1000000 + m.n_body) // (2 * m.n_body) AS conf_ppm
+FROM ri_both b JOIN ri_body m ON b.body = m.rel""", extra_ctes=f"""
+ri_rkey AS (
+  SELECT pred,
+         CASE WHEN len(content) > 0 THEN array_to_string(
+                list_transform(content, t -> {_lemma_case_duckdb('t')}), ' ')
+              ELSE array_to_string(toks, ' ') END AS rel
+  FROM (
+    SELECT pred, toks,
+           list_filter(toks, t -> NOT list_contains({aux}, t)) AS content
+    FROM (
+      SELECT pred, list_filter(string_split(pred, ' '), t -> t <> '') AS toks
+      FROM (SELECT DISTINCT pred FROM kg_edges)
+    )
+  )
+),
+ri_capped AS MATERIALIZED (
+  SELECT src_id, dst_id, rel FROM (
+    SELECT src_id, dst_id, rel,
+           row_number() OVER (PARTITION BY src_id, dst_id ORDER BY rel) AS rn
+    FROM (
+      SELECT DISTINCT e.src_id, e.dst_id, r.rel
+      FROM kg_edges e JOIN ri_rkey r USING (pred)
+      WHERE e.src_id <> e.dst_id
+    )
+  ) WHERE rn <= {RULE_PAIR_CAP}
+),
+ri_body AS MATERIALIZED (
+  SELECT rel, CAST(count(*) AS BIGINT) AS n_body FROM ri_capped GROUP BY 1
+),
+ri_both AS (
+  SELECT l.rel AS body, r.rel AS head, CAST(count(*) AS BIGINT) AS n_both
+  FROM ri_capped l JOIN ri_capped r
+    ON l.src_id = r.src_id AND l.dst_id = r.dst_id AND l.rel <> r.rel
+  GROUP BY 1, 2 HAVING count(*) >= {RULE_MIN_SUPPORT}
+)""")
+
+
+def kg_conflicts_sql() -> str:
+    """Twin of kg.analytics.functional_conflicts: relation
+    functionality over distinct simple statements, the near-functional
+    slice, then multi-object subjects over occurrence edges."""
+    from openie_spark.kg.analytics import (
+        CONFLICT_FUN_PPM,
+        CONFLICT_MIN_EDGES,
+        CONFLICT_MIN_OBJS,
+    )
+
+    return _with_kg(f"""
+SELECT e.pred, e.src_id,
+       CAST(count(DISTINCT e.dst_id) AS BIGINT) AS n_objs,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM kg_edges e JOIN fc_card c USING (pred)
+WHERE e.src_id <> e.dst_id
+GROUP BY 1, 2 HAVING count(DISTINCT e.dst_id) >= {CONFLICT_MIN_OBJS}""",
+        extra_ctes=f"""
+fc_card AS MATERIALIZED (
+  SELECT pred FROM (
+    SELECT pred, count(*) AS n_edges, count(DISTINCT src_id) AS n_src
+    FROM (SELECT DISTINCT src_id, dst_id, pred FROM kg_edges
+          WHERE src_id <> dst_id)
+    GROUP BY pred)
+  WHERE (2 * n_src * 1000000 + n_edges) // (2 * n_edges) >= {CONFLICT_FUN_PPM}
+    AND n_edges >= {CONFLICT_MIN_EDGES}
+)""")
+
+
+def kg_type_graph_sql() -> str:
+    """Twin of kg.analytics.type_pair_graph: the rule-ladder etype on
+    both endpoints, one (src_type, dst_type) rollup over simple-edge
+    occurrences with distinct statement/relation/endpoint counts."""
+    return _with_kg(f"""
+SELECT ts.etype AS src_type, td.etype AS dst_type,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT (e.src_id, e.dst_id, e.pred)) AS BIGINT) AS n_stmts,
+       CAST(count(DISTINCT e.pred) AS BIGINT) AS n_rels,
+       CAST(count(DISTINCT e.src_id) AS BIGINT) AS n_src_ents,
+       CAST(count(DISTINCT e.dst_id) AS BIGINT) AS n_dst_ents
+FROM kg_edges e
+JOIN tg_types ts ON e.src_id = ts.entity_id
+JOIN tg_types td ON e.dst_id = td.entity_id
+WHERE e.src_id <> e.dst_id
+GROUP BY 1, 2""", extra_ctes=f"""
+tg_types AS MATERIALIZED (
+  SELECT entity_id, {_etype_case_duckdb('canonical')} AS etype FROM nodes
+)""")
+
+
+def kg_growth_sql() -> str:
+    """Twin of kg.analytics.kg_growth: integer epoch-day first-seen
+    counts for entities and distinct statements, with running
+    cumulative totals over the day table."""
+    return _with_kg("""
+SELECT day, new_entities, new_statements,
+       CAST(SUM(new_entities) OVER w AS BIGINT) AS cum_entities,
+       CAST(SUM(new_statements) OVER w AS BIGINT) AS cum_statements
+FROM gr_days
+WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+        extra_ctes="""
+gr_stamped AS MATERIALIZED (
+  SELECT e.src_id, e.dst_id, e.pred,
+         epoch_us(t.ts) // 86400000000 AS day
+  FROM kg_edges e
+  JOIN transcripts t ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx
+),
+gr_ent AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_entities FROM (
+    SELECT e, min(day) AS day FROM (
+      SELECT src_id AS e, day FROM gr_stamped
+      UNION ALL SELECT dst_id AS e, day FROM gr_stamped)
+    GROUP BY e)
+  GROUP BY day
+),
+gr_stmt AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_statements FROM (
+    SELECT src_id, dst_id, pred, min(day) AS day FROM gr_stamped
+    GROUP BY 1, 2, 3)
+  GROUP BY day
+),
+gr_days AS (
+  SELECT COALESCE(e.day, s.day) AS day,
+         CAST(COALESCE(e.new_entities, 0) AS BIGINT) AS new_entities,
+         CAST(COALESCE(s.new_statements, 0) AS BIGINT) AS new_statements
+  FROM gr_ent e FULL JOIN gr_stmt s ON e.day = s.day
+)""")
+
+
+def kg_linking_eval_sql() -> str:
+    """Twin of __spark_entry__._q_kg_linking_eval: the exact-Jaccard
+    pair table (``pairs``) full-outer-joined against the fully
+    recomputed minhash-LSH pair table (``mh_pairs``), rolled up to the
+    one-row recall audit."""
+    return _with_kg("""
+SELECT n_exact, n_candidate, n_both,
+       (2 * n_both * 1000000 + n_exact) // (2 * n_exact) AS recall_ppm,
+       n_candidate - n_both AS n_extra
+FROM pa_agg""", extra_ctes=_minhash_ctes() + """,
+pa_agg AS (
+  SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+         CAST(SUM(in_cand) AS BIGINT) AS n_candidate,
+         CAST(SUM(in_exact * in_cand) AS BIGINT) AS n_both
+  FROM (
+    SELECT CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+           CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS in_cand
+    FROM (SELECT a, b FROM pairs) e
+    FULL JOIN (SELECT a, b FROM mh_pairs) c ON e.a = c.a AND e.b = c.b
+  )
+)""")

@@ -213,3 +213,28 @@ def test_editdist_pairs_threshold_boundary(spark):
     got = {(r.a, r.b): r.dist for r in editdist_pairs(v, max_dist=3).collect()}
     assert got == {("abcd x", "abcd xyzw"): 3}
     assert editdist_pairs(v, max_dist=2).count() == 0
+
+
+def test_pair_generation_audit_counts(spark):
+    """One-row recall audit: TP/extra bookkeeping over a full outer
+    join of the two pair tables, exact round-half-up ppm recall."""
+    from openie_spark.kg.linking import pair_generation_audit
+
+    ex = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "c", 0.8)], "a string, b string, jaccard double")
+    cand = spark.createDataFrame(
+        [("a", "b", 0.9), ("x", "y", 0.7)], "a string, b string, jaccard double")
+    r = pair_generation_audit(ex, cand).collect()[0]
+    assert (r.n_exact, r.n_candidate, r.n_both, r.recall_ppm, r.n_extra) == \
+        (2, 2, 1, 500000, 1)
+
+
+def test_pair_generation_audit_perfect_recall(spark):
+    """candidate == exact -> recall exactly 1e6, zero extras."""
+    from openie_spark.kg.linking import pair_generation_audit
+
+    ex = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 1.0)], "a string, b string, jaccard double")
+    r = pair_generation_audit(ex, ex).collect()[0]
+    assert (r.n_exact, r.n_candidate, r.n_both, r.recall_ppm, r.n_extra) == \
+        (2, 2, 2, 1000000, 0)

@@ -1352,3 +1352,194 @@ def test_support_histogram_hand_golden(spark):
                    r.sum_support)
            for r in support_histogram(df).collect()}
     assert got == {1: (2, 1, 1, 2), 2: (1, 2, 2, 2), 3: (1, 4, 4, 4)}
+
+
+# ------------------------------------------------- rule implications
+
+def test_rule_implications_hand_golden(spark):
+    """Two (src,dst) keys share rels A and B, a third has A only:
+    A=>B conf 2/3, B=>A conf 2/2; surface inflections group onto one
+    canonical relation before mining."""
+    from openie_spark.kg.analytics import rule_implications
+
+    rows = [
+        # (x1,y1): "owns" + "acquired"; (x2,y2): "own" (inflection of
+        # owns) + "acquired"; (x3,y3): "owns" only.
+        ("x1", "y1", "owns"), ("x1", "y1", "acquired"),
+        ("x2", "y2", "own"), ("x2", "y2", "acquired"),
+        ("x3", "y3", "owns"),
+        # duplicate provenance must not inflate support
+        ("x1", "y1", "owns"),
+    ]
+    e = spark.createDataFrame(
+        [(a, b, p, "c0", 0, 0, i) for i, (a, b, p) in enumerate(rows)],
+        _EDGE_SCHEMA)
+    got = {(r.body, r.head): (r.n_both, r.n_body, r.conf_ppm)
+           for r in rule_implications(e).collect()}
+    # "owns"/"own" -> canon "own" (plural strip), "acquired" -> "acquir"
+    assert got == {
+        ("own", "acquir"): (2, 3, 666667),
+        ("acquir", "own"): (2, 2, 1000000),
+    }
+
+
+def test_rule_implications_min_support_and_selfloop(spark):
+    """min_support=2 drops single-key co-assertions; the default
+    (min_support=1) keeps them; self-loop statements never count
+    either way."""
+    from openie_spark.kg.analytics import rule_implications
+
+    rows = [("x1", "y1", "likes"), ("x1", "y1", "knows"),
+            ("s", "s", "likes"), ("s", "s", "knows")]
+    e = spark.createDataFrame(
+        [(a, b, p, "c0", 0, 0, i) for i, (a, b, p) in enumerate(rows)],
+        _EDGE_SCHEMA)
+    assert rule_implications(e, min_support=2).count() == 0
+    got = {(r.body, r.head): r.n_both
+           for r in rule_implications(e).collect()}
+    assert got == {("like", "know"): 1, ("know", "like"): 1}
+
+
+def test_rule_implications_cap_keeps_lowest_rels(spark):
+    """The per-(src,dst) cap keeps the lexicographically lowest rels
+    — deterministic, and the body marginal uses the SAME capped set so
+    n_both <= n_body holds exactly."""
+    from openie_spark.kg.analytics import rule_implications
+
+    rows = ([("x1", "y1", p) for p in ("aaa", "bbb", "ccc", "ddd")]
+            + [("x2", "y2", p) for p in ("aaa", "bbb", "ccc", "ddd")])
+    e = spark.createDataFrame(
+        [(a, b, p, "c0", 0, 0, i) for i, (a, b, p) in enumerate(rows)],
+        _EDGE_SCHEMA)
+    got = {(r.body, r.head): (r.n_both, r.n_body)
+           for r in rule_implications(e, cap=2).collect()}
+    # only aaa/bbb survive the cap on both keys
+    assert got == {("aaa", "bbb"): (2, 2), ("bbb", "aaa"): (2, 2)}
+
+
+def test_rule_implications_randomized_python_twin(spark):
+    """Parity vs an independent python miner on a random corpus
+    (preds chosen to be lemma-stable so the twin needs no ladder)."""
+    import random
+
+    from openie_spark.kg.analytics import rule_implications
+
+    rng = random.Random(7)
+    ents = [f"e{i}" for i in range(8)]
+    rels = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(120):
+        a, b = rng.sample(ents, 2)
+        rows.append((a, b, rng.choice(rels), "c0", 0, 0, i))
+    e = spark.createDataFrame(rows, _EDGE_SCHEMA)
+
+    stmts = sorted({(a, b, p) for a, b, p, *_ in rows if a != b})
+    per_key: dict = {}
+    for a, b, p in stmts:
+        per_key.setdefault((a, b), []).append(p)
+    capped = []
+    for k, ps in per_key.items():
+        capped += [(k, p) for p in sorted(ps)[:16]]
+    n_body: dict = {}
+    for _, p in capped:
+        n_body[p] = n_body.get(p, 0) + 1
+    n_both: dict = {}
+    for k, ps in per_key.items():
+        keep = sorted(ps)[:16]
+        for p1 in keep:
+            for p2 in keep:
+                if p1 != p2:
+                    n_both[(p1, p2)] = n_both.get((p1, p2), 0) + 1
+    want = {(b, h): (n, n_body[b], (2 * n * 10**6 + n_body[b]) // (2 * n_body[b]))
+            for (b, h), n in n_both.items() if n >= 2}
+    got = {(r.body, r.head): (r.n_both, r.n_body, r.conf_ppm)
+           for r in rule_implications(e, min_support=2).collect()}
+    assert got == want
+
+
+# ---------------------------------------------- functional conflicts
+
+def test_functional_conflicts_hand_golden(spark):
+    """Only near-functional relations (fun >= floor over >= min
+    statements) emit their multi-object subjects; property-tag
+    relations and under-supported relations never do."""
+    from openie_spark.kg.analytics import functional_conflicts
+
+    rows = (
+        # "capital": 5 subjects, one with 2 objs -> fun 5/6 = 833333
+        [(f"s{i}", f"o{i}", "capital") for i in range(5)]
+        + [("s0", "o9", "capital")]
+        # extra provenance mention of an existing statement (counts in
+        # n_mentions, not in n_objs)
+        + [("s0", "o9", "capital")]
+        # "tag": 2 subjects x 3 objs -> fun 2/6 = 333333, excluded
+        + [(f"t{i}", f"u{j}", "tag") for i in range(2) for j in range(3)]
+        # "rare": functional but only 3 stmts < min_edges=4
+        + [(f"r{i}", f"q{i}", "rare") for i in range(3)]
+    )
+    e = spark.createDataFrame(
+        [(a, b, p, "c0", 0, 0, i) for i, (a, b, p) in enumerate(rows)],
+        _EDGE_SCHEMA)
+    got = {(r.pred, r.src_id): (r.n_objs, r.n_mentions)
+           for r in functional_conflicts(e).collect()}
+    assert got == {("capital", "s0"): (2, 3)}
+
+
+# -------------------------------------------------- type quotient graph
+
+def test_type_pair_graph_hand_golden(spark):
+    """Endpoint types via the rule ladder; occurrence vs distinct-
+    statement counts split; self loops dropped; output keyed by type
+    pair."""
+    from openie_spark.kg.analytics import type_pair_graph
+
+    nodes = spark.createDataFrame(
+        [("n1", "mr smith", 1, 3), ("n2", "acme inc", 1, 2),
+         ("n3", "dr jones", 1, 1), ("n4", "1999", 1, 1)],
+        "entity_id string, canonical string, n_aliases int, freq long")
+    rows = [
+        ("n1", "n2", "runs"), ("n1", "n2", "runs"),   # dup provenance
+        ("n3", "n2", "joined"),
+        ("n1", "n4", "born"),
+        ("n2", "n2", "self"),                          # self loop: out
+    ]
+    e = spark.createDataFrame(
+        [(a, b, p, "c0", 0, 0, i) for i, (a, b, p) in enumerate(rows)],
+        _EDGE_SCHEMA)
+    got = {(r.src_type, r.dst_type):
+           (r.n_edges, r.n_stmts, r.n_rels, r.n_src_ents, r.n_dst_ents)
+           for r in type_pair_graph(nodes, e).collect()}
+    assert got == {
+        ("person", "org"): (3, 2, 2, 2, 1),
+        ("person", "year"): (1, 1, 1, 1, 1),
+    }
+
+
+# ------------------------------------------------------- growth curve
+
+def test_kg_growth_hand_golden(spark):
+    """First-seen day per entity / per distinct statement; repeats on
+    later days don't recount; cumulative totals run over the day
+    table."""
+    import datetime as dt
+
+    from openie_spark.kg.analytics import kg_growth
+
+    day0 = dt.datetime(2024, 1, 1)
+    day1 = dt.datetime(2024, 1, 2)
+    tr = spark.createDataFrame(
+        [("c0", 0, day0), ("c1", 0, day1)],
+        "conv_id string, turn_idx int, ts timestamp")
+    rows = [
+        ("a", "b", "likes", "c0"),   # day0: ents a,b; stmt 1
+        ("a", "b", "likes", "c1"),   # day1 repeat: nothing new
+        ("b", "c", "knows", "c1"),   # day1: ent c; stmt 2
+    ]
+    e = spark.createDataFrame(
+        [(a, b, p, c, 0, 0, i) for i, (a, b, p, c) in enumerate(rows)],
+        _EDGE_SCHEMA)
+    got = {r.day: (r.new_entities, r.new_statements,
+                   r.cum_entities, r.cum_statements)
+           for r in kg_growth(e, tr).collect()}
+    d0 = int(day0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) // 86_400_000_000
+    assert got == {d0: (2, 1, 2, 1), d0 + 1: (1, 1, 3, 2)}
