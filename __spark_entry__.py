@@ -652,6 +652,35 @@ def _q_dp_ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(_events(spark, sf_dir))
 
 
+def _q_dp_ev_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 sequential pattern mining: per-user chronologically
+    adjacent event-type trigrams with occurrence and distinct-user
+    support — the same user_id window shuffle as the transition
+    matrix, types³-bounded output."""
+    from openie_spark.datapipe.events import event_trigrams
+
+    return event_trigrams(_events(spark, sf_dir))
+
+
+def _q_kg_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity sufficient statistics over the undirected
+    simple graph: one row of exact BIGINT sums (Newman's r follows in
+    one offline division — no float quotient to drift)."""
+    from openie_spark.kg.analytics import degree_mixing_sums
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return degree_mixing_sums(edges)
+
+
+def _q_dp_ev_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type: integer epoch-hour
+    mod 24 cells with distinct-user reach and exact-ppm type shares —
+    one 24×types-bounded partial agg."""
+    from openie_spark.datapipe.events import hourly_profile
+
+    return hourly_profile(_events(spark, sf_dir))
+
+
 def _q_dp_ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust daily-volume anomaly flags per event type: integer
     nearest-rank median/MAD, modified-z-score cutoff."""
@@ -1601,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_graph": _q_kg_type_graph,
         "kg_growth": _q_kg_growth,
         "kg_linking_eval": _q_kg_linking_eval,
+        "kg_mixing": _q_kg_mixing,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1667,6 +1697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ev_retention": _q_dp_ev_retention,
         "dp_ev_anomaly": _q_dp_ev_anomaly,
         "dp_ev_transitions": _q_dp_ev_transitions,
+        "dp_ev_trigrams": _q_dp_ev_trigrams,
+        "dp_ev_hourly": _q_dp_ev_hourly,
         "dp_ev_profiles": _q_dp_ev_profiles,
         "dp_bloom_flags": _q_dp_bloom_flags,
     }
@@ -1731,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_type_graph": o.kg_type_graph_sql(),
         "kg_growth": o.kg_growth_sql(),
         "kg_linking_eval": o.kg_linking_eval_sql(),
+        "kg_mixing": o.kg_mixing_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),
@@ -1796,6 +1829,8 @@ def oracle_sql() -> dict[str, str]:
         "dp_ev_retention": dp.retention_sql(),
         "dp_ev_anomaly": dp.anomalies_sql(),
         "dp_ev_transitions": dp.event_transitions_sql(),
+        "dp_ev_trigrams": dp.event_trigrams_sql(),
+        "dp_ev_hourly": dp.hourly_profile_sql(),
         "dp_ev_profiles": dp.user_profiles_sql(),
         "dp_bloom_flags": dp.bloom_flags_sql(),
     }

@@ -718,3 +718,81 @@ def value_quantiles(events: DataFrame, k: int = VQ_K,
     return out.select("event_type", "n_events", "n_sample",
                       "min_cents", "max_cents",
                       *[f"p{p}" for p in pcts])
+
+
+TRIGRAM_MIN_COUNT = 2   # singleton trigrams are noise at any scale
+
+
+def event_trigrams(events: DataFrame,
+                   min_count: int = TRIGRAM_MIN_COUNT) -> DataFrame:
+    """Per-user event-type trigram mining -> (t1, t2, t3, n_occurrences,
+    n_users): counts of chronologically adjacent type TRIPLES within
+    each user's stream — the order-3 extension of event_transitions
+    (the first-order matrix answers "what follows a view?"; this
+    answers "what three-step paths actually happen", the sequential-
+    pattern table funnel design and anomalous-flow detection read).
+    n_users is the distinct-user support, the classic
+    sequential-pattern-mining support axis (GSP, Srikant & Agrawal
+    1996) that separates one power-user's loop from a common path.
+
+    Ordering within a user is (ts, event_id) — a total key, so
+    simultaneous events chain deterministically at any parallelism
+    and the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: ONE corpus-scale shuffle (the user_id window
+    partition, same key and cost class as event_transitions — the two
+    leads ride the same window); the trigram collapse is a partial-
+    aggregated groupBy bounded by types³ with countDistinct state
+    bounded by the users actually exhibiting the path. The min-count
+    floor drops the singleton tail."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _with_tz(events)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(F.col("event_type").alias("t1"), "t2", "t3", "user_id")
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
+def hourly_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day activity profile -> (hour, event_type, n, n_users,
+    share_ppm): event counts and distinct-user reach per UTC
+    hour-of-day x type, plus each hour's exact round-half-up ppm share
+    of its type's total — the diurnal-seasonality readout capacity
+    planning and anomaly baselining consume (daily_anomalies flags
+    day-level outliers; this is the within-day shape they are read
+    against). hour = (epoch_us DIV 3600e6) mod 24: pure integer
+    arithmetic on the pinned-UTC timestamp, no calendar functions to
+    diverge between engines.
+
+    Scale shape: ONE partial-aggregated groupBy bounded by 24 x types
+    (countDistinct state bounded by the users active in that cell);
+    type totals attach via a types-sized broadcast join."""
+    cells = (
+        _with_tz(events)
+        .withColumn("hour", F.expr(
+            f"(unix_micros(ts) DIV {3600 * _US_PER_SEC}) % 24").cast("int"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .localCheckpoint(eager=False)   # 24·types rows; feeds two branches
+    )
+    totals = cells.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    return (
+        cells.join(totals, "event_type")
+        .select(
+            "hour", "event_type", "n", "n_users",
+            F.expr("(2 * n * 1000000 + n_type) DIV (2 * n_type)")
+            .alias("share_ppm"),
+        )
+    )

@@ -1853,3 +1853,43 @@ def kg_growth(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
         F.sum("new_entities").over(w).alias("cum_entities"),
         F.sum("new_statements").over(w).alias("cum_statements"),
     )
+
+
+def degree_mixing_sums(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity sufficient statistics -> one row
+    (n_ends, s_d, s_prod, s_sq) over the UNDIRECTED simple graph:
+    with every edge {u, v} counted in both orientations (n_ends = 2m),
+    the exact BIGINT sums of deg(u), deg(u)*deg(v), and deg(u)^2 at
+    the edge ends. Newman's assortativity coefficient (PRL 2002)
+        r = (n*s_prod - s_d^2) / (n*s_sq - s_d^2)
+    follows from these four integers in one offline division — emitting
+    the SUMS instead of r keeps the table bit-exact in both engines
+    (no float quotient to drift) while losing nothing. r < 0 (hubs
+    attach to leaves) is the expected regime for extraction KGs;
+    drift toward 0 across ingests signals hub inflation worth a
+    salting/cap revisit.
+
+    BIGINT headroom: s_sq <= sum over nodes of deg^3 — fine through
+    ~10^6-degree hubs at 10^9 edges; beyond that, pre-scale degrees
+    (the readout only needs ratios).
+
+    Scale shape: degrees from one partial-aggregated groupBy over the
+    symmetrized edge list; two node-sized degree attaches (AQE
+    broadcasts when they fit); ONE single-row aggregate. No windows,
+    no self-joins."""
+    und = undirected_edges(edges)                    # a < b, deduped
+    both = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .localCheckpoint(eager=False))           # degrees + ends share it
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    return (
+        both.join(du, "u").join(dv, "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_ends"),
+            F.sum("du").alias("s_d"),
+            F.sum(F.expr("CAST(du AS BIGINT) * dv")).alias("s_prod"),
+            F.sum(F.expr("CAST(du AS BIGINT) * du")).alias("s_sq"),
+        )
+    )

@@ -401,6 +401,21 @@ class KGPipeline:
             self._run_stage(
                 "truss", _truss_backbone,
                 "a", ["nodes", "edges"], resume)
+            from openie_spark.kg.analytics import (
+                functional_conflicts,
+                rule_implications,
+                type_pair_graph,
+            )
+
+            self._run_stage(
+                "rules", lambda: rule_implications(e_df),
+                "body", ["edges"], resume)
+            self._run_stage(
+                "conflicts", lambda: functional_conflicts(e_df),
+                "pred", ["edges"], resume)
+            self._run_stage(
+                "type_graph", lambda: type_pair_graph(n_df, e_df),
+                "src_type", ["nodes", "edges"], resume)
 
         if self.export:
             # optional consumer-facing sinks: temporal relation
@@ -416,6 +431,12 @@ class KGPipeline:
             self._run_stage(
                 "export_nt", lambda: export_ntriples(n_df, e_df),
                 "nt", ["nodes", "edges"], resume)
+            from openie_spark.kg.analytics import kg_growth
+
+            self._run_stage(
+                "growth",
+                lambda: kg_growth(e_df, read_transcripts(spark, self.input_dir)),
+                "day", ["edges"], resume)
 
         if self.enrich:
             # optional stage-I+ enrichment sinks: typing, schema

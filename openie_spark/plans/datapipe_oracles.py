@@ -1807,3 +1807,41 @@ SELECT e.event_type, e.n_events, max(r.n_sample) AS n_sample,
        {picks}
 FROM vq_ranked r JOIN vq_exact e USING (event_type)
 GROUP BY e.event_type, e.n_events, e.min_cents, e.max_cents"""
+
+
+def event_trigrams_sql() -> str:
+    """Twin of events.event_trigrams: two leads over the total
+    (ts, event_id) per-user order, types^3 collapse with distinct-user
+    support, min-count floor."""
+    from openie_spark.datapipe.events import TRIGRAM_MIN_COUNT
+
+    return f"""WITH seq AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING count(*) >= {TRIGRAM_MIN_COUNT}"""
+
+
+def hourly_profile_sql() -> str:
+    """Twin of events.hourly_profile: integer hour-of-day cells with
+    distinct-user reach and round-half-up ppm type shares."""
+    return """WITH cells AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour, event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, sum(n) AS n_type FROM cells GROUP BY 1
+)
+SELECT CAST(c.hour AS INT) AS hour, c.event_type, c.n, c.n_users,
+       CAST((2 * c.n * 1000000 + t.n_type) // (2 * t.n_type) AS BIGINT)
+         AS share_ppm
+FROM cells c JOIN totals t USING (event_type)"""

@@ -1983,3 +1983,28 @@ pa_agg AS (
     FULL JOIN (SELECT a, b FROM mh_pairs) c ON e.a = c.a AND e.b = c.b
   )
 )""")
+
+
+def kg_mixing_sql() -> str:
+    """Twin of kg.analytics.degree_mixing_sums: symmetrized simple
+    undirected edge ends, exact BIGINT degree sums."""
+    return _with_kg("""
+SELECT CAST(count(*) AS BIGINT) AS n_ends,
+       CAST(sum(du.d) AS BIGINT) AS s_d,
+       CAST(sum(du.d * dv.d) AS BIGINT) AS s_prod,
+       CAST(sum(du.d * du.d) AS BIGINT) AS s_sq
+FROM dm_both e
+JOIN dm_deg du ON e.u = du.u
+JOIN dm_deg dv ON e.v = dv.u""", extra_ctes="""
+dm_und AS (
+  SELECT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id
+  GROUP BY 1, 2
+),
+dm_both AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM dm_und
+  UNION ALL SELECT b AS u, a AS v FROM dm_und
+),
+dm_deg AS MATERIALIZED (
+  SELECT u, CAST(count(*) AS BIGINT) AS d FROM dm_both GROUP BY 1
+)""")

@@ -1,6 +1,7 @@
 from openie_spark.streaming.dedup import (  # noqa: F401
     stream_exact_dedup,
     stream_event_transitions,
+    stream_event_trigrams,
     write_dedup_stream,
     write_transitions_stream,
 )

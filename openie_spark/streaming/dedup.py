@@ -140,3 +140,64 @@ def write_transitions_stream(trans: DataFrame, out_path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_event_trigrams(events: DataFrame) -> DataFrame:
+    """Streaming events → trigram rows (user_id, t1, t2, t3, ts_us):
+    the cross-batch complement of datapipe.events.event_trigrams,
+    extending stream_event_transitions' "remember the last event"
+    state to the last TWO events per user so an order-3 chain survives
+    micro-batch boundaries (state stays bytes per user — two (ts_us,
+    event_id, type) slots, not the event list).
+
+    Same pinned semantics as the transition stream: rows chain in
+    (ts_us, event_id) order within an invocation and in arrival order
+    across invocations; a downstream groupBy(t1,t2,t3) over the sink
+    reproduces event_trigrams' counts when batches arrive ordered.
+    The shuffle key is user_id."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def chain(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            return iter(())
+        batch = pd.concat(rows).sort_values(
+            ["ts_us", "event_id"], kind="mergesort")
+        if state.exists:
+            ts1, eid1, t1, ts2, eid2, t2 = state.get
+            prev = [(ts1, eid1, t1), (ts2, eid2, t2)]
+            # slot sentinel: ts < 0 means "fewer than two seen so far"
+            prev = [p for p in prev if p[0] >= 0]
+        else:
+            prev = []
+        o1, o2, o3, ots = [], [], [], []
+        for ts_us, eid, etype in zip(
+                batch["ts_us"], batch["event_id"], batch["event_type"]):
+            cur = (int(ts_us), int(eid), str(etype))
+            if len(prev) == 2:
+                o1.append(prev[0][2])
+                o2.append(prev[1][2])
+                o3.append(cur[2])
+                ots.append(cur[0])
+            prev = (prev + [cur])[-2:]
+        pad = [(-1, -1, "")] * (2 - len(prev)) + prev
+        state.update((pad[0][0], pad[0][1], pad[0][2],
+                      pad[1][0], pad[1][1], pad[1][2]))
+        if not o1:
+            return iter(())
+        return iter([pd.DataFrame({
+            "user_id": key[0], "t1": o1, "t2": o2, "t3": o3,
+            "ts_us": ots})])
+
+    keyed = events.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "event_type")
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        chain,
+        outputStructType=("user_id long, t1 string, t2 string, "
+                          "t3 string, ts_us long"),
+        stateStructType=("ts1 long, eid1 long, t1 string, "
+                         "ts2 long, eid2 long, t2 string"),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -572,3 +572,59 @@ def test_value_quantiles_python_twin(ev):
                           r.max_cents, r.p50, r.p90, r.p99)
            for r in value_quantiles(ev).collect()}
     assert got == expected and len(expected) == 3
+
+
+def test_event_trigrams_hand_golden(spark):
+    """Adjacent type triples per user on the (ts, event_id) total
+    order; occurrence + distinct-user support; min-count floor drops
+    the singleton tail."""
+    import datetime as dt
+
+    from openie_spark.datapipe.events import event_trigrams
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: a b c a b c -> abc, bca, cab, abc
+    for i, t in enumerate(["a", "b", "c", "a", "b", "c"]):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, t, 0.0, "{}"))
+    # user 2: a b c (same ts for the last two -> event_id breaks tie)
+    rows.append((10, t0, 2, "a", 0.0, "{}"))
+    rows.append((11, t0 + dt.timedelta(minutes=1), 2, "b", 0.0, "{}"))
+    rows.append((12, t0 + dt.timedelta(minutes=1), 2, "c", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.t1, r.t2, r.t3): (r.n_occurrences, r.n_users)
+           for r in event_trigrams(ev).collect()}
+    assert got == {("a", "b", "c"): (3, 2)}
+    # min_count=1 keeps the singletons too
+    got1 = {(r.t1, r.t2, r.t3): (r.n_occurrences, r.n_users)
+            for r in event_trigrams(ev, min_count=1).collect()}
+    assert got1 == {("a", "b", "c"): (3, 2),
+                    ("b", "c", "a"): (1, 1), ("c", "a", "b"): (1, 1)}
+
+
+def test_hourly_profile_hand_golden(spark):
+    """Integer hour-of-day cells; distinct-user reach; ppm shares sum
+    per type against the round-half-up rule."""
+    import datetime as dt
+
+    from openie_spark.datapipe.events import hourly_profile
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9, 15), 1, "click", 0.0, "{}"),
+        (1, dt.datetime(2024, 1, 2, 9, 45), 2, "click", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 9, 59), 1, "click", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 23, 5), 1, "click", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 23, 30), 1, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.hour, r.event_type): (r.n, r.n_users, r.share_ppm)
+           for r in hourly_profile(ev).collect()}
+    assert got == {
+        (9, "click"): (3, 2, 750000),
+        (23, "click"): (1, 1, 250000),
+        (23, "view"): (1, 1, 1000000),
+    }

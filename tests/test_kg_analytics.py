@@ -1543,3 +1543,19 @@ def test_kg_growth_hand_golden(spark):
            for r in kg_growth(e, tr).collect()}
     d0 = int(day0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) // 86_400_000_000
     assert got == {d0: (2, 1, 2, 1), d0 + 1: (1, 1, 3, 2)}
+
+
+# ------------------------------------------------- degree mixing sums
+
+def test_degree_mixing_sums_path_graph(spark):
+    """Path a-b-c: ends (a,b),(b,a),(b,c),(c,b); degrees 1,2,1.
+    Newman's r from the sums is exactly -1 for a path of length 2;
+    duplicate/reversed/self-loop provenance collapses first."""
+    from openie_spark.kg.analytics import degree_mixing_sums
+
+    pairs = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("s", "s")]
+    e = _edges(spark, pairs)
+    r = degree_mixing_sums(e).collect()[0]
+    assert (r.n_ends, r.s_d, r.s_prod, r.s_sq) == (4, 6, 8, 10)
+    n, sd, sp, sq = r.n_ends, r.s_d, r.s_prod, r.s_sq
+    assert (n * sp - sd * sd) / (n * sq - sd * sd) == -1.0

@@ -146,11 +146,17 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path_factory):
     assert s1["stages"]["salsa"]["rows"] == s1["nodes"]
     assert 0 < s1["stages"]["rel_cardinality"]["rows"]
     assert s1["stages"]["truss"]["rows"] >= 0
+    # rules/conflicts may be empty on a sparse slice; the type graph
+    # always has >= 1 type pair when edges exist
+    assert s1["stages"]["rules"]["rows"] >= 0
+    assert s1["stages"]["conflicts"]["rows"] >= 0
+    assert 0 < s1["stages"]["type_graph"]["rows"] <= 81
     s2 = KGPipeline(spark, SF, out, analytics=True).run(resume=True)
     assert all(s2["stages"][st]["resumed"]
                for st in ("pagerank", "triangles", "khop", "communities",
                           "kcore", "degree_hist", "salsa",
-                          "rel_cardinality", "truss"))
+                          "rel_cardinality", "truss", "rules",
+                          "conflicts", "type_graph"))
     assert {st: s2["stages"][st]["rows"] for st in s2["stages"]} == \
            {st: s1["stages"][st]["rows"] for st in s1["stages"]}
 
@@ -173,8 +179,16 @@ def test_pipeline_export_stages_and_resume(spark, tmp_path_factory):
     tmp = spark.read.parquet(os.path.join(out, "temporal"))
     assert tmp.where("first_us > last_us").count() == 0
     assert s1["stages"]["temporal"]["rows"] == s1["relations"]
+    # the growth curve is day-bounded and cumulative totals end at the
+    # graph's distinct entity count
+    g = spark.read.parquet(os.path.join(out, "growth"))
+    assert 0 < g.count() <= 366
+    # growth counts entities with >= 1 edge — a subset of the node
+    # table (mention-only entities never reach an edge endpoint)
+    assert 0 < g.orderBy(g.day.desc()).first().cum_entities <= s1["nodes"]
     s2 = KGPipeline(spark, SF, out, export=True).run(resume=True)
-    assert all(s2["stages"][st]["resumed"] for st in ("temporal", "export_nt"))
+    assert all(s2["stages"][st]["resumed"]
+               for st in ("temporal", "export_nt", "growth"))
 
 
 def test_pipeline_enrich_stages_and_resume(spark, tmp_path_factory):

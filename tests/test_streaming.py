@@ -289,3 +289,52 @@ def test_streaming_sliding_counts_append(spark, tmp_path):
     assert got.count() == batch.count() > 0
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_event_trigrams_across_batches(spark, tmp_path):
+    """Order-3 chains must survive micro-batch boundaries: the first
+    event of batch 2 completes a trigram whose first two legs arrived
+    in batch 1, and a user with only two events emits nothing until
+    the third arrives."""
+    import datetime as dt
+
+    from openie_spark.streaming import stream_event_trigrams
+
+    landing = str(tmp_path / "ev3")
+    out = str(tmp_path / "tri")
+    ckpt = str(tmp_path / "ckpt3")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    spark.createDataFrame(
+        [(1, t0, 1, "view", 0.0, "{}"),
+         (2, t0 + s, 1, "click", 0.0, "{}"),
+         (3, t0, 2, "view", 0.0, "{}"),
+         (4, t0 + s, 2, "click", 0.0, "{}")], schema
+    ).repartition(1).write.mode("overwrite").parquet(landing)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(landing)
+        q = (stream_event_trigrams(src).writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    import os
+    got = (set() if not os.path.exists(out) or not
+           [f for f in os.listdir(out) if f.endswith(".parquet")]
+           else {(r.user_id, r.t1, r.t2, r.t3)
+                 for r in spark.read.parquet(out).collect()})
+    assert got == set()          # two events per user: no trigram yet
+
+    spark.createDataFrame(
+        [(5, t0 + 2 * s, 1, "purchase", 0.0, "{}"),
+         (6, t0 + 3 * s, 1, "view", 0.0, "{}")], schema
+    ).repartition(1).write.mode("append").parquet(landing)
+    drain()
+    got = {(r.user_id, r.t1, r.t2, r.t3)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "view", "click", "purchase"),
+                   (1, "click", "purchase", "view")}
