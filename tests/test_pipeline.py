@@ -224,3 +224,50 @@ def test_pipeline_enrich_stages_and_resume(spark, tmp_path_factory):
     assert y.where("n_triples > 0").count() > 0
     s2 = KGPipeline(spark, SF, out, enrich=True).run(resume=True)
     assert all(s2["stages"][st]["resumed"] for st in stages)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/opt/spark/bin/spark-submit"),
+    reason="spark-submit launcher not installed")
+def test_spark_submit_py_files_launch(tmp_path):
+    """The north rule's literal launch mode: `spark-submit --py-files
+    <pkg.zip> kg_job.py` from an ISOLATED cwd containing only the
+    entrypoint script — every openie_spark import (driver and executor
+    python workers alike) must come from the shipped zip, not from a
+    repo checkout on sys.path. Runs the full sf0.001 pipeline and
+    checks the summary JSON + a manifest landed."""
+    import json as _json
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    import openie_spark
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(openie_spark.__file__)))
+    iso = tmp_path / "iso"
+    iso.mkdir()
+    shutil.copy(os.path.join(root, "tools", "kg_job.py"), iso / "kg_job.py")
+    zp = iso / "openie_spark.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        for dirpath, _, files in os.walk(os.path.join(root, "openie_spark")):
+            for f in files:
+                if f.endswith((".py", ".txt")):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    out_dir = str(tmp_path / "out")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(
+        ["/opt/spark/bin/spark-submit", "--master", "local[4]",
+         "--py-files", "openie_spark.zip", "kg_job.py",
+         "--input", SF, "--output", out_dir,
+         "--no-resume", "--shuffle-partitions", "4"],
+        cwd=str(iso), env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["triples"] > 0 and summary["nodes"] > 0
+    assert summary["edges"] > 0
+    man = _json.load(open(os.path.join(out_dir, "triples", "_manifest.json")))
+    assert man["rows"] == summary["triples"]
