@@ -1062,6 +1062,17 @@ def _q_kg_linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_generation_audit(pairs, minhash_pairs(vocab))
 
 
+def _q_kg_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-skew observability (the lineage metric the pipeline
+    records per vocab stage, as a first-class query): block counts,
+    hot blocks over the MAX_BLOCK cap, and the mentions those drops
+    cost — the number a production run watches before re-linking."""
+    from openie_spark.kg.linking import skew_stats
+
+    _, vocab, _, _ = _kg_parts(spark, sf_dir)
+    return skew_stats(vocab)
+
+
 def _q_kg_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant linking candidates: capped blocking + Levenshtein
     <= 3 verification with the threshold pushed into Spark's early-
@@ -1209,6 +1220,14 @@ def _q_dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.datapipe.dedup import exact_dedup_groups
 
     return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_dp_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned exact-duplicate group-size profile — the dedup
+    audit readout (unique mass vs removable redundancy), <= 64 rows."""
+    from openie_spark.datapipe.dedup import dup_group_histogram
+
+    return dup_group_histogram(_docs(spark, sf_dir))
 
 
 def _q_dp_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1631,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_growth": _q_kg_growth,
         "kg_linking_eval": _q_kg_linking_eval,
         "kg_mixing": _q_kg_mixing,
+        "kg_blocking_stats": _q_kg_blocking_stats,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1643,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_summary": _q_kg_summary,
         "turn_text_invariant": _q_turn_invariant,
         "dp_exact_dedup": _q_dp_exact_dedup,
+        "dp_dup_stats": _q_dp_dup_stats,
         "dp_ngram_pairs": _q_dp_ngram_pairs,
         "dp_minhash_pairs": _q_dp_minhash_pairs,
         "dp_substr_spans": _q_dp_substr_spans,
@@ -1764,6 +1785,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_growth": o.kg_growth_sql(),
         "kg_linking_eval": o.kg_linking_eval_sql(),
         "kg_mixing": o.kg_mixing_sql(),
+        "kg_blocking_stats": o.kg_blocking_stats_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),
@@ -1776,6 +1798,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_summary": o.kg_summary_sql(),
         "turn_text_invariant": o.turn_invariant_sql(),
         "dp_exact_dedup": dp.exact_dedup_sql(),
+        "dp_dup_stats": dp.dup_group_histogram_sql(),
         "dp_ngram_pairs": dp.ngram_pairs_sql(),
         "dp_minhash_pairs": dp.minhash_pairs_sql(),
         "dp_substr_spans": dp.substr_spans_sql(),

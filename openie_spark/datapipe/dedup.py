@@ -455,3 +455,27 @@ def containment_pairs(docs: DataFrame, cap: int = WINNOW_BUCKET_CAP,
         .select("a", "b", "n_shared", "nf_a", "nf_b",
                 "cont_a_ppm", "cont_b_ppm")
     )
+
+
+def dup_group_histogram(docs: DataFrame) -> DataFrame:
+    """Log2-binned exact-duplicate group-size profile -> (bin,
+    n_groups, min_size, max_size, sum_docs): bin b covers group sizes
+    [2^(b-1), 2^b) via the no-floating-log2 bit-length trick (the
+    kg support_histogram shape). The dedup audit readout: bin 1 is the
+    unique mass, a fat bin >= 2 quantifies how much the exact pass
+    will remove and whether a boilerplate source is flooding the
+    corpus. <= 64 output rows at any corpus size.
+
+    Scale shape: the same single md5-groupBy shuffle exact_dedup
+    already pays, then a <= 64-group collapse. No windows."""
+    return (
+        exact_dedup_groups(docs)
+        .withColumn("bin", F.length(F.bin("n_docs")).cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("n_docs").alias("min_size"),
+            F.max("n_docs").alias("max_size"),
+            F.sum("n_docs").alias("sum_docs"),
+        )
+    )

@@ -1845,3 +1845,18 @@ SELECT CAST(c.hour AS INT) AS hour, c.event_type, c.n, c.n_users,
        CAST((2 * c.n * 1000000 + t.n_type) // (2 * t.n_type) AS BIGINT)
          AS share_ppm
 FROM cells c JOIN totals t USING (event_type)"""
+
+
+def dup_group_histogram_sql() -> str:
+    """Twin of dedup.dup_group_histogram: md5 text groups binned by
+    bit_length(group size)."""
+    return """WITH groups AS (
+  SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT CAST(length(bin(n_docs)) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(n_docs) AS BIGINT) AS min_size,
+       CAST(max(n_docs) AS BIGINT) AS max_size,
+       CAST(sum(n_docs) AS BIGINT) AS sum_docs
+FROM groups GROUP BY 1"""

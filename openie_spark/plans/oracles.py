@@ -2008,3 +2008,28 @@ dm_both AS MATERIALIZED (
 dm_deg AS MATERIALIZED (
   SELECT u, CAST(count(*) AS BIGINT) AS d FROM dm_both GROUP BY 1
 )""")
+
+
+def kg_blocking_stats_sql() -> str:
+    """Twin of kg.linking.skew_stats over the mention vocabulary: both
+    prefix block keys per norm, per-key counts, hot-block and
+    dropped-mention totals at the MAX_BLOCK cap."""
+    from openie_spark.config import MAX_BLOCK
+    from openie_spark.kg.linking import BLOCK_PREFIX
+
+    return _with_kg(f"""
+SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN n > {MAX_BLOCK} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hot_blocks,
+       CAST(sum(CASE WHEN n > {MAX_BLOCK} THEN n ELSE 0 END) AS BIGINT)
+         AS n_dropped_mentions
+FROM bs_per""", extra_ctes=f"""
+bs_keys AS (
+  SELECT u.bk AS bkey
+  FROM vocab, unnest(list_distinct([
+      'f|' || substr(string_split(norm, ' ')[1], 1, {BLOCK_PREFIX}),
+      'l|' || substr(string_split(norm, ' ')[-1], 1, {BLOCK_PREFIX})])) AS u(bk)
+),
+bs_per AS (
+  SELECT bkey, count(*) AS n FROM bs_keys GROUP BY 1
+)""")

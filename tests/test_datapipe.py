@@ -1115,3 +1115,17 @@ def test_bigram_likelihood_python_twin_partition_invariant(spark):
     again = {r.doc_id: (r.n_bigrams, r.freq_sum, r.avg_freq)
              for r in bigram_likelihood(df.repartition(7)).collect()}
     assert again == expected
+
+
+def test_dup_group_histogram_hand_golden(spark):
+    """Group sizes bin by bit length; min/max/sum per bin exact."""
+    from openie_spark.datapipe.dedup import dup_group_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "aa"),      # group of 3 -> bin 2
+         (4, "bb"), (5, "bb"),                 # group of 2 -> bin 2
+         (6, "cc")],                           # singleton   -> bin 1
+        "doc_id long, text string")
+    got = {r.bin: (r.n_groups, r.min_size, r.max_size, r.sum_docs)
+           for r in dup_group_histogram(docs).collect()}
+    assert got == {1: (1, 1, 1, 1), 2: (2, 2, 3, 5)}

@@ -238,3 +238,18 @@ def test_pair_generation_audit_perfect_recall(spark):
     r = pair_generation_audit(ex, ex).collect()[0]
     assert (r.n_exact, r.n_candidate, r.n_both, r.recall_ppm, r.n_extra) == \
         (2, 2, 2, 1000000, 0)
+
+
+def test_skew_stats_counts_hot_blocks(spark):
+    """skew_stats: blocks over the cap counted with their mention
+    mass; the same keys exact_pairs blocks on."""
+    from openie_spark.kg.linking import skew_stats
+
+    # 4 norms sharing first-token prefix 'alph' -> one hot block at
+    # max_block=3; their last tokens differ so l| blocks stay cold.
+    vocab = spark.createDataFrame(
+        [(f"alpha w{i}", 1, ["alpha", f"w{i}"], 2) for i in range(4)],
+        "norm string, freq long, tokens array<string>, n_tokens int")
+    r = skew_stats(vocab, max_block=3).collect()[0]
+    # blocks: f|alph (4 members, hot) + l|w0..w3 (4 singleton blocks)
+    assert (r.n_blocks, r.n_hot_blocks, r.n_dropped_mentions) == (5, 1, 4)
