@@ -1062,6 +1062,17 @@ def _q_kg_linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_generation_audit(pairs, minhash_pairs(vocab))
 
 
+def _q_kg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-sliced KG: statements known at the corpus-midpoint cutoff
+    with at-T mention counts — the temporal materialization's
+    headline consumer query."""
+    from openie_spark.kg.analytics import kg_snapshot
+    from openie_spark.sources.transcripts import read_transcripts
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return kg_snapshot(edges, read_transcripts(_tune(spark), sf_dir))
+
+
 def _q_kg_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-skew observability (the lineage metric the pipeline
     records per vocab stage, as a first-class query): block counts,
@@ -1651,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linking_eval": _q_kg_linking_eval,
         "kg_mixing": _q_kg_mixing,
         "kg_blocking_stats": _q_kg_blocking_stats,
+        "kg_snapshot": _q_kg_snapshot,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1786,6 +1798,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linking_eval": o.kg_linking_eval_sql(),
         "kg_mixing": o.kg_mixing_sql(),
         "kg_blocking_stats": o.kg_blocking_stats_sql(),
+        "kg_snapshot": o.kg_snapshot_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),

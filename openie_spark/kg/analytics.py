@@ -1893,3 +1893,36 @@ def degree_mixing_sums(edges: DataFrame) -> DataFrame:
             F.sum(F.expr("CAST(du AS BIGINT) * du")).alias("s_sq"),
         )
     )
+
+
+def kg_snapshot(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Time-sliced KG snapshot -> (src_id, dst_id, pred, n_mentions,
+    first_us): the statements known at the corpus midpoint T =
+    (min_ts + max_ts) DIV 2, with only the mentions observed by T
+    counted — the "what did we know by T?" query the temporal
+    materialization exists for, pinned to a deterministic,
+    parameter-free cutoff so the oracle and any two cluster runs agree
+    bit-for-bit. A production consumer passes an explicit T; the
+    midpoint default makes the operator self-contained and
+    non-vacuous at any scale factor.
+
+    Scale shape: the same (conv_id, turn_idx) timestamp equi-join as
+    temporal_relations; the cutoff is ONE broadcast scalar row
+    (min/max partial agg — no window, no sort); then one
+    partial-aggregated statement rollup over the <= T slice."""
+    ts = transcripts.select(
+        "conv_id", "turn_idx", F.unix_micros("ts").alias("ts_us"))
+    stamped = (edges.join(ts, ["conv_id", "turn_idx"])
+               .select("src_id", "dst_id", "pred", "ts_us")
+               .localCheckpoint(eager=False))   # bounds + slice share it
+    bounds = stamped.agg(
+        F.expr("(min(ts_us) + max(ts_us)) DIV 2").alias("cut_us"))
+    return (
+        stamped.crossJoin(F.broadcast(bounds))
+        .where(F.col("ts_us") <= F.col("cut_us"))
+        .groupBy("src_id", "dst_id", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("ts_us").alias("first_us"),
+        )
+    )

@@ -2033,3 +2033,20 @@ bs_keys AS (
 bs_per AS (
   SELECT bkey, count(*) AS n FROM bs_keys GROUP BY 1
 )""")
+
+
+def kg_snapshot_sql() -> str:
+    """Twin of kg.analytics.kg_snapshot: midpoint-cutoff statement
+    slice with at-T mention counts."""
+    return _with_kg("""
+SELECT src_id, dst_id, pred,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(min(ts_us) AS BIGINT) AS first_us
+FROM sn_stamped
+WHERE ts_us <= (SELECT (min(ts_us) + max(ts_us)) // 2 FROM sn_stamped)
+GROUP BY 1, 2, 3""", extra_ctes="""
+sn_stamped AS MATERIALIZED (
+  SELECT e.src_id, e.dst_id, e.pred, epoch_us(t.ts) AS ts_us
+  FROM kg_edges e
+  JOIN transcripts t ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx
+)""")

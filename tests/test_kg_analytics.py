@@ -1559,3 +1559,29 @@ def test_degree_mixing_sums_path_graph(spark):
     assert (r.n_ends, r.s_d, r.s_prod, r.s_sq) == (4, 6, 8, 10)
     n, sd, sp, sq = r.n_ends, r.s_d, r.s_prod, r.s_sq
     assert (n * sp - sd * sd) / (n * sq - sd * sd) == -1.0
+
+
+def test_kg_snapshot_midpoint_cutoff(spark):
+    """Cutoff = (min+max) DIV 2 of observed mention times; later
+    mentions of an early statement don't count toward n_mentions; a
+    statement first seen after T is absent."""
+    import datetime as dt
+
+    from openie_spark.kg.analytics import kg_snapshot
+
+    t0 = dt.datetime(2024, 1, 1)
+    tr = spark.createDataFrame(
+        [("c0", 0, t0), ("c1", 0, t0 + dt.timedelta(hours=10))],
+        "conv_id string, turn_idx int, ts timestamp")
+    rows = [
+        ("a", "b", "likes", "c0"),   # at t0: inside the slice
+        ("a", "b", "likes", "c1"),   # at t0+10h: beyond T=+5h
+        ("b", "c", "knows", "c1"),   # first seen beyond T: absent
+    ]
+    e = spark.createDataFrame(
+        [(a, b, p, c, 0, 0, i) for i, (a, b, p, c) in enumerate(rows)],
+        _EDGE_SCHEMA)
+    got = {(r.src_id, r.dst_id, r.pred): (r.n_mentions, r.first_us)
+           for r in kg_snapshot(e, tr).collect()}
+    us0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got == {("a", "b", "likes"): (1, us0)}
