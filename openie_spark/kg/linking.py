@@ -215,15 +215,22 @@ def pair_generation_audit(exact: DataFrame,
     e = exact.select("a", "b").withColumn("in_exact", F.lit(1))
     c = candidate.select("a", "b").withColumn("in_cand", F.lit(1))
     joined = e.join(c, ["a", "b"], "full")
+    # outer COALESCEs: SUM over an EMPTY pair table is NULL, and an
+    # empty corpus should read as zeros, not nulls
     return joined.agg(
-        F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_exact"),
-        F.sum(F.coalesce("in_cand", F.lit(0))).alias("n_candidate"),
-        F.sum(F.when(F.col("in_exact").isNotNull()
-                     & F.col("in_cand").isNotNull(), 1)
-              .otherwise(0)).alias("n_both"),
+        F.coalesce(F.sum(F.coalesce("in_exact", F.lit(0))),
+                   F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum(F.coalesce("in_cand", F.lit(0))),
+                   F.lit(0)).alias("n_candidate"),
+        F.coalesce(F.sum(F.when(F.col("in_exact").isNotNull()
+                                & F.col("in_cand").isNotNull(), 1)
+                         .otherwise(0)), F.lit(0)).alias("n_both"),
     ).select(
         "n_exact", "n_candidate", "n_both",
-        F.expr("(2 * n_both * 1000000 + n_exact) DIV (2 * n_exact)")
+        # NULL (not a crash) when the ground truth is empty — an empty
+        # corpus has no recall to report
+        F.expr("CASE WHEN n_exact > 0 THEN "
+               "(2 * n_both * 1000000 + n_exact) DIV (2 * n_exact) END")
         .alias("recall_ppm"),
         (F.col("n_candidate") - F.col("n_both")).alias("n_extra"),
     )

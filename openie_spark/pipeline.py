@@ -203,6 +203,29 @@ class KGPipeline:
         raw = self._read_text(self._manifest_path(name))
         return None if raw is None else json.loads(raw)
 
+    def _storage_stats(self, location: str) -> dict:
+        """Physical-layout lineage for a stage's written table: file
+        count and total bytes (data files only). The capacity metric
+        an operator watches alongside row counts — a stage whose bytes
+        per row drift is compressing differently (schema or data-
+        distribution change) even when rows match. One FS listing, no
+        data read; best-effort for table-catalog (Iceberg) locations
+        where the directory layout is the catalog's business."""
+        try:
+            fs = self._fs()
+            it = fs.listFiles(self._jpath(location), True)
+            n_files, total = 0, 0
+            while it.hasNext():
+                st = it.next()
+                fname = st.getPath().getName()
+                if fname.startswith(("_", ".")):
+                    continue            # manifests/_SUCCESS/CRC sidecars
+                n_files += 1
+                total += st.getLen()
+            return {"data_files": n_files, "data_bytes": total}
+        except Exception:               # pragma: no cover - remote FS quirks
+            return {}
+
     def _stage_fingerprint(self, name: str, upstream: list[str]) -> dict:
         # Upstream identity = rows + per-write nonce: an upstream
         # rebuilt from changed input with a coincidentally-equal row
@@ -272,6 +295,7 @@ class KGPipeline:
             "conv_id_range": conv_range,
             "fingerprint": fp,
             "seconds": round(time.time() - t0, 3),
+            **self._storage_stats(sd),
         }
         if extra_metrics:
             manifest["metrics"] = extra_metrics(out)

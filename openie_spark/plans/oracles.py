@@ -1969,13 +1969,14 @@ def kg_linking_eval_sql() -> str:
     one-row recall audit."""
     return _with_kg("""
 SELECT n_exact, n_candidate, n_both,
-       (2 * n_both * 1000000 + n_exact) // (2 * n_exact) AS recall_ppm,
+       CASE WHEN n_exact > 0 THEN
+         (2 * n_both * 1000000 + n_exact) // (2 * n_exact) END AS recall_ppm,
        n_candidate - n_both AS n_extra
 FROM pa_agg""", extra_ctes=_minhash_ctes() + """,
 pa_agg AS (
-  SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
-         CAST(SUM(in_cand) AS BIGINT) AS n_candidate,
-         CAST(SUM(in_exact * in_cand) AS BIGINT) AS n_both
+  SELECT CAST(COALESCE(SUM(in_exact), 0) AS BIGINT) AS n_exact,
+         CAST(COALESCE(SUM(in_cand), 0) AS BIGINT) AS n_candidate,
+         CAST(COALESCE(SUM(in_exact * in_cand), 0) AS BIGINT) AS n_both
   FROM (
     SELECT CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
            CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS in_cand

@@ -1585,3 +1585,39 @@ def test_kg_snapshot_midpoint_cutoff(spark):
            for r in kg_snapshot(e, tr).collect()}
     us0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
     assert got == {("a", "b", "likes"): (1, us0)}
+
+
+def test_new_analytics_survive_empty_graph(spark):
+    """Hostile input: an empty edge table must yield empty outputs
+    (not a crash) from every round-3 analytics operator, and the
+    pair audit must report NULL recall (not divide-by-zero) on an
+    empty ground truth."""
+    import datetime as dt
+
+    from openie_spark.kg.analytics import (
+        degree_mixing_sums,
+        functional_conflicts,
+        kg_growth,
+        kg_snapshot,
+        rule_implications,
+        type_pair_graph,
+    )
+    from openie_spark.kg.linking import pair_generation_audit
+
+    e = spark.createDataFrame([], _EDGE_SCHEMA)
+    nodes = spark.createDataFrame(
+        [], "entity_id string, canonical string, n_aliases int, freq long")
+    tr = spark.createDataFrame(
+        [("c0", 0, dt.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, ts timestamp")
+    assert rule_implications(e).count() == 0
+    assert functional_conflicts(e).count() == 0
+    assert type_pair_graph(nodes, e).count() == 0
+    assert kg_growth(e, tr).count() == 0
+    assert kg_snapshot(e, tr).count() == 0
+    r = degree_mixing_sums(e).collect()[0]
+    assert r.n_ends == 0 and r.s_d is None     # sums of nothing
+    empty_pairs = spark.createDataFrame(
+        [], "a string, b string, jaccard double")
+    a = pair_generation_audit(empty_pairs, empty_pairs).collect()[0]
+    assert (a.n_exact, a.n_both, a.recall_ppm) == (0, 0, None)

@@ -271,3 +271,18 @@ def test_spark_submit_py_files_launch(tmp_path):
     assert summary["edges"] > 0
     man = _json.load(open(os.path.join(out_dir, "triples", "_manifest.json")))
     assert man["rows"] == summary["triples"]
+
+
+def test_manifest_storage_stats(pipeline_out):
+    """Every stage manifest carries physical-layout lineage: data file
+    count and total bytes of the written table (sidecars excluded)."""
+    out, summary = pipeline_out
+    for stage in ("triples", "vocab", "nodes", "edges"):
+        man = json.load(open(os.path.join(out, stage, "_manifest.json")))
+        assert man["data_files"] >= 1
+        assert man["data_bytes"] > 0
+        # listing excluded the manifest itself and _SUCCESS
+        sz = sum(os.path.getsize(os.path.join(out, stage, f))
+                 for f in os.listdir(os.path.join(out, stage))
+                 if not f.startswith(("_", ".")))
+        assert man["data_bytes"] == sz
