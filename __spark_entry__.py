@@ -1062,6 +1062,17 @@ def _q_kg_linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_generation_audit(pairs, minhash_pairs(vocab))
 
 
+def _q_kg_kge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-ranking KGE evaluation harness (Bordes 2013 protocol)
+    over the graph's own split + negatives, scored with md5-integer
+    TransE-L1 stand-in embeddings — certifies the eval machinery
+    (ranks, tie order, MRR/Hits rollups) bit-for-bit."""
+    from openie_spark.kg.analytics import kge_rank_eval
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return kge_rank_eval(nodes, edges)
+
+
 def _q_kg_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-sliced KG: statements known at the corpus-midpoint cutoff
     with at-T mention counts — the temporal materialization's
@@ -1663,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mixing": _q_kg_mixing,
         "kg_blocking_stats": _q_kg_blocking_stats,
         "kg_snapshot": _q_kg_snapshot,
+        "kg_kge_eval": _q_kg_kge_eval,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1799,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mixing": o.kg_mixing_sql(),
         "kg_blocking_stats": o.kg_blocking_stats_sql(),
         "kg_snapshot": o.kg_snapshot_sql(),
+        "kg_kge_eval": o.kg_kge_eval_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),

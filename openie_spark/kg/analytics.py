@@ -1926,3 +1926,97 @@ def kg_snapshot(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
             F.min("ts_us").alias("first_us"),
         )
     )
+
+
+KGE_DIM = 8             # hash-embedding dimensions (exact integers)
+KGE_SALT = "kge-v1"
+KGE_NEGS = 16           # tail corruptions per test statement
+
+
+def _kge_comp(kind: str, ident, d: int) -> F.Column:
+    """One embedding component in [-1000, 1000]: md5-derived, so both
+    engines (and any two cluster runs) compute the identical vector
+    with no stored model state."""
+    from openie_spark.datapipe.hashing import md5h60
+
+    return (md5h60(F.concat(F.lit(f"{KGE_SALT}#{kind}#"), ident,
+                            F.lit(f"#{d}"))) % 2001 - 1000)
+
+
+def kge_rank_eval(nodes: DataFrame, edges: DataFrame,
+                  dim: int = KGE_DIM, negs: int = KGE_NEGS) -> DataFrame:
+    """KG-embedding evaluation harness -> one row (n_test,
+    n_candidates, mrr_ppm, hits1_ppm, hits3_ppm, hits10_ppm): the
+    standard filtered ranking protocol (Bordes et al. NIPS 2013) run
+    end-to-end on the graph's own artifacts — test statements from
+    edge_split (filtered eval_ok slice), tail corruptions from
+    negative_samples, and a TransE-shaped L1 score
+    sum_d |h_d + r_d - t_d| over md5-derived INTEGER embeddings.
+
+    The hash embeddings are a deterministic stand-in for trained
+    vectors (the sandbox trains nothing), which makes this the
+    pipeline's harness-correctness gate: ranks, MRR, and Hits@k are
+    exactly reproducible in DuckDB, so the eval MACHINERY — split
+    hygiene, corruption sampling, strict-better ranking with the
+    pinned (score, entity-id) tie order, round-half-up ppm rollups —
+    is what the oracle certifies. Swap real embeddings in and only
+    the score expression changes. A test statement whose every
+    corruption collided (no surviving candidates) is excluded.
+
+    rank = 1 + |{negatives strictly better, ties to lower entity_id}|;
+    mrr_ppm averages floor(1e6 / rank) round-half-up.
+
+    Scale shape: the split is one distinct shuffle (edge_split);
+    negatives join a broadcast n_buckets-row table onto the TEST slice
+    only; scoring is map-only integer md5 arithmetic (no float, no
+    model broadcast); the rank rollup is one partial-aggregated
+    groupBy on the statement key; the readout is a single-row agg."""
+    split = edge_split(edges)
+    test = (split.where((F.col("split") == "test") & F.col("eval_ok"))
+            .select("src_id", "pred", F.col("dst_id")))
+    cands = negative_samples(nodes, test, per_pos=negs)
+
+    def score(tail) -> F.Column:
+        total = None
+        for d in range(dim):
+            term = F.abs(_kge_comp("e", F.col("src_id"), d)
+                         + _kge_comp("r", F.col("pred"), d)
+                         - _kge_comp("e", tail, d))
+            total = term if total is None else total + term
+        return total
+
+    scored = (cands
+              .withColumn("s_neg", score(F.col("neg_dst")))
+              .withColumn("s_true", score(F.col("dst_id"))))
+    ranked = (
+        scored.groupBy("src_id", "pred", "dst_id")
+        .agg(
+            F.sum(F.when(
+                (F.col("s_neg") < F.col("s_true"))
+                | ((F.col("s_neg") == F.col("s_true"))
+                   & (F.col("neg_dst") < F.col("dst_id"))), 1)
+                .otherwise(0)).alias("n_better"),
+            F.count(F.lit(1)).alias("n_cands"),
+        )
+        .withColumn("rank", F.col("n_better") + 1)
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.coalesce(F.sum("n_cands"), F.lit(0)).alias("n_candidates"),
+        F.coalesce(F.sum(F.expr("1000000 DIV rank")), F.lit(0)).alias("s_inv"),
+        F.coalesce(F.sum(F.when(F.col("rank") <= 1, 1).otherwise(0)),
+                   F.lit(0)).alias("h1"),
+        F.coalesce(F.sum(F.when(F.col("rank") <= 3, 1).otherwise(0)),
+                   F.lit(0)).alias("h3"),
+        F.coalesce(F.sum(F.when(F.col("rank") <= 10, 1).otherwise(0)),
+                   F.lit(0)).alias("h10"),
+    )
+    rate = "CASE WHEN n_test > 0 THEN (2 * {x} * 1000000 + n_test) DIV (2 * n_test) END"
+    return agg.select(
+        "n_test", "n_candidates",
+        F.expr("CASE WHEN n_test > 0 THEN"
+               " (2 * s_inv + n_test) DIV (2 * n_test) END").alias("mrr_ppm"),
+        F.expr(rate.format(x="h1")).alias("hits1_ppm"),
+        F.expr(rate.format(x="h3")).alias("hits3_ppm"),
+        F.expr(rate.format(x="h10")).alias("hits10_ppm"),
+    )

@@ -2051,3 +2051,100 @@ sn_stamped AS MATERIALIZED (
   FROM kg_edges e
   JOIN transcripts t ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx
 )""")
+
+
+def kg_kge_eval_sql() -> str:
+    """Twin of kg.analytics.kge_rank_eval: the full filtered-ranking
+    protocol recomputed — split, train-coverage filter, hash-ring tail
+    corruption, md5-integer TransE-L1 scores, strict-better ranks with
+    the entity-id tie order, round-half-up ppm rollups."""
+    from openie_spark.kg.analytics import (
+        KGE_DIM,
+        KGE_NEGS,
+        KGE_SALT,
+        NEG_BUCKETS,
+        NEG_SALT,
+        SPLIT_MOD,
+        SPLIT_SALT,
+        SPLIT_TEST,
+        SPLIT_VALID,
+    )
+
+    h = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+    ticket = h.format(
+        x=f"'{SPLIT_SALT}' || '|' || src_id || '|' || pred || '|' || dst_id")
+
+    def comp(kind: str, ident: str, d: int) -> str:
+        return ("(" + h.format(x=f"'{KGE_SALT}#{kind}#' || {ident} || '#{d}'")
+                + " % 2001 - 1000)")
+
+    def score(tail: str) -> str:
+        return " + ".join(
+            f"abs({comp('e', 'src_id', d)} + {comp('r', 'pred', d)}"
+            f" - {comp('e', tail, d)})"
+            for d in range(KGE_DIM))
+
+    ebucket = h.format(x=f"'{NEG_SALT}e#' || entity_id") + f" % {NEG_BUCKETS}"
+    pbucket = (h.format(
+        x=f"'{NEG_SALT}#' || CAST(neg_idx AS VARCHAR) || '#' || src_id"
+          f" || '#' || pred || '#' || dst_id") + f" % {NEG_BUCKETS}")
+    rate = "CASE WHEN n_test > 0 THEN (2 * {x} * 1000000 + n_test) // (2 * n_test) END"
+    return _with_kg(f"""
+SELECT n_test, n_candidates,
+       CASE WHEN n_test > 0 THEN (2 * s_inv + n_test) // (2 * n_test) END
+         AS mrr_ppm,
+       {rate.format(x='h1')} AS hits1_ppm,
+       {rate.format(x='h3')} AS hits3_ppm,
+       {rate.format(x='h10')} AS hits10_ppm
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(COALESCE(sum(n_cands), 0) AS BIGINT) AS n_candidates,
+         CAST(COALESCE(sum(1000000 // rank), 0) AS BIGINT) AS s_inv,
+         CAST(COALESCE(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS h1,
+         CAST(COALESCE(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS h3,
+         CAST(COALESCE(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS h10
+  FROM kge_ranked
+)""", extra_ctes=f"""
+kge_t AS MATERIALIZED (
+  SELECT src_id, pred, dst_id,
+         CASE {ticket} % {SPLIT_MOD}
+           WHEN {SPLIT_TEST} THEN 'test'
+           WHEN {SPLIT_VALID} THEN 'valid'
+           ELSE 'train' END AS split
+  FROM (SELECT DISTINCT src_id, pred, dst_id FROM kg_edges)),
+kge_tents AS MATERIALIZED (
+  SELECT DISTINCT eid FROM (
+    SELECT src_id AS eid FROM kge_t WHERE split = 'train'
+    UNION ALL SELECT dst_id FROM kge_t WHERE split = 'train')),
+kge_tpreds AS MATERIALIZED (
+  SELECT DISTINCT pred FROM kge_t WHERE split = 'train'),
+kge_test AS MATERIALIZED (
+  SELECT t.src_id, t.pred, t.dst_id
+  FROM kge_t t
+  JOIN kge_tents s ON t.src_id = s.eid
+  JOIN kge_tents d ON t.dst_id = d.eid
+  JOIN kge_tpreds p ON t.pred = p.pred
+  WHERE t.split = 'test'),
+kge_reps AS MATERIALIZED (
+  SELECT {ebucket} AS bucket, min(entity_id) AS neg_dst
+  FROM nodes GROUP BY 1),
+kge_cands AS MATERIALIZED (
+  SELECT p.src_id, p.pred, p.dst_id, r.neg_dst
+  FROM (
+    SELECT src_id, pred, dst_id, neg_idx, {pbucket} AS bucket
+    FROM kge_test, (SELECT unnest(range(0, {KGE_NEGS})) AS neg_idx)
+  ) p
+  JOIN kge_reps r ON p.bucket = r.bucket
+  WHERE r.neg_dst <> p.dst_id AND r.neg_dst <> p.src_id),
+kge_ranked AS (
+  SELECT src_id, pred, dst_id,
+         CAST(count(*) AS BIGINT) AS n_cands,
+         1 + CAST(sum(CASE WHEN s_neg < s_true
+                             OR (s_neg = s_true AND neg_dst < dst_id)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS rank
+  FROM (
+    SELECT src_id, pred, dst_id, neg_dst,
+           {score('neg_dst')} AS s_neg,
+           {score('dst_id')} AS s_true
+    FROM kge_cands)
+  GROUP BY 1, 2, 3)""")

@@ -1621,3 +1621,96 @@ def test_new_analytics_survive_empty_graph(spark):
         [], "a string, b string, jaccard double")
     a = pair_generation_audit(empty_pairs, empty_pairs).collect()[0]
     assert (a.n_exact, a.n_both, a.recall_ppm) == (0, 0, None)
+
+
+# ------------------------------------------------------ KGE rank eval
+
+def _md5h60_py(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_kge_rank_eval_python_twin(spark):
+    """Full-protocol parity vs an independent pure-python
+    re-implementation (split tickets, train-coverage filter, hash-ring
+    corruption, integer L1 scores, strict-better ranks with the
+    entity-id tie order, round-half-up ppm rollups) on a random
+    graph — a third engine beside Spark and the DuckDB oracle."""
+    import random
+
+    from openie_spark.kg.analytics import (
+        KGE_DIM,
+        KGE_NEGS,
+        KGE_SALT,
+        NEG_BUCKETS,
+        NEG_SALT,
+        SPLIT_MOD,
+        SPLIT_SALT,
+        SPLIT_TEST,
+        kge_rank_eval,
+    )
+
+    rng = random.Random(11)
+    ents = [f"e{i:02d}" for i in range(40)]
+    rels = ["r1", "r2", "r3"]
+    stmts = sorted({(rng.choice(ents), rng.choice(rels), rng.choice(ents))
+                    for _ in range(400)})
+    stmts = [(s, p, o) for s, p, o in stmts if s != o]
+    e = spark.createDataFrame(
+        [(s, o, p, "c0", 0, 0, i) for i, (s, p, o) in enumerate(stmts)],
+        _EDGE_SCHEMA)
+    nodes = spark.createDataFrame([(x,) for x in ents], "entity_id string")
+    got = kge_rank_eval(nodes, e).collect()[0]
+
+    # ---- independent python recompute
+    def split_of(s, p, o):
+        t = _md5h60_py(f"{SPLIT_SALT}|{s}|{p}|{o}") % SPLIT_MOD
+        return "test" if t == SPLIT_TEST else ("valid" if t == 8 else "train")
+
+    train = [x for x in stmts if split_of(*[x[0], x[1], x[2]]) == "train"]
+    tents = {s for s, _, _ in train} | {o for _, _, o in train}
+    tpreds = {p for _, p, _ in train}
+    test = [x for x in stmts if split_of(*x) == "test"
+            and x[0] in tents and x[2] in tents and x[1] in tpreds]
+    reps: dict = {}
+    for x in ents:
+        b = _md5h60_py(f"{NEG_SALT}e#{x}") % NEG_BUCKETS
+        reps[b] = min(reps.get(b, x), x)
+
+    def comp(kind, ident, d):
+        return _md5h60_py(f"{KGE_SALT}#{kind}#{ident}#{d}") % 2001 - 1000
+
+    def score(s, p, t):
+        return sum(abs(comp("e", s, d) + comp("r", p, d) - comp("e", t, d))
+                   for d in range(KGE_DIM))
+
+    n_test = n_cands = s_inv = h1 = h3 = h10 = 0
+    for s, p, o in test:
+        cands = []
+        for j in range(KGE_NEGS):
+            b = _md5h60_py(f"{NEG_SALT}#{j}#{s}#{p}#{o}") % NEG_BUCKETS
+            if b in reps and reps[b] not in (s, o):
+                cands.append(reps[b])
+        if not cands:
+            continue
+        st = score(s, p, o)
+        better = sum(1 for c in cands
+                     if score(s, p, c) < st or (score(s, p, c) == st and c < o))
+        rank = 1 + better
+        n_test += 1
+        n_cands += len(cands)
+        s_inv += 1000000 // rank
+        h1 += rank <= 1
+        h3 += rank <= 3
+        h10 += rank <= 10
+
+    assert n_test > 0, "fixture must produce a non-empty eval slice"
+
+    def rhu(x, n):
+        return (2 * x * 1000000 + n) // (2 * n)
+
+    assert (got.n_test, got.n_candidates) == (n_test, n_cands)
+    assert got.mrr_ppm == (2 * s_inv + n_test) // (2 * n_test)
+    assert got.hits1_ppm == rhu(h1, n_test)
+    assert got.hits3_ppm == rhu(h3, n_test)
+    assert got.hits10_ppm == rhu(h10, n_test)
