@@ -1062,6 +1062,25 @@ def _q_kg_linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_generation_audit(pairs, minhash_pairs(vocab))
 
 
+def _q_kg_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-protocol transition matrix: adjacent-turn role
+    bigrams with conv support and exact row-normalized ppm — one conv
+    window shuffle, roles²-bounded output."""
+    from openie_spark.kg.dialogue import role_transitions
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return role_transitions(read_transcripts(_tune(spark), sf_dir))
+
+
+def _q_dp_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned document-length profile (token counts; empty docs
+    in bin 0) — the corpus shape report, <= 64 rows; map-only count
+    plus one tiny collapse."""
+    from openie_spark.datapipe.textstats import length_histogram
+
+    return length_histogram(_docs(spark, sf_dir))
+
+
 def _q_kg_kge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered-ranking KGE evaluation harness (Bordes 2013 protocol)
     over the graph's own split + negatives, scored with md5-integer
@@ -1675,6 +1694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_blocking_stats": _q_kg_blocking_stats,
         "kg_snapshot": _q_kg_snapshot,
         "kg_kge_eval": _q_kg_kge_eval,
+        "kg_role_transitions": _q_kg_role_transitions,
+        "dp_length_hist": _q_dp_length_hist,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1812,6 +1833,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_blocking_stats": o.kg_blocking_stats_sql(),
         "kg_snapshot": o.kg_snapshot_sql(),
         "kg_kge_eval": o.kg_kge_eval_sql(),
+        "kg_role_transitions": o.kg_role_transitions_sql(),
+        "dp_length_hist": dp.length_histogram_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),

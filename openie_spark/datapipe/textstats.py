@@ -708,3 +708,28 @@ def bigram_likelihood(docs: DataFrame) -> DataFrame:
             .cast("long").alias("avg_freq"),
         )
     )
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Log2-binned document-length profile -> (bin, n_docs,
+    min_tokens, max_tokens, sum_tokens): token counts bucketed by bit
+    length (bin b covers [2^(b-1), 2^b); empty docs land in bin 0) —
+    the one-page corpus shape report a curation pass reads before
+    setting min/max-length filters, and the capacity planner's input
+    for sequence packing. <= 64 rows at any corpus size.
+
+    Scale shape: map-only token count (no shuffle touches text), one
+    <= 64-group partial-agg collapse."""
+    n_tok = F.size(tokens_of(F.col("text")))
+    return (
+        docs.select(n_tok.alias("n"))
+        .withColumn("bin", F.when(F.col("n") == 0, 0)
+                    .otherwise(F.length(F.bin("n"))).cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+            F.sum("n").alias("sum_tokens"),
+        )
+    )

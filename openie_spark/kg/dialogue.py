@@ -182,3 +182,39 @@ def conv_neardup_pairs(transcripts: DataFrame) -> DataFrame:
         ).alias("text"),
     )
     return minhash_pairs_docs(conv.unionByName(twins))
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Conversation-structure transition matrix -> (from_role, to_role,
+    n_transitions, n_convs, row_ppm): adjacent-turn role bigrams in
+    turn_idx order with conversation support and an exact round-down
+    row-normalized share — the protocol profile of an agent corpus
+    (how often does the assistant hand to a tool, does the user ever
+    follow a tool turn directly?). The dp_ev transition matrix's twin
+    on the transcript axis; reply_latency times ONE of these
+    transitions, this counts all of them.
+
+    Scale shape: ONE conv_id window shuffle (partitions turn-bounded),
+    a roles²-bounded partial-agg collapse, and a roles-sized broadcast
+    totals join."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        transcripts.select("conv_id", "turn_idx", "role")
+        .withColumn("to_role", F.lead("role").over(w))
+        .where(F.col("to_role").isNotNull())
+        .groupBy(F.col("role").alias("from_role"), "to_role")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .localCheckpoint(eager=False)   # roles²-sized; feeds two branches
+    )
+    totals = pairs.groupBy("from_role").agg(
+        F.sum("n_transitions").alias("n_from"))
+    return (
+        pairs.join(totals, "from_role")
+        .select(
+            "from_role", "to_role", "n_transitions", "n_convs",
+            F.expr("n_transitions * 1000000 DIV n_from").alias("row_ppm"),
+        )
+    )

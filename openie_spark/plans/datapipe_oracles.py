@@ -1860,3 +1860,18 @@ SELECT CAST(length(bin(n_docs)) AS INT) AS bin,
        CAST(max(n_docs) AS BIGINT) AS max_size,
        CAST(sum(n_docs) AS BIGINT) AS sum_docs
 FROM groups GROUP BY 1"""
+
+
+def length_histogram_sql() -> str:
+    """Twin of textstats.length_histogram: token counts binned by bit
+    length, empty docs in bin 0."""
+    return """WITH n AS (
+  SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents
+)
+SELECT CAST(CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n) AS BIGINT) AS min_tokens,
+       CAST(max(n) AS BIGINT) AS max_tokens,
+       CAST(sum(n) AS BIGINT) AS sum_tokens
+FROM n GROUP BY 1"""

@@ -2148,3 +2148,25 @@ kge_ranked AS (
            {score('dst_id')} AS s_true
     FROM kge_cands)
   GROUP BY 1, 2, 3)""")
+
+
+def kg_role_transitions_sql() -> str:
+    """Twin of kg.dialogue.role_transitions: lead() over turn order per
+    conversation, roles² collapse, conv support, round-down row_ppm."""
+    return _with(TRANSCRIPTS_CTE_DUCKDB, """
+pairs AS (
+  SELECT from_role, to_role,
+         CAST(count(*) AS BIGINT) AS n_transitions,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM (
+    SELECT conv_id, role AS from_role,
+           lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS to_role
+    FROM transcripts)
+  WHERE to_role IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_role, sum(n_transitions) AS n_from FROM pairs GROUP BY 1
+)""", select="""
+SELECT p.from_role, p.to_role, p.n_transitions, p.n_convs,
+       CAST(p.n_transitions * 1000000 // t.n_from AS BIGINT) AS row_ppm
+FROM pairs p JOIN totals t USING (from_role)""")

@@ -1129,3 +1129,15 @@ def test_dup_group_histogram_hand_golden(spark):
     got = {r.bin: (r.n_groups, r.min_size, r.max_size, r.sum_docs)
            for r in dup_group_histogram(docs).collect()}
     assert got == {1: (1, 1, 1, 1), 2: (2, 2, 3, 5)}
+
+
+def test_length_histogram_hand_golden(spark):
+    """Token counts bin by bit length; the empty doc lands in bin 0."""
+    from openie_spark.datapipe.textstats import length_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a"), (4, ""), (5, "  ")],
+        "doc_id long, text string")
+    got = {r.bin: (r.n_docs, r.min_tokens, r.max_tokens, r.sum_tokens)
+           for r in length_histogram(docs).collect()}
+    assert got == {0: (2, 0, 0, 0), 1: (1, 1, 1, 1), 2: (2, 2, 3, 5)}

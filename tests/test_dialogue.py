@@ -133,3 +133,28 @@ def test_conv_neardup_finds_planted_twins_only(spark):
     got = {(r.a, r.b): r.jaccard for r in conv_neardup_pairs(df).collect()}
     assert set(got) == {("ca", "ca~twin"), ("cb", "cb~twin")}
     assert all(0.5 <= j <= 1.0 for j in got.values())
+
+
+def test_role_transitions_hand_golden(spark):
+    """Adjacent-turn role bigrams per conversation; conv support and
+    round-down row shares."""
+    import datetime as dt
+
+    rows = [
+        ("c0", 0, "user"), ("c0", 1, "assistant"), ("c0", 2, "user"),
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "tool"),
+    ]
+    t0 = dt.datetime(2024, 1, 1)
+    tr = spark.createDataFrame(
+        [(c, i, r, f"t{i}", None, t0) for c, i, r in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    from openie_spark.kg.dialogue import role_transitions
+
+    got = {(r.from_role, r.to_role): (r.n_transitions, r.n_convs, r.row_ppm)
+           for r in role_transitions(tr).collect()}
+    assert got == {
+        ("user", "assistant"): (2, 2, 1000000),
+        ("assistant", "user"): (1, 1, 500000),
+        ("assistant", "tool"): (1, 1, 500000),
+    }
