@@ -1062,6 +1062,24 @@ def _q_kg_linking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_generation_audit(pairs, minhash_pairs(vocab))
 
 
+def _q_dp_ev_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap histogram (log2 whole-second bins) — the
+    empirical basis for the sessionization gap threshold; one user
+    window + <= 64-group collapse."""
+    from openie_spark.datapipe.events import gap_histogram
+
+    return gap_histogram(_events(spark, sf_dir))
+
+
+def _q_kg_alias_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-count histogram over the node table — the over/under-
+    merge audit of canonicalization; map-only + tiny collapse."""
+    from openie_spark.kg.analytics import alias_histogram
+
+    nodes, _ = _graph_parts(spark, sf_dir)
+    return alias_histogram(nodes)
+
+
 def _q_kg_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-protocol transition matrix: adjacent-turn role
     bigrams with conv support and exact row-normalized ppm — one conv
@@ -1695,7 +1713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot": _q_kg_snapshot,
         "kg_kge_eval": _q_kg_kge_eval,
         "kg_role_transitions": _q_kg_role_transitions,
+        "kg_alias_hist": _q_kg_alias_hist,
         "dp_length_hist": _q_dp_length_hist,
+        "dp_ev_gap_hist": _q_dp_ev_gap_hist,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1834,7 +1854,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_snapshot": o.kg_snapshot_sql(),
         "kg_kge_eval": o.kg_kge_eval_sql(),
         "kg_role_transitions": o.kg_role_transitions_sql(),
+        "kg_alias_hist": o.kg_alias_hist_sql(),
         "dp_length_hist": dp.length_histogram_sql(),
+        "dp_ev_gap_hist": dp.gap_histogram_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),

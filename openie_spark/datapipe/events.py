@@ -796,3 +796,34 @@ def hourly_profile(events: DataFrame) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+def gap_histogram(events: DataFrame) -> DataFrame:
+    """Inter-event gap profile -> (bin, n_gaps, min_sec, max_sec,
+    sum_sec): per-user chronologically adjacent gaps in integer
+    seconds, log2-binned by bit length (zero-second gaps in bin 0) —
+    the empirical evidence behind a sessionization gap threshold: the
+    'valley' between the within-session bins and the between-session
+    tail is where SESSION_GAP_MINUTES should sit, per corpus, not by
+    folklore. <= 64 rows at any corpus size.
+
+    Scale shape: the same ONE user_id window shuffle as sessionize,
+    then a <= 64-group partial-agg collapse."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = ((us - F.lag(us).over(w)) / _US_PER_SEC).cast("long")
+    return (
+        _with_tz(events)
+        .select("user_id", "ts", "event_id")
+        .withColumn("gap_sec", gap)
+        .where(F.col("gap_sec").isNotNull())
+        .withColumn("bin", F.when(F.col("gap_sec") == 0, 0)
+                    .otherwise(F.length(F.bin("gap_sec"))).cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_sec").alias("min_sec"),
+            F.max("gap_sec").alias("max_sec"),
+            F.sum("gap_sec").alias("sum_sec"),
+        )
+    )

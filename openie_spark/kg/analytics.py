@@ -2020,3 +2020,25 @@ def kge_rank_eval(nodes: DataFrame, edges: DataFrame,
         F.expr(rate.format(x="h3")).alias("hits3_ppm"),
         F.expr(rate.format(x="h10")).alias("hits10_ppm"),
     )
+
+
+def alias_histogram(nodes: DataFrame) -> DataFrame:
+    """Canonicalization-aggressiveness profile -> (bin, n_entities,
+    min_aliases, max_aliases, sum_aliases): the node table's
+    n_aliases distribution, log2-binned by bit length — the one-page
+    answer to "is the linker over- or under-merging?" (a fat high bin
+    after a threshold change means aggressive merges to review; bin 1
+    is the untouched singleton mass). <= 64 rows at any corpus size.
+
+    Scale shape: map-only on the node table + one tiny collapse."""
+    return (
+        nodes.select(F.col("n_aliases").cast("long").alias("n"))
+        .withColumn("bin", F.length(F.bin("n")).cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.min("n").alias("min_aliases"),
+            F.max("n").alias("max_aliases"),
+            F.sum("n").alias("sum_aliases"),
+        )
+    )

@@ -1875,3 +1875,21 @@ SELECT CAST(CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END AS INT) AS bin,
        CAST(max(n) AS BIGINT) AS max_tokens,
        CAST(sum(n) AS BIGINT) AS sum_tokens
 FROM n GROUP BY 1"""
+
+
+def gap_histogram_sql() -> str:
+    """Twin of events.gap_histogram: per-user adjacent gaps in whole
+    seconds (floor), bit-length bins, zero gaps in bin 0."""
+    return """WITH gaps AS (
+  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_sec
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(CASE WHEN gap_sec = 0 THEN 0
+            ELSE length(bin(gap_sec)) END AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_sec) AS BIGINT) AS min_sec,
+       CAST(max(gap_sec) AS BIGINT) AS max_sec,
+       CAST(sum(gap_sec) AS BIGINT) AS sum_sec
+FROM gaps WHERE gap_sec IS NOT NULL
+GROUP BY 1"""

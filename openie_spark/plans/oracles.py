@@ -2170,3 +2170,14 @@ totals AS (
 SELECT p.from_role, p.to_role, p.n_transitions, p.n_convs,
        CAST(p.n_transitions * 1000000 // t.n_from AS BIGINT) AS row_ppm
 FROM pairs p JOIN totals t USING (from_role)""")
+
+
+def kg_alias_hist_sql() -> str:
+    """Twin of kg.analytics.alias_histogram over the nodes CTE."""
+    return _with_kg("""
+SELECT CAST(length(bin(CAST(n_aliases AS BIGINT))) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(min(n_aliases) AS BIGINT) AS min_aliases,
+       CAST(max(n_aliases) AS BIGINT) AS max_aliases,
+       CAST(sum(n_aliases) AS BIGINT) AS sum_aliases
+FROM nodes GROUP BY 1""")

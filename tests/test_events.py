@@ -628,3 +628,28 @@ def test_hourly_profile_hand_golden(spark):
         (23, "click"): (1, 1, 250000),
         (23, "view"): (1, 1, 1000000),
     }
+
+
+def test_gap_histogram_hand_golden(spark):
+    """Whole-second floor gaps, per-user adjacency, zero gap in bin 0,
+    first event of each user contributes nothing."""
+    import datetime as dt
+
+    from openie_spark.datapipe.events import gap_histogram
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "a", 0.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=3), 1, "a", 0.0, "{}"),   # gap 3
+        (2, t0 + dt.timedelta(seconds=3, microseconds=900000), 1,
+         "a", 0.0, "{}"),                                       # gap 0 (floor)
+        (3, t0 + dt.timedelta(seconds=67, microseconds=900000), 1,
+         "a", 0.0, "{}"),                                       # gap 64
+        (4, t0, 2, "a", 0.0, "{}"),                             # no gap
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.bin: (r.n_gaps, r.min_sec, r.max_sec, r.sum_sec)
+           for r in gap_histogram(ev).collect()}
+    assert got == {0: (1, 0, 0, 0), 2: (1, 3, 3, 3), 7: (1, 64, 64, 64)}

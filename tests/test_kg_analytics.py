@@ -1714,3 +1714,15 @@ def test_kge_rank_eval_python_twin(spark):
     assert got.hits1_ppm == rhu(h1, n_test)
     assert got.hits3_ppm == rhu(h3, n_test)
     assert got.hits10_ppm == rhu(h10, n_test)
+
+
+def test_alias_histogram_hand_golden(spark):
+    from openie_spark.kg.analytics import alias_histogram
+
+    nodes = spark.createDataFrame(
+        [("e1", "a", 1, 5), ("e2", "b", 2, 5), ("e3", "c", 3, 5),
+         ("e4", "d", 1, 5)],
+        "entity_id string, canonical string, n_aliases int, freq long")
+    got = {r.bin: (r.n_entities, r.min_aliases, r.max_aliases, r.sum_aliases)
+           for r in alias_histogram(nodes).collect()}
+    assert got == {1: (2, 1, 1, 2), 2: (2, 2, 3, 5)}
