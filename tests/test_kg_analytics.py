@@ -1726,3 +1726,31 @@ def test_alias_histogram_hand_golden(spark):
     got = {r.bin: (r.n_entities, r.min_aliases, r.max_aliases, r.sum_aliases)
            for r in alias_histogram(nodes).collect()}
     assert got == {1: (2, 1, 1, 2), 2: (2, 2, 3, 5)}
+
+
+def test_kg_report_runs_and_gates(spark, capsys):
+    """The operational health report renders every section from the
+    oracle-backed queries and exits 0 on the healthy corpus."""
+    import importlib.util
+    import os as _os
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "kg_report", _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools", "kg_report.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    argv = _sys.argv
+    _sys.argv = ["kg_report.py", "/root/testdata/sf0.001"]
+    try:
+        rc = mod.main()
+    finally:
+        _sys.argv = argv
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PUBLISH OK" in out
+    for section in ("Referential integrity", "Linking quality",
+                    "Canonicalization", "Statement support", "Growth",
+                    "Extraction yield"):
+        assert section in out
