@@ -1305,6 +1305,25 @@ def _q_dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_docs(planted_docs(_docs(spark, sf_dir)))
 
 
+def _q_dp_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-stage quality audit (the kg_linking_eval twin on the
+    document axis): one-row recall of the minhash-LSH candidate path
+    against the exact all-pairs n-gram ground truth, both on the SAME
+    capped planted slice."""
+    from openie_spark.datapipe.dedup import (
+        NGRAM_CAP,
+        minhash_pairs_docs,
+        ngram_jaccard_pairs,
+        planted_docs,
+    )
+    from openie_spark.kg.linking import pair_generation_audit
+
+    capped = planted_docs(_docs(spark, sf_dir).filter(F.col("doc_id") < NGRAM_CAP))
+    capped = capped.localCheckpoint(eager=False)   # both generators share it
+    return pair_generation_audit(
+        ngram_jaccard_pairs(capped), minhash_pairs_docs(capped))
+
+
 def _q_dp_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated substrings (Lee et al. 2022 ExactSubstr as
     distributed gram-hash counting): maximal token spans whose every
@@ -1716,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alias_hist": _q_kg_alias_hist,
         "dp_length_hist": _q_dp_length_hist,
         "dp_ev_gap_hist": _q_dp_ev_gap_hist,
+        "dp_dedup_eval": _q_dp_dedup_eval,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1857,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_alias_hist": o.kg_alias_hist_sql(),
         "dp_length_hist": dp.length_histogram_sql(),
         "dp_ev_gap_hist": dp.gap_histogram_sql(),
+        "dp_dedup_eval": dp.dedup_eval_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),

@@ -92,13 +92,13 @@ FROM sh l JOIN sh r ON l.doc_id < r.doc_id
 WHERE {j} >= {DOC_JACCARD}"""
 
 
-def minhash_pairs_sql(planted_cte: str | None = None) -> str:
-    """Full minhash-LSH recomputation: signature slots → band hashes →
-    band-bucket self-join → exact-Jaccard verification. ``planted_cte``
-    swaps the input corpus (any CTE chain ending in
-    planted(doc_id, text)) — the conversation-level twin reuses the
-    whole pair path this way."""
-    planted = planted_cte if planted_cte is not None else _PLANTED_CTE
+def _minhash_doc_ctes(planted: str) -> str:
+    """Minhash-LSH doc-pair path as a CTE chain ending in
+    ``mhp(a, b, jaccard)``: signature slots → band hashes →
+    band-bucket self-join → exact-Jaccard verification. ``planted``
+    is any CTE chain ending in planted(doc_id, text) — the
+    conversation-level twin and the dedup-eval audit reuse the whole
+    pair path this way."""
     perm = DOC_BANDS * DOC_ROWS
     slot_list = []
     for k in range(perm):
@@ -114,7 +114,7 @@ def minhash_pairs_sql(planted_cte: str | None = None) -> str:
         for b in range(DOC_BANDS)
     )
     j = _JACCARD.format(a="sa", b="sb")
-    return f"""WITH {planted}, {_SHINGLES_CTE},
+    return f"""{planted}, {_SHINGLES_CTE},
 sigs AS (
   SELECT doc_id, shingles, [{slots}] AS sig FROM sh
 ),
@@ -127,8 +127,17 @@ cand AS (
          l.shingles AS sa, r.shingles AS sb
   FROM banded l JOIN banded r
     ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
-)
-SELECT a, b, round({j}, 6) AS jaccard FROM cand WHERE {j} >= {DOC_JACCARD}"""
+),
+mhp AS MATERIALIZED (
+  SELECT a, b, {j} AS jaccard FROM cand WHERE {j} >= {DOC_JACCARD}
+)"""
+
+
+def minhash_pairs_sql(planted_cte: str | None = None) -> str:
+    """Full minhash-LSH recomputation (see _minhash_doc_ctes)."""
+    planted = planted_cte if planted_cte is not None else _PLANTED_CTE
+    return (f"WITH {_minhash_doc_ctes(planted)}\n"
+            "SELECT a, b, round(jaccard, 6) AS jaccard FROM mhp")
 
 
 def _simhash_ctes() -> str:
@@ -1893,3 +1902,37 @@ SELECT CAST(CASE WHEN gap_sec = 0 THEN 0
        CAST(sum(gap_sec) AS BIGINT) AS sum_sec
 FROM gaps WHERE gap_sec IS NOT NULL
 GROUP BY 1"""
+
+
+def dedup_eval_sql() -> str:
+    """Twin of __spark_entry__._q_dp_dedup_eval: minhash-LSH pairs vs
+    the exact all-pairs n-gram ground truth on the SAME capped planted
+    slice, rolled up to the one-row recall audit (the dedup-stage twin
+    of kg_linking_eval)."""
+    from openie_spark.datapipe.dedup import NGRAM_CAP
+
+    planted_capped = _PLANTED_CTE.replace(
+        "FROM documents", f"FROM documents WHERE doc_id < {NGRAM_CAP}")
+    j = _JACCARD.format(a="l.shingles", b="r.shingles")
+    return f"""WITH {_minhash_doc_ctes(planted_capped)},
+exp AS MATERIALIZED (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+  WHERE {j} >= {DOC_JACCARD}
+),
+agg AS (
+  SELECT CAST(COALESCE(SUM(in_exact), 0) AS BIGINT) AS n_exact,
+         CAST(COALESCE(SUM(in_cand), 0) AS BIGINT) AS n_candidate,
+         CAST(COALESCE(SUM(in_exact * in_cand), 0) AS BIGINT) AS n_both
+  FROM (
+    SELECT CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+           CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS in_cand
+    FROM exp e FULL JOIN (SELECT a, b FROM mhp) c
+      ON e.a = c.a AND e.b = c.b
+  )
+)
+SELECT n_exact, n_candidate, n_both,
+       CASE WHEN n_exact > 0 THEN
+         (2 * n_both * 1000000 + n_exact) // (2 * n_exact) END AS recall_ppm,
+       n_candidate - n_both AS n_extra
+FROM agg"""
