@@ -1305,6 +1305,15 @@ def _q_dp_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_docs(planted_docs(_docs(spark, sf_dir)))
 
 
+def _q_dp_ev_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users decomposed into new /
+    retained / resurrected — one (user, day) dedup + one user window +
+    a day-bounded rollup."""
+    from openie_spark.datapipe.events import growth_accounting
+
+    return growth_accounting(_events(spark, sf_dir))
+
+
 def _q_dp_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-stage quality audit (the kg_linking_eval twin on the
     document axis): one-row recall of the minhash-LSH candidate path
@@ -1736,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_length_hist": _q_dp_length_hist,
         "dp_ev_gap_hist": _q_dp_ev_gap_hist,
         "dp_dedup_eval": _q_dp_dedup_eval,
+        "dp_ev_growth": _q_dp_ev_growth,
         "kg_salsa": _q_kg_salsa,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_conv_neardup": _q_kg_conv_neardup,
@@ -1878,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_length_hist": dp.length_histogram_sql(),
         "dp_ev_gap_hist": dp.gap_histogram_sql(),
         "dp_dedup_eval": dp.dedup_eval_sql(),
+        "dp_ev_growth": dp.growth_accounting_sql(),
         "kg_salsa": o.kg_salsa_sql(),
         "kg_degree_hist": o.kg_degree_hist_sql(),
         "kg_conv_neardup": dp.conv_minhash_pairs_sql(),

@@ -827,3 +827,44 @@ def gap_histogram(events: DataFrame) -> DataFrame:
             F.sum("gap_sec").alias("sum_sec"),
         )
     )
+
+
+def growth_accounting(events: DataFrame) -> DataFrame:
+    """Daily growth accounting -> (day, n_active, n_new, n_retained,
+    n_resurrected): the standard user-lifecycle decomposition (every
+    active user on day D is exactly one of: first-ever seen = new,
+    active on D-1 = retained, gap > 1 day = resurrected). Churn for
+    day D reads off the same table as n_active(D-1) - n_retained(D) —
+    no extra column needed. Integer epoch-day buckets; engine-exact.
+
+    Scale shape: one (user, day) dedup shuffle (the active_users
+    shape), ONE user window for the previous-active-day lag, then a
+    day-bounded rollup. No corpus-scale joins."""
+    ud = (
+        _with_tz(events)
+        .select("user_id", F.expr(
+            f"unix_micros(ts) DIV {86400 * _US_PER_SEC}").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = (
+        ud.withColumn("prev_day", F.lag("day").over(w))
+        .select(
+            "day",
+            F.when(F.col("prev_day").isNull(), 1).otherwise(0).alias("is_new"),
+            F.when(F.col("prev_day") == F.col("day") - 1, 1)
+            .otherwise(0).alias("is_retained"),
+            F.when(F.col("prev_day").isNotNull()
+                   & (F.col("prev_day") < F.col("day") - 1), 1)
+            .otherwise(0).alias("is_resurrected"),
+        )
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("is_new").alias("n_new"),
+            F.sum("is_retained").alias("n_retained"),
+            F.sum("is_resurrected").alias("n_resurrected"),
+        )
+    )

@@ -1936,3 +1936,27 @@ SELECT n_exact, n_candidate, n_both,
          (2 * n_both * 1000000 + n_exact) // (2 * n_exact) END AS recall_ppm,
        n_candidate - n_both AS n_extra
 FROM agg"""
+
+
+def growth_accounting_sql() -> str:
+    """Twin of events.growth_accounting: (user, day) dedup, previous
+    active day via lag, new/retained/resurrected day rollup."""
+    return """WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+flagged AS (
+  SELECT day,
+         CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END AS is_retained,
+         CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+              THEN 1 ELSE 0 END AS is_resurrected
+  FROM (
+    SELECT day, lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+    FROM ud)
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(is_new) AS BIGINT) AS n_new,
+       CAST(sum(is_retained) AS BIGINT) AS n_retained,
+       CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected
+FROM flagged GROUP BY 1"""

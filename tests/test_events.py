@@ -653,3 +653,37 @@ def test_gap_histogram_hand_golden(spark):
     got = {r.bin: (r.n_gaps, r.min_sec, r.max_sec, r.sum_sec)
            for r in gap_histogram(ev).collect()}
     assert got == {0: (1, 0, 0, 0), 2: (1, 3, 3, 3), 7: (1, 64, 64, 64)}
+
+
+def test_growth_accounting_hand_golden(spark):
+    """Every active (user, day) is exactly one of new / retained /
+    resurrected; multiple same-day events dedup."""
+    import datetime as dt
+
+    from openie_spark.datapipe.events import growth_accounting
+
+    d = dt.datetime(2024, 1, 1)
+
+    def at(days, eid, uid):
+        return (eid, d + dt.timedelta(days=days), uid, "a", 0.0, "{}")
+
+    rows = [
+        at(0, 0, 1), at(0, 1, 1),     # u1 day0 (dup events) -> new
+        at(1, 2, 1),                  # u1 day1 -> retained
+        at(3, 3, 1),                  # u1 day3 -> resurrected (gap 2)
+        at(1, 4, 2),                  # u2 day1 -> new
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.day: (r.n_active, r.n_new, r.n_retained, r.n_resurrected)
+           for r in growth_accounting(ev).collect()}
+    d0 = int(d.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    assert got == {
+        d0: (1, 1, 0, 0),
+        d0 + 1: (2, 1, 1, 0),
+        d0 + 3: (1, 0, 0, 1),
+    }
+    # identity: every active decomposes exactly
+    for n_active, n_new, n_ret, n_res in got.values():
+        assert n_active == n_new + n_ret + n_res
