@@ -1754,3 +1754,95 @@ def test_kg_report_runs_and_gates(spark, capsys):
                     "Canonicalization", "Statement support", "Growth",
                     "Extraction yield"):
         assert section in out
+
+
+def test_growth_snapshot_typegraph_randomized_twin(spark):
+    """Randomized parity vs independent python recomputes for the
+    three hand-golden-only round-3 operators: growth curve (first-seen
+    day sets + cumsum), midpoint snapshot (<= T slice + at-T counts),
+    and the typed quotient graph (rule-ladder types recomputed via the
+    Spark column on a names-only frame, rollup in python)."""
+    import datetime as dt
+    import random
+
+    from openie_spark.kg.analytics import kg_growth, kg_snapshot, type_pair_graph
+    from openie_spark.kg.enrich import etype_col
+
+    rng = random.Random(23)
+    ents = [f"e{i}" for i in range(12)]
+    rels = ["r1", "r2"]
+    convs = [(f"c{i}", dt.datetime(2024, 1, 1) + dt.timedelta(hours=7 * i))
+             for i in range(12)]
+    tr = spark.createDataFrame(
+        [(c, 0, t) for c, t in convs],
+        "conv_id string, turn_idx int, ts timestamp")
+    rows = []
+    for i in range(150):
+        a, b = rng.sample(ents, 2)
+        c, _ = convs[rng.randrange(len(convs))]
+        rows.append((a, b, rng.choice(rels), c, 0, 0, i))
+    e = spark.createDataFrame(rows, _EDGE_SCHEMA)
+
+    us = {c: int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+          for c, t in convs}
+
+    # ---- growth twin
+    ent_first: dict = {}
+    stmt_first: dict = {}
+    for a, b, p, c, *_ in rows:
+        day = us[c] // 86_400_000_000
+        for x in (a, b):
+            ent_first[x] = min(ent_first.get(x, day), day)
+        k = (a, b, p)
+        stmt_first[k] = min(stmt_first.get(k, day), day)
+    days = sorted(set(ent_first.values()) | set(stmt_first.values()))
+    cum_e = cum_s = 0
+    want_growth = {}
+    for d in days:
+        ne = sum(1 for v in ent_first.values() if v == d)
+        ns = sum(1 for v in stmt_first.values() if v == d)
+        cum_e += ne
+        cum_s += ns
+        want_growth[d] = (ne, ns, cum_e, cum_s)
+    got_growth = {r.day: (r.new_entities, r.new_statements,
+                          r.cum_entities, r.cum_statements)
+                  for r in kg_growth(e, tr).collect()}
+    assert got_growth == want_growth
+
+    # ---- snapshot twin
+    stamps = [(a, b, p, us[c]) for a, b, p, c, *_ in rows]
+    cut = (min(t for *_, t in stamps) + max(t for *_, t in stamps)) // 2
+    want_snap: dict = {}
+    for a, b, p, t in stamps:
+        if t <= cut:
+            n, first = want_snap.get((a, b, p), (0, t))
+            want_snap[(a, b, p)] = (n + 1, min(first, t))
+    got_snap = {(r.src_id, r.dst_id, r.pred): (r.n_mentions, r.first_us)
+                for r in kg_snapshot(e, tr).collect()}
+    assert got_snap == want_snap
+
+    # ---- type graph twin (types via the Spark ladder on names only,
+    # so the twin tests the ROLLUP independently of the ladder)
+    names = spark.createDataFrame([(x,) for x in ents], "canonical string")
+    tmap = {r.canonical: r.t for r in
+            names.select("canonical", etype_col(F.col("canonical"))
+                         .alias("t")).collect()}
+    agg: dict = {}
+    for a, b, p, *_ in rows:
+        key = (tmap[a], tmap[b])
+        st = agg.setdefault(key, {"n": 0, "stmts": set(), "preds": set(),
+                                  "src": set(), "dst": set()})
+        st["n"] += 1
+        st["stmts"].add((a, b, p))
+        st["preds"].add(p)
+        st["src"].add(a)
+        st["dst"].add(b)
+    nodes = spark.createDataFrame(
+        [(x, x, 1, 1) for x in ents],
+        "entity_id string, canonical string, n_aliases int, freq long")
+    got_tg = {(r.src_type, r.dst_type):
+              (r.n_edges, r.n_stmts, r.n_rels, r.n_src_ents, r.n_dst_ents)
+              for r in type_pair_graph(nodes, e).collect()}
+    want_tg = {k: (v["n"], len(v["stmts"]), len(v["preds"]),
+                   len(v["src"]), len(v["dst"])) for k, v in agg.items()}
+    assert got_tg == want_tg
