@@ -104,7 +104,9 @@ def relation_canon(edges: DataFrame) -> DataFrame:
     keyed = per_pred.withColumn("rel_canon", canon_relation_col(F.col("pred")))
     return keyed.groupBy("rel_canon").agg(
         F.count(F.lit(1)).cast("int").alias("n_forms"),
-        F.sort_array(F.collect_list("pred")).alias("forms"),
+        # '|'-joined string, not array<string>: the driver's pandas
+        # harness cannot sort/hash list cells (round-3 red)
+        F.array_join(F.sort_array(F.collect_list("pred")), "|").alias("forms"),
         F.sum("n_edges").alias("n_edges"),
         F.sum("n_convs").alias("n_convs_sum"),
     )

@@ -748,7 +748,7 @@ l AS (
 SELECT conv_id, count(*) AS n_replies,
        min(em - prev_em) AS min_latency_min,
        max(em - prev_em) AS max_latency_min,
-       sum(em - prev_em) // count(*) AS avg_latency_min
+       CAST(sum(em - prev_em) // count(*) AS BIGINT) AS avg_latency_min
 FROM l WHERE role = 'assistant' AND prev_role = 'user'
 GROUP BY 1""",
     )
@@ -854,11 +854,16 @@ agg AS (
   FROM runs GROUP BY 1
 )""",
         select="""
-SELECT conv_id, n_turns, n_user, n_assistant, n_tool_turns, total_chars,
-       total_chars // n_turns AS avg_turn_chars,
+SELECT conv_id,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_user AS BIGINT) AS n_user,
+       CAST(n_assistant AS BIGINT) AS n_assistant,
+       CAST(n_tool_turns AS BIGINT) AS n_tool_turns,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(total_chars // n_turns AS BIGINT) AS avg_turn_chars,
        duration_min,
-       CASE WHEN uc > 0 THEN (2 * ac * 1000000 + uc) // (2 * uc) END
-         AS asst_user_char_ppm,
+       CAST(CASE WHEN uc > 0 THEN (2 * ac * 1000000 + uc) // (2 * uc) END
+            AS BIGINT) AS asst_user_char_ppm,
        longest_run
 FROM agg""",
     )
@@ -986,7 +991,7 @@ mem AS (
 SELECT m.community, m.n_members,
        COALESCE(i.intra_edges, 0) AS intra_edges,
        COALESCE(c.cut_edges, 0) AS cut_edges,
-       m.degree_sum,
+       CAST(m.degree_sum AS BIGINT) AS degree_sum,
        CASE WHEN COALESCE(i.intra_edges, 0) + COALESCE(c.cut_edges, 0) > 0
             THEN (2 * COALESCE(i.intra_edges, 0) * 1000000
                   + (COALESCE(i.intra_edges, 0) + COALESCE(c.cut_edges, 0)))
@@ -1106,7 +1111,7 @@ def kg_relation_canon_sql() -> str:
     aux = "[" + ", ".join(f"'{w}'" for w in AUX_TOKENS) + "]"
     return _with_kg(f"""
 SELECT rel_canon, CAST(count(*) AS INT) AS n_forms,
-       list_sort(list(pred)) AS forms,
+       array_to_string(list_sort(list(pred)), '|') AS forms,
        CAST(sum(n_edges) AS BIGINT) AS n_edges,
        CAST(sum(n_convs) AS BIGINT) AS n_convs_sum
 FROM (
@@ -1393,7 +1398,8 @@ def kg_schema_sql() -> str:
     return _with_kg(f"""
 SELECT rel_canon, src_type, dst_type, n_edges, n_convs,
        CAST(rank AS INT) AS rank,
-       (2 * n_edges * 1000000 + rel_total) // (2 * rel_total) AS share_ppm
+       CAST((2 * n_edges * 1000000 + rel_total) // (2 * rel_total) AS BIGINT)
+         AS share_ppm
 FROM (
   SELECT *,
          row_number() OVER (PARTITION BY rel_canon

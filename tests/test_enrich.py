@@ -122,9 +122,9 @@ def test_relation_canon_groups_inflections(spark):
               " turn_idx int, sent_idx int, ext_idx int")
     got = {r.rel_canon: (r.n_forms, r.forms, r.n_edges)
            for r in relation_canon(edges).collect()}
-    assert got["scan"] == (4, ["scan", "scanned", "scans", "will scan"], 4)
-    assert got["merge"] == (1, ["merge"], 1)
-    assert got["query"] == (1, ["query"], 1)
+    assert got["scan"] == (4, "scan|scanned|scans|will scan", 4)
+    assert got["merge"] == (1, "merge", 1)
+    assert got["query"] == (1, "query", 1)
 
 
 def test_relation_schema_hand_golden(spark):

@@ -2,7 +2,21 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
 the same sf dir; compare row count, column names, and an
 order-insensitive value hash.
-Usage: python tools/check_oracles.py [sf_dir] [name_prefix]
+
+DRIVER-FAITHFUL: the driver converts oracle results through pandas
+(``res.df()``), which turns DuckDB HUGEINT into float64 (``123`` →
+``123.0``) and leaves list columns as unhashable python lists — both
+historically invisible to a ``fetchall()``-based local gate (round-3
+reds). This checker therefore (a) fetches the oracle side via pandas,
+(b) normalizes with a type-preserving repr so an int/float dtype split
+between Spark and the oracle is a mismatch, and (c) offers ``--audit``:
+DESCRIBE every registered oracle and fail on any output column whose
+DuckDB type pandas cannot round-trip losslessly (HUGEINT, DECIMAL,
+LIST, STRUCT, ...).
+
+Usage:
+  python tools/check_oracles.py [sf_dir] [name_prefix]
+  python tools/check_oracles.py --audit [sf_dir] [name_prefix]
 """
 
 from __future__ import annotations
@@ -16,6 +30,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# DuckDB output types pandas cannot convert to a driver-hashable column.
+# HUGEINT/UHUGEINT -> float64 (123 -> 123.0, breaking the int hash);
+# DECIMAL -> decimal.Decimal objects; LIST/STRUCT/MAP -> unhashable
+# python containers that crash the driver's sort_values.
+BAD_TYPE_PREFIXES = ("HUGEINT", "UHUGEINT", "DECIMAL", "STRUCT", "MAP", "UNION")
+
+
+def _bad_type(duck_type: str) -> bool:
+    t = duck_type.upper()
+    return t.startswith(BAD_TYPE_PREFIXES) or t.endswith("[]")
 
 
 def value_hash(rows, cols):
@@ -31,13 +56,67 @@ def value_hash(rows, cols):
 
 
 def _norm(v):
+    """Type-preserving cell normalization.
+
+    Floats keep their '.0' (repr), so an integer column that pandas
+    silently widened to float64 (the DuckDB HUGEINT path) hashes
+    differently from Spark's long — exactly as the driver sees it.
+    numpy scalars are unwrapped via .item() first.
+    """
     if v is None:
         return "\x00"
+    item = getattr(v, "item", None)
+    if item is not None and type(v).__module__ == "numpy":
+        v = item()
+    if v != v:  # NaN (incl. pandas NaT-as-float); driver sees missing
+        return "\x00"
+    if isinstance(v, bool):
+        return str(v)
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
+
+
+def _fresh_con(sf_dir: str):
+    c = duckdb.connect()
+    # explicit limits + a spill dir: large-sf oracle CTEs (the
+    # recursive closure, blocked self-joins) otherwise hit DuckDB's
+    # in-memory pool and fail with a hard bad-allocation.
+    c.execute("SET memory_limit='48GB'")
+    c.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+
+def audit(sf_dir: str, prefix: str = "") -> int:
+    """Type-audit every registered oracle: DESCRIBE (plan-only, no
+    execution) and fail on driver-unhashable output column types."""
+    import __spark_entry__ as e
+
+    con = _fresh_con(sf_dir)
+    os_ = e.oracle_sql()
+    fail = 0
+    for name, sql in sorted(os_.items()):
+        if prefix and not name.startswith(prefix):
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as ex:
+            print(f"{name:28s} DESCRIBE ERROR: {ex}")
+            fail += 1
+            con = _fresh_con(sf_dir)
+            continue
+        bad = [(c, t) for (c, t, *_rest) in desc if _bad_type(t)]
+        if bad:
+            fail += 1
+            print(f"{name:28s} BAD TYPES: {bad}")
+    print(f"audit: {len([n for n in os_ if not prefix or n.startswith(prefix)])} oracles, {fail} with driver-unhashable columns")
+    return fail
 
 
 def main(sf_dir: str, prefix: str = "") -> int:
@@ -48,20 +127,7 @@ def main(sf_dir: str, prefix: str = "") -> int:
     spark = get_spark(shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    def fresh_con():
-        c = duckdb.connect()
-        # explicit limits + a spill dir: large-sf oracle CTEs (the
-        # recursive closure, blocked self-joins) otherwise hit DuckDB's
-        # in-memory pool and fail with a hard bad-allocation.
-        c.execute("SET memory_limit='48GB'")
-        c.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-        for t in TABLES:
-            p = f"{sf_dir}/{t}.parquet"
-            if os.path.exists(p):
-                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-        return c
-
-    con = fresh_con()
+    con = _fresh_con(sf_dir)
 
     qs, os_ = e.queries(), e.oracle_sql()
     fail = 0
@@ -69,15 +135,21 @@ def main(sf_dir: str, prefix: str = "") -> int:
         if prefix and not name.startswith(prefix):
             continue
         sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
+        srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
         if name not in os_:
             print(f"{name:28s} rows={len(srows):7d}  (no oracle — rows-only)")
             continue
         try:
-            res = con.execute(os_[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # pandas fetch = what the driver does; HUGEINT becomes
+            # float64 here and the strict _norm makes that a mismatch.
+            pdf = con.execute(os_[name]).df()
+            dcols = list(pdf.columns)
+            drows = [
+                tuple(None if (x is None or (isinstance(x, float) and x != x)) else x
+                      for x in row)
+                for row in pdf.itertuples(index=False, name=None)
+            ]
         except Exception as ex:
             print(f"{name:28s} ORACLE ERROR: {ex}")
             fail += 1
@@ -87,11 +159,11 @@ def main(sf_dir: str, prefix: str = "") -> int:
                 con.close()
             except Exception:
                 pass
-            con = fresh_con()
+            con = _fresh_con(sf_dir)
             continue
         ok_n = len(srows) == len(drows)
         ok_c = sorted(scols) == sorted(dcols)
-        ok_h = ok_c and value_hash([tuple(r) for r in srows], scols) == value_hash(drows, dcols)
+        ok_h = ok_c and value_hash(srows, scols) == value_hash(drows, dcols)
         status = "OK" if (ok_n and ok_c and ok_h) else "MISMATCH"
         print(f"{name:28s} rows={len(srows):7d}/{len(drows):7d} cols={'=' if ok_c else '!'} hash={'=' if ok_h else '!'} {status}")
         if status != "OK":
@@ -109,5 +181,9 @@ def main(sf_dir: str, prefix: str = "") -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
-                  sys.argv[2] if len(sys.argv) > 2 else ""))
+    argv = [a for a in sys.argv[1:]]
+    do_audit = "--audit" in argv
+    argv = [a for a in argv if a != "--audit"]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    pfx = argv[1] if len(argv) > 1 else ""
+    sys.exit(audit(sf, pfx) if do_audit else main(sf, pfx))
