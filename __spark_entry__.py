@@ -1125,11 +1125,14 @@ def _q_kg_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-skew observability (the lineage metric the pipeline
     records per vocab stage, as a first-class query): block counts,
     hot blocks over the MAX_BLOCK cap, and the mentions those drops
-    cost — the number a production run watches before re-linking."""
-    from openie_spark.kg.linking import skew_stats
+    cost — the number a production run watches before re-linking.
+    Measured over the LINKABLE slice (n_tokens <= MAX_MENTION_TOKENS),
+    the exact population exact_pairs/editdist_pairs block — so the
+    readout is the pair-stage view, not a vocabulary superset."""
+    from openie_spark.kg.linking import linkable, skew_stats
 
     _, vocab, _, _ = _kg_parts(spark, sf_dir)
-    return skew_stats(vocab)
+    return skew_stats(linkable(vocab))
 
 
 def _q_kg_pairs_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -811,11 +811,14 @@ def gap_histogram(events: DataFrame) -> DataFrame:
     then a <= 64-group partial-agg collapse."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros("ts")
-    gap = ((us - F.lag(us).over(w)) / _US_PER_SEC).cast("long")
     return (
         _with_tz(events)
         .select("user_id", "ts", "event_id")
-        .withColumn("gap_sec", gap)
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        # pure integer division (gaps are non-negative under the window
+        # order, so DIV == floor): bit-exact vs the DuckDB '//' twin at
+        # any gap magnitude — no double intermediate
+        .withColumn("gap_sec", F.expr(f"gap_us DIV {_US_PER_SEC}"))
         .where(F.col("gap_sec").isNotNull())
         .withColumn("bin", F.when(F.col("gap_sec") == 0, 0)
                     .otherwise(F.length(F.bin("gap_sec"))).cast("int"))

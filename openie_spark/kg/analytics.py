@@ -1963,6 +1963,12 @@ def kge_rank_eval(nodes: DataFrame, edges: DataFrame,
     the score expression changes. A test statement whose every
     corruption collided (no surviving candidates) is excluded.
 
+    FULLY filtered: beyond dropping corruptions that collide with the
+    current triple's src/dst, any corruption (s, p, t') that forms a
+    DIFFERENT known-true statement is anti-joined away against the
+    full distinct statement set (all splits) — the exact Bordes
+    protocol, so no true triple ever counts as a negative.
+
     rank = 1 + |{negatives strictly better, ties to lower entity_id}|;
     mrr_ppm averages floor(1e6 / rank) round-half-up.
 
@@ -1974,7 +1980,16 @@ def kge_rank_eval(nodes: DataFrame, edges: DataFrame,
     split = edge_split(edges)
     test = (split.where((F.col("split") == "test") & F.col("eval_ok"))
             .select("src_id", "pred", F.col("dst_id")))
-    cands = negative_samples(nodes, test, per_pos=negs)
+    # filtered setting: a corruption that IS a known statement (any
+    # split) must not count as a negative — one anti-join of the
+    # test-slice candidates against the distinct statement set on the
+    # (src, pred, corrupted-tail) key. Candidate volume is
+    # |test| * negs (the small slice), so the extra shuffle is
+    # test-sized, never edge-sized.
+    known = split.select(
+        "src_id", "pred", F.col("dst_id").alias("neg_dst"))
+    cands = negative_samples(nodes, test, per_pos=negs).join(
+        known, ["src_id", "pred", "neg_dst"], "left_anti")
 
     def score(tail) -> F.Column:
         total = None

@@ -2018,10 +2018,12 @@ dm_deg AS MATERIALIZED (
 
 
 def kg_blocking_stats_sql() -> str:
-    """Twin of kg.linking.skew_stats over the mention vocabulary: both
-    prefix block keys per norm, per-key counts, hot-block and
-    dropped-mention totals at the MAX_BLOCK cap."""
-    from openie_spark.config import MAX_BLOCK
+    """Twin of kg.linking.skew_stats over the LINKABLE mention slice
+    (n_tokens <= MAX_MENTION_TOKENS, matching exact_pairs/
+    editdist_pairs' blocked population): both prefix block keys per
+    norm, per-key counts, hot-block and dropped-mention totals at the
+    MAX_BLOCK cap."""
+    from openie_spark.config import MAX_BLOCK, MAX_MENTION_TOKENS
     from openie_spark.kg.linking import BLOCK_PREFIX
 
     return _with_kg(f"""
@@ -2036,6 +2038,7 @@ bs_keys AS (
   FROM vocab, unnest(list_distinct([
       'f|' || substr(string_split(norm, ' ')[1], 1, {BLOCK_PREFIX}),
       'l|' || substr(string_split(norm, ' ')[-1], 1, {BLOCK_PREFIX})])) AS u(bk)
+  WHERE len(tokens) <= {MAX_MENTION_TOKENS}
 ),
 bs_per AS (
   SELECT bkey, count(*) AS n FROM bs_keys GROUP BY 1
@@ -2141,7 +2144,10 @@ kge_cands AS MATERIALIZED (
     FROM kge_test, (SELECT unnest(range(0, {KGE_NEGS})) AS neg_idx)
   ) p
   JOIN kge_reps r ON p.bucket = r.bucket
-  WHERE r.neg_dst <> p.dst_id AND r.neg_dst <> p.src_id),
+  WHERE r.neg_dst <> p.dst_id AND r.neg_dst <> p.src_id
+    AND NOT EXISTS (SELECT 1 FROM kge_t k
+                    WHERE k.src_id = p.src_id AND k.pred = p.pred
+                      AND k.dst_id = r.neg_dst)),
 kge_ranked AS (
   SELECT src_id, pred, dst_id,
          CAST(count(*) AS BIGINT) AS n_cands,

@@ -164,10 +164,11 @@ def stream_event_trigrams(events: DataFrame) -> DataFrame:
         batch = pd.concat(rows).sort_values(
             ["ts_us", "event_id"], kind="mergesort")
         if state.exists:
-            ts1, eid1, t1, ts2, eid2, t2 = state.get
-            prev = [(ts1, eid1, t1), (ts2, eid2, t2)]
-            # slot sentinel: ts < 0 means "fewer than two seen so far"
-            prev = [p for p in prev if p[0] >= 0]
+            n_seen, ts1, eid1, t1, ts2, eid2, t2 = state.get
+            # explicit occupancy count (NOT a ts-sign sentinel): events
+            # with pre-1970 timestamps have negative unix micros and
+            # must survive the cross-batch carry like any other
+            prev = [(ts1, eid1, t1), (ts2, eid2, t2)][2 - n_seen:]
         else:
             prev = []
         o1, o2, o3, ots = [], [], [], []
@@ -180,8 +181,9 @@ def stream_event_trigrams(events: DataFrame) -> DataFrame:
                 o3.append(cur[2])
                 ots.append(cur[0])
             prev = (prev + [cur])[-2:]
-        pad = [(-1, -1, "")] * (2 - len(prev)) + prev
-        state.update((pad[0][0], pad[0][1], pad[0][2],
+        pad = [(0, 0, "")] * (2 - len(prev)) + prev
+        state.update((len(prev),
+                      pad[0][0], pad[0][1], pad[0][2],
                       pad[1][0], pad[1][1], pad[1][2]))
         if not o1:
             return iter(())
@@ -196,7 +198,7 @@ def stream_event_trigrams(events: DataFrame) -> DataFrame:
         chain,
         outputStructType=("user_id long, t1 string, t2 string, "
                           "t3 string, ts_us long"),
-        stateStructType=("ts1 long, eid1 long, t1 string, "
+        stateStructType=("n_seen int, ts1 long, eid1 long, t1 string, "
                          "ts2 long, eid2 long, t2 string"),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

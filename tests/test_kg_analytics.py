@@ -1684,12 +1684,16 @@ def test_kge_rank_eval_python_twin(spark):
         return sum(abs(comp("e", s, d) + comp("r", p, d) - comp("e", t, d))
                    for d in range(KGE_DIM))
 
+    known = set(stmts)
     n_test = n_cands = s_inv = h1 = h3 = h10 = 0
     for s, p, o in test:
         cands = []
         for j in range(KGE_NEGS):
             b = _md5h60_py(f"{NEG_SALT}#{j}#{s}#{p}#{o}") % NEG_BUCKETS
-            if b in reps and reps[b] not in (s, o):
+            # fully filtered: corruptions colliding with the triple's
+            # own endpoints OR forming any known-true statement drop
+            if (b in reps and reps[b] not in (s, o)
+                    and (s, p, reps[b]) not in known):
                 cands.append(reps[b])
         if not cands:
             continue
