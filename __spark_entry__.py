@@ -250,24 +250,61 @@ def _evict_stale(memo: dict, new_key) -> None:
                 pass
 
 
+_CARB_MEMO: dict = {}
+
+
+def _carb_parts(spark: SparkSession, sf_dir: str):
+    """The carb eval family's shared inputs, computed ONCE per
+    (application, sf_dir): (gold, pred) where gold is the engine
+    triples as scorer tuples WITH the normalized sentence key already
+    computed, and pred is the deterministically degraded
+    varied-confidence prediction side all four degraded-eval queries
+    consume. Both are hash-REPARTITIONED on norm_key to the session
+    shuffle parallelism and localCheckpointed — the cogroup in every
+    carb query then starts from co-partitioned children (the keyed
+    eval table is built and shuffled once, not once per query; the
+    warehouse pattern, same rationale as _TRIPLES_MEMO)."""
+    from openie_spark.datapipe.hashing import md5h60
+    from openie_spark.eval.carb import normalize_key_col, triples_as_tuples
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CARB_MEMO:
+        _evict_stale(_CARB_MEMO, key)
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        gold = (
+            triples_as_tuples(_triples_memo(spark, sf_dir))
+            .withColumn("norm_key", normalize_key_col(F.col("sent")))
+            .repartition(n, "norm_key")
+            .localCheckpoint(eager=True))
+        pred = (
+            gold
+            .withColumn("args",
+                        F.transform("args", lambda a: F.split(a, " ")[0]))
+            .withColumn("confidence",
+                        (F.pmod(md5h60(F.concat_ws("|", "sent", "pred")),
+                                F.lit(4)) + 1) / 4.0)
+            .localCheckpoint(eager=True))   # partitioning carries over
+        _CARB_MEMO[key] = (gold, pred)
+    return _CARB_MEMO[key]
+
+
 def _q_carb_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CaRB scorer (E1-E6) on engine triples vs themselves — the parity
     self-check: P=R=F1=1 plus the gold-sentence count."""
-    from openie_spark.eval.carb import carb_compare, triples_as_tuples
+    from openie_spark.eval.carb import carb_compare
 
-    triples = triples_as_tuples(_triples_memo(spark, sf_dir))
-    return carb_compare(triples, triples)
+    gold, _ = _carb_parts(spark, sf_dir)
+    return carb_compare(gold, gold)
 
 
 def _q_carb_degraded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CaRB scorer on deterministically degraded predictions (every arg
     truncated to its first token): non-trivial single-point P/R/F1.
     Greedy bipartite matching isn't SQL-expressible → rows-only check."""
-    from openie_spark.eval.carb import carb_compare, triples_as_tuples
+    from openie_spark.eval.carb import carb_compare
 
-    gold = triples_as_tuples(_triples_memo(spark, sf_dir))
-    pred = gold.withColumn("args", F.transform("args", lambda a: F.split(a, " ")[0]))
-    return carb_compare(gold, pred)
+    gold, pred = _carb_parts(spark, sf_dir)
+    return carb_compare(gold, pred.drop("confidence"))
 
 
 def _q_carb_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,15 +314,9 @@ def _q_carb_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching per threshold isn't SQL-expressible → rows-only check;
     value-pinned against a reference-loop transcription in
     tests/test_carb.py."""
-    from openie_spark.datapipe.hashing import md5h60
-    from openie_spark.eval.carb import carb_pr_curve, triples_as_tuples
+    from openie_spark.eval.carb import carb_pr_curve
 
-    gold = triples_as_tuples(_triples_memo(spark, sf_dir))
-    pred = (
-        gold.withColumn("args", F.transform("args", lambda a: F.split(a, " ")[0]))
-        .withColumn("confidence",
-                    (F.pmod(md5h60(F.concat_ws("|", "sent", "pred")), F.lit(4)) + 1) / 4.0)
-    )
+    gold, pred = _carb_parts(spark, sf_dir)
     return carb_pr_curve(gold, pred)
 
 
@@ -295,15 +326,9 @@ def _q_carb_o2o_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     same degraded varied-confidence predictions as carb_pr_sweep.
     Greedy matching isn't SQL-expressible → rows-only; parity-pinned
     vs the imported reference in tests/test_benchmark.py."""
-    from openie_spark.datapipe.hashing import md5h60
-    from openie_spark.eval.carb import carb_pr_curve, triples_as_tuples
+    from openie_spark.eval.carb import carb_pr_curve
 
-    gold = triples_as_tuples(_triples_memo(spark, sf_dir))
-    pred = (
-        gold.withColumn("args", F.transform("args", lambda a: F.split(a, " ")[0]))
-        .withColumn("confidence",
-                    (F.pmod(md5h60(F.concat_ws("|", "sent", "pred")), F.lit(4)) + 1) / 4.0)
-    )
+    gold, pred = _carb_parts(spark, sf_dir)
     return carb_pr_curve(gold, pred, recall_strategy="o2o")
 
 
@@ -313,16 +338,9 @@ def _q_carb_oie16(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve, recallMultiplier. One summary row. Sequential matching isn't
     SQL-expressible → rows-only; parity-pinned vs the imported
     reference in tests/test_benchmark.py."""
-    from openie_spark.datapipe.hashing import md5h60
     from openie_spark.eval.benchmark import oie16_compare, oie16_summary_df
-    from openie_spark.eval.carb import triples_as_tuples
 
-    gold = triples_as_tuples(_triples_memo(spark, sf_dir))
-    pred = (
-        gold.withColumn("args", F.transform("args", lambda a: F.split(a, " ")[0]))
-        .withColumn("confidence",
-                    (F.pmod(md5h60(F.concat_ws("|", "sent", "pred")), F.lit(4)) + 1) / 4.0)
-    )
+    gold, pred = _carb_parts(spark, sf_dir)
     return oie16_summary_df(spark, oie16_compare(gold, pred))
 
 
@@ -1090,6 +1108,26 @@ def _q_kg_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return role_transitions(read_transcripts(_tune(spark), sf_dir))
 
 
+def _q_kg_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool usage profile over the agent corpus: call volume, conv
+    support, payload chars, and integer-minute turnaround to the next
+    turn — one conv window shuffle, tools-sized output."""
+    from openie_spark.kg.dialogue import tool_stats
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return tool_stats(read_transcripts(_tune(spark), sf_dir))
+
+
+def _q_kg_tool_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-invocation transition matrix (workflow mining): adjacent
+    tool calls per conversation with conv support and exact row ppm —
+    role_transitions' twin on the tool axis."""
+    from openie_spark.kg.dialogue import tool_sequences
+    from openie_spark.sources.transcripts import read_transcripts
+
+    return tool_sequences(read_transcripts(_tune(spark), sf_dir))
+
+
 def _q_dp_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-binned document-length profile (token counts; empty docs
     in bin 0) — the corpus shape report, <= 64 rows; map-only count
@@ -1429,10 +1467,12 @@ def _q_dp_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE merge-loop training (Sennrich et al. 2016): 12 merges
     over the corpus-weighted vocabulary, each round one vocab-scale
     pair count + a one-row argmax collect + a JVM-side fold merge.
-    Rows-only by design: the data-dependent argmax loop is not
-    expressible as a non-recursive SQL query; value-pinned by pytest
-    parity vs an independent transcription of the public algorithm
-    (tests/test_datapipe.py::test_bpe_merges_vs_python_reference)."""
+    Oracle-backed: the fixed round count unrolls to 12 argmax+replace
+    CTE rounds in DuckDB (plans.datapipe_oracles.bpe_merges_sql — the
+    double-space string representation makes leftmost non-overlap
+    merging exactly SQL replace()); also value-pinned by pytest parity
+    vs an independent transcription of the public algorithm
+    (tests/test_datapipe.py)."""
     from openie_spark.datapipe.textstats import bpe_learn_merges
 
     return bpe_learn_merges(_docs(spark, sf_dir))
@@ -1595,6 +1635,26 @@ def _q_dp_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_topk_sql(_emb(spark, sf_dir))
 
 
+def _q_dp_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd k-means over the embedding table (SemDeDup-
+    style semantic bucketing for curation): fixed-point quantization,
+    md5-bucket seeds, 4 fixed rounds; map-only assignment with literal
+    centroids + one K x dim partial-agg shuffle per round."""
+    from openie_spark.datapipe.cluster import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir))
+
+
+def _q_dp_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster curation readout for the k-means buckets: size,
+    integer inertia, and the majority ``label`` with support — the
+    purity signal deciding whether semantic buckets track the
+    taxonomy."""
+    from openie_spark.datapipe.cluster import kmeans_stats
+
+    return kmeans_stats(_emb(spark, sf_dir))
+
+
 def _q_dp_embedding_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numpy top-k (mapInPandas over broadcast corpus, gated on a
     corpus-size check) — row-identical to dp_embedding_topk, so it
@@ -1744,6 +1804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot": _q_kg_snapshot,
         "kg_kge_eval": _q_kg_kge_eval,
         "kg_role_transitions": _q_kg_role_transitions,
+        "kg_tool_stats": _q_kg_tool_stats,
+        "kg_tool_sequences": _q_kg_tool_sequences,
         "kg_alias_hist": _q_kg_alias_hist,
         "dp_length_hist": _q_dp_length_hist,
         "dp_ev_gap_hist": _q_dp_ev_gap_hist,
@@ -1795,6 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_mixture": _q_dp_mixture,
         "dp_embedding_topk": _q_dp_embedding_topk,
         "dp_embedding_topk_np": _q_dp_embedding_topk_np,
+        "dp_kmeans": _q_dp_kmeans,
+        "dp_kmeans_stats": _q_dp_kmeans_stats,
         "dp_embedding_ivf": _q_dp_embedding_ivf,
         "dp_embedding_ivfpq": _q_dp_embedding_ivfpq,
         "dp_embedding_lsh": _q_dp_embedding_lsh,
@@ -1887,6 +1951,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_snapshot": o.kg_snapshot_sql(),
         "kg_kge_eval": o.kg_kge_eval_sql(),
         "kg_role_transitions": o.kg_role_transitions_sql(),
+        "kg_tool_stats": o.kg_tool_stats_sql(),
+        "kg_tool_sequences": o.kg_tool_sequences_sql(),
         "kg_alias_hist": o.kg_alias_hist_sql(),
         "dp_length_hist": dp.length_histogram_sql(),
         "dp_ev_gap_hist": dp.gap_histogram_sql(),
@@ -1919,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_containment": dp.containment_pairs_sql(),
         "dp_bigram_score": dp.bigram_likelihood_sql(),
         "dp_bpe_pairs": dp.bpe_pairs_sql(),
+        "dp_bpe_merges": dp.bpe_merges_sql(),
         "dp_kmv_distinct": dp.kmv_distinct_sql(),
         "dp_hll_distinct": dp.hll_distinct_sql(),
         "dp_cms_topk": dp.cms_heavy_hitters_sql(),
@@ -1937,6 +2004,8 @@ def oracle_sql() -> dict[str, str]:
         "dp_mixture": dp.corpus_mixture_sql(),
         "dp_embedding_topk": dp.brute_topk_sql_oracle(),
         "dp_embedding_topk_np": dp.brute_topk_sql_oracle(),
+        "dp_kmeans": dp.kmeans_sql(),
+        "dp_kmeans_stats": dp.kmeans_stats_sql(),
         "dp_embedding_ivf": dp.ivf_topk_sql(),
         "dp_embedding_ivfpq": dp.ivfpq_topk_sql(),
         "dp_embedding_lsh": dp.lsh_topk_sql(),

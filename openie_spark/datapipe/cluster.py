@@ -1,0 +1,174 @@
+"""Embedding clustering for corpus curation (SemDeDup-style semantic
+bucketing, diversity sampling, topic sharding).
+
+Lloyd's k-means, made ENGINE-EXACT the same way every other operator
+family here is: embeddings quantize to fixed-point integers
+(round-half-away x1000), centroids update by integer FLOOR division,
+seeds come from md5 buckets — so Spark, the DuckDB oracle, and a pure
+python twin compute bit-identical assignments with no RNG state and no
+float-sum order dependence. Swap trained float centroids in and only
+the quantization step changes.
+
+Scale shape (the classic production Spark k-means shape):
+  * assignment is MAP-ONLY — the K centroids are a driver-side literal
+    array folded per row (K x dim integers, bounded like the IVF
+    codebooks; no join, no shuffle);
+  * the centroid update is ONE posexplode + partial-agg shuffle per
+    iteration producing K x dim rows, collected to the driver
+    (bounded);
+  * iterations are a fixed compile-time constant (KMEANS_ITERS), so
+    the DuckDB twin unrolls them exactly like the LPA/k-core oracles.
+
+No counterpart in the reference (it has no vector ops); this is part
+of the training-data-pipeline surface the task brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KMEANS_K = 8          # clusters (md5-bucket seeded)
+KMEANS_ITERS = 4      # fixed Lloyd rounds — compile-time, oracle-unrollable
+KMEANS_SCALE = 1000   # fixed-point quantization: q = round(e * SCALE)
+KMEANS_SALT = "km-v1"
+
+
+def quantized_vecs(emb: DataFrame, scale: int = KMEANS_SCALE) -> DataFrame:
+    """(vec_id, qvec array<long>): fixed-point integer embeddings.
+    round-half-away-from-zero matches both JVM F.round and DuckDB
+    round(); NULL/empty vectors are excluded (no direction, no
+    cluster)."""
+    q = F.transform(
+        "embedding",
+        lambda e: F.round(e.cast("double") * scale).cast("long"))
+    return (
+        emb.select("vec_id", q.alias("qvec"))
+        .where(F.col("qvec").isNotNull() & (F.size("qvec") > 0))
+    )
+
+
+def _dist_sq(qvec: Column, cent: Column) -> Column:
+    """Integer squared L2 distance between two long arrays."""
+    return F.aggregate(
+        F.zip_with(qvec, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cent_literal(cents: dict[int, list[int]]) -> Column:
+    """The centroid table as ONE literal array<struct<c,v>> column,
+    ascending cluster id (the argmin fold keeps the FIRST strict
+    minimum, so ascending order pins ties to the lowest cluster)."""
+    return F.array(*[
+        F.struct(
+            F.lit(int(c)).alias("c"),
+            F.array(*[F.lit(int(v)) for v in vec]).alias("v"))
+        for c, vec in sorted(cents.items())
+    ])
+
+
+def _assign(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """+ (cluster, dist_sq): nearest centroid, ties to lowest cluster
+    id. Map-only — the centroids ride along as a literal."""
+    best = F.aggregate(
+        _cent_literal(cents),
+        F.struct(F.lit(None).cast("long").alias("d"),
+                 F.lit(-1).alias("c")),
+        lambda acc, e: F.when(
+            acc["d"].isNull() | (_dist_sq(F.col("qvec"), e["v"]) < acc["d"]),
+            F.struct(_dist_sq(F.col("qvec"), e["v"]).alias("d"),
+                     e["c"].alias("c")),
+        ).otherwise(acc),
+    )
+    return qdf.withColumn("b", best).select(
+        "vec_id", "qvec",
+        F.col("b.c").alias("cluster"), F.col("b.d").alias("dist_sq"))
+
+
+def _seed_centroids(qdf: DataFrame, k: int) -> dict[int, list[int]]:
+    """Deterministic seeds: md5-bucket each vec_id into k buckets, the
+    bucket's min-vec_id vector is its seed (consistent-hashing pick,
+    same machinery as negative_samples). Empty buckets simply yield
+    fewer initial clusters."""
+    from openie_spark.datapipe.hashing import md5h60
+
+    reps = (
+        qdf.withColumn(
+            "bucket",
+            md5h60(F.concat(F.lit(f"{KMEANS_SALT}#"),
+                            F.col("vec_id").cast("string"))) % k)
+        .groupBy("bucket").agg(F.min("vec_id").alias("rep"))
+    )
+    rep_rows = (
+        reps.join(qdf.withColumnRenamed("vec_id", "rep"), "rep")
+        .select("bucket", "qvec").collect()
+    )
+    return {int(r.bucket): [int(v) for v in r.qvec] for r in rep_rows}
+
+
+def kmeans_assign(emb: DataFrame, k: int = KMEANS_K,
+                  iters: int = KMEANS_ITERS,
+                  scale: int = KMEANS_SCALE) -> DataFrame:
+    """Integer-exact Lloyd k-means -> (vec_id, cluster, dist_sq): the
+    final assignment after ``iters`` fixed rounds from md5-bucket
+    seeds. Centroid update is the integer FLOOR mean
+    (s - ((s % n) + n) % n) DIV n per dimension — identical to DuckDB
+    ``//`` for negative sums too; a cluster that loses all members
+    keeps its previous centroid (standard, deterministic)."""
+    qdf = quantized_vecs(emb, scale).localCheckpoint(eager=False)
+    cents = _seed_centroids(qdf, k)
+    if not cents:   # empty corpus: no seeds, no literal to fold over
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cluster int, dist_sq long")
+    for _ in range(iters):
+        assigned = _assign(qdf, cents)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("qvec").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("m", F.expr("(s - ((s % n) + n) % n) DIV n"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.col("dm.m").alias("cv"))
+            .collect()
+        )
+        cents = {
+            **cents,
+            **{int(r.cluster): [int(v) for v in r.cv] for r in new_rows},
+        }
+    return _assign(qdf, cents).select("vec_id", "cluster", "dist_sq")
+
+
+def kmeans_stats(emb: DataFrame, k: int = KMEANS_K,
+                 iters: int = KMEANS_ITERS,
+                 scale: int = KMEANS_SCALE) -> DataFrame:
+    """Per-cluster curation readout -> (cluster, n_vecs, inertia,
+    majority_label, n_majority): sizes, integer inertia (sum of
+    squared quantized distances), and the dominant ``label`` with its
+    support (ties to the LOWEST label) — the purity signal a curation
+    run uses to decide whether semantic buckets track the taxonomy.
+
+    Scale shape: one (cluster, label) partial-agg shuffle over the
+    assignment (itself map-only), then a K-sized top-1 window."""
+    from pyspark.sql import Window
+
+    a = kmeans_assign(emb, k, iters, scale)
+    al = a.join(emb.select("vec_id", "label"), "vec_id")
+    per_label = (
+        al.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n_l"), F.sum("dist_sq").alias("in_l"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n_l"), F.asc("label"))
+    return (
+        per_label
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.sum("n_l").alias("n_vecs"),
+            F.sum("in_l").alias("inertia"),
+            F.max(F.when(F.col("rk") == 1, F.col("label"))).alias("majority_label"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_l"))).alias("n_majority"),
+        )
+    )

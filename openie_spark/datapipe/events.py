@@ -218,7 +218,10 @@ def asof_last_ref(events: DataFrame, ref_type: str = ASOF_REF_TYPE) -> DataFrame
     same timestamp counts, so a reference event matches itself).
 
     -> (event_id, user_id, event_type, last_ref_id, us_since_ref)
-    with NULLs when the user has no reference yet.
+    with the -1 sentinel in BOTH columns when the user has no
+    reference yet (never NULL: a NULL floats the int64 column under a
+    pandas conversion — the driver-hash contract all integer outputs
+    follow).
 
     Implemented as the union-marker formulation — reference rows and
     probe rows are unioned with a marker and ONE window over ONE
@@ -260,8 +263,10 @@ def asof_last_ref(events: DataFrame, ref_type: str = ASOF_REF_TYPE) -> DataFrame
         .where(F.col("is_probe") == 1)
         .select(
             "event_id", "user_id", "event_type",
-            "last_ref_id",
-            (F.col("us") - F.col("last_ref_us")).alias("us_since_ref"),
+            F.coalesce("last_ref_id", F.lit(-1).cast("long"))
+            .alias("last_ref_id"),
+            F.coalesce(F.col("us") - F.col("last_ref_us"),
+                       F.lit(-1).cast("long")).alias("us_since_ref"),
         )
     )
 

@@ -245,9 +245,12 @@ def brute_topk_np(emb: DataFrame, k: int = TOPK, query_mod: int = QUERY_MOD,
     e = (with_unit(emb.select("vec_id", "embedding"), dim=_dim_of(emb))
          .select("vec_id", "unit")
          .where(F.col("unit").isNotNull()))
-    if e.limit(max_broadcast_vecs + 1).count() > max_broadcast_vecs:
+    # size gate folded into the ONE corpus collect (limit max+1 bounds
+    # driver memory exactly like the old count-first gate, without a
+    # second full scan of the embedding table)
+    corpus_rows = e.limit(max_broadcast_vecs + 1).collect()
+    if len(corpus_rows) > max_broadcast_vecs:
         return brute_topk_sql(emb, k, query_mod)
-    corpus_rows = e.select("vec_id", "unit").collect()
     ids = np.array([r.vec_id for r in corpus_rows], dtype=np.int64)
     mat = np.array([r.unit for r in corpus_rows], dtype=np.float64)
     spark = emb.sparkSession

@@ -232,7 +232,10 @@ def oie16_compare(gold: DataFrame, pred: DataFrame,
             cols.append(F.col("confidence").cast("double").alias("confidence"))
         if "ext_order" in df.columns:
             cols.append(F.col("ext_order").cast("long").alias("ext_order"))
-        cols.append(normalize_key_col(F.col("sent")).alias("norm_key"))
+        # reuse a pre-computed key (alias-aware projection keeps any
+        # upstream hash-partitioning on it — see carb._with_key)
+        cols.append((F.col("norm_key") if "norm_key" in df.columns
+                     else normalize_key_col(F.col("sent"))).alias("norm_key"))
         return df.select(*cols)
 
     g = _proj(gold, with_conf=False)

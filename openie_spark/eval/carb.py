@@ -136,12 +136,20 @@ def _with_key(df: DataFrame) -> DataFrame:
     Catalyst's column pruning under the downstream aggregate then
     drops the duplicated child columns and the pandas kernel receives
     key-only frames. Fresh exprIds per side keep the plans disjoint.
+
+    A pre-computed ``norm_key`` column is REUSED (aliased, not
+    recomputed): callers that materialize a keyed, hash-partitioned
+    eval table once (the warehouse pattern — see __spark_entry__'s
+    carb memo) keep both the key computation and, because ProjectExec
+    is alias-aware, the partitioning.
     """
+    key = (F.col("norm_key") if "norm_key" in df.columns
+           else normalize_key_col(F.col("sent")))
     return df.select(
         F.col("sent").alias("sent"),
         F.col("pred").alias("pred"),
         F.col("args").alias("args"),
-        normalize_key_col(F.col("sent")).alias("norm_key"),
+        key.alias("norm_key"),
     )
 
 
@@ -166,8 +174,8 @@ def sentence_scores(gold: DataFrame, pred: DataFrame,
     sentences == distinct norm keys at every sf dir), so results are
     identical today; on a colliding corpus the reference drops gold
     tuples nondeterministically by input order and we keep them."""
-    g = _with_key(gold.select("sent", "pred", "args"))
-    p = _with_key(pred.select("sent", "pred", "args"))
+    g = _with_key(gold)
+    p = _with_key(pred)
     return (
         g.groupBy("norm_key")
         .cogroup(p.groupBy("norm_key"))
@@ -429,13 +437,15 @@ def carb_pr_curve(gold: DataFrame, pred: DataFrame,
             stats.n_distinct, max_thresholds, len(grid))
     num_conf = len(grid)
 
-    g = _with_key(gold.select("sent", "pred", "args"))
-    p = pred.select("sent", "pred", "args", "confidence").select(
+    g = _with_key(gold)
+    pkey = (F.col("norm_key") if "norm_key" in pred.columns
+            else normalize_key_col(F.col("sent")))
+    p = pred.select(
         F.col("sent").alias("sent"),
         F.col("pred").alias("pred"),
         F.col("args").alias("args"),
         F.col("confidence").alias("confidence"),
-        normalize_key_col(F.col("sent")).alias("norm_key"),
+        pkey.alias("norm_key"),
     )
     brackets = (
         g.groupBy("norm_key")

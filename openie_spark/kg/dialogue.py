@@ -218,3 +218,77 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
             F.expr("n_transitions * 1000000 DIV n_from").alias("row_ppm"),
         )
     )
+
+
+def tool_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-tool usage profile -> (tool, n_calls, n_convs, total_chars,
+    avg_chars, n_followed, avg_follow_min): every tool-bearing turn of
+    the agent corpus rolled up by tool — call volume, conversation
+    support, payload size, and the integer-minute latency to the NEXT
+    turn (the tool's observable turnaround; a trailing tool turn has
+    no follow-up and is counted in n_calls but not n_followed). The
+    operational readout an agent-platform run watches per tool.
+    avg_follow_min is -1 when NO call was followed: a NULL in an
+    integer column floats the whole column under the driver's pandas
+    conversion (int64 cannot hold NULL), breaking the value hash —
+    numeric outputs are kept non-null by contract.
+
+    Scale shape: ONE conv_id window shuffle (lead ts within the
+    conversation, partitions turn-bounded), then a tools-sized
+    partial-agg collapse — no join at all."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    em = F.unix_micros("ts")
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", "tool", F.length("text").alias("n_chars"),
+            (em.alias("em")), F.lead(em).over(w).alias("next_em"))
+        .where(F.col("tool").isNotNull())
+        .withColumn("lat_min", F.expr("(next_em - em) DIV 60000000"))
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("sum(n_chars) DIV count(1)").alias("avg_chars"),
+            F.count("lat_min").alias("n_followed"),
+            F.coalesce(
+                F.expr("sum(lat_min) DIV nullif(count(lat_min), 0)"),
+                F.lit(-1).cast("long")).alias("avg_follow_min"),
+        )
+    )
+
+
+def tool_sequences(transcripts: DataFrame) -> DataFrame:
+    """Tool-invocation transition matrix -> (from_tool, to_tool,
+    n_transitions, n_convs, row_ppm): adjacent TOOL CALLS in turn
+    order within each conversation (non-tool turns are skipped, so
+    this is the chain of tool invocations an agent actually executed),
+    with conversation support and the exact round-down row share —
+    role_transitions' twin on the tool axis, the workflow-mining
+    readout ("which tool follows which?").
+
+    Scale shape: identical to role_transitions — ONE conv_id window
+    shuffle over the tool-bearing slice, a tools²-bounded partial-agg
+    collapse, and a tools-sized totals join."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        transcripts.select("conv_id", "turn_idx", "tool")
+        .where(F.col("tool").isNotNull())
+        .withColumn("to_tool", F.lead("tool").over(w))
+        .where(F.col("to_tool").isNotNull())
+        .groupBy(F.col("tool").alias("from_tool"), "to_tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .localCheckpoint(eager=False)   # tools²-sized; feeds two branches
+    )
+    totals = pairs.groupBy("from_tool").agg(
+        F.sum("n_transitions").alias("n_from"))
+    return (
+        pairs.join(totals, "from_tool")
+        .select(
+            "from_tool", "to_tool", "n_transitions", "n_convs",
+            F.expr("n_transitions * 1000000 DIV n_from").alias("row_ppm"),
+        )
+    )

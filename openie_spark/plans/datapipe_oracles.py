@@ -283,6 +283,64 @@ pairs AS (
 SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}"""
 
 
+def bpe_merges_sql() -> str:
+    """Twin of textstats.bpe_learn_merges: the FULL Sennrich merge loop
+    unrolled to BPE_MERGES fixed rounds (the same unroll pattern as the
+    LPA/k-core/walk oracles — the round count is a compile-time
+    constant, so 'iterative' does not mean 'not SQL-expressible').
+
+    Representation: each word's symbol sequence is ONE string with
+    every boundary (edges included) exactly two spaces, e.g.
+    ``[a, b, c>]`` = ``"  a  b  c>  "``. Under that invariant the
+    round's merge application — replace the winning (l, r) pair
+    leftmost-first non-overlapping in every word — is EXACTLY SQL
+    ``replace(s, ' l  r ', ' lr ')``: the pattern consumes one space
+    from each neighboring boundary, the replacement restores it, so
+    two adjacent matches (shared middle boundary) both fire in one
+    left-to-right scan and an overlapping second use of a just-merged
+    symbol cannot (its boundary space was consumed), which is the
+    published algorithm's semantics. Each round's argmax pair is a
+    one-row CTE pulled into the replace via scalar subqueries
+    (COALESCE to a never-occurring chr(1) pattern once the vocabulary
+    exhausts, mirroring the Spark loop's break)."""
+    from openie_spark.datapipe.textstats import BPE_EOW, BPE_MERGES
+
+    ctes = [f"""
+bpw AS MATERIALIZED (
+  SELECT w || '{BPE_EOW}' AS word, count(*) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  GROUP BY 1
+),
+bv0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', ' \\1 ', 'g') || ' ' AS s, n
+  FROM bpw
+)"""]
+    for k in range(BPE_MERGES):
+        ctes.append(f"""
+bt{k} AS MATERIALIZED (
+  SELECT l, r, CAST(sum(n) AS BIGINT) AS n
+  FROM (
+    SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r, n
+    FROM (SELECT string_split(trim(s, ' '), '  ') AS syms, n FROM bv{k}),
+         unnest(range(1, len(syms))) AS u(i))
+  GROUP BY 1, 2
+  ORDER BY n DESC, l, r LIMIT 1
+),
+bv{k + 1} AS MATERIALIZED (
+  SELECT replace(s,
+    COALESCE(' ' || (SELECT l FROM bt{k}) || '  ' || (SELECT r FROM bt{k}) || ' ',
+             chr(1)),
+    COALESCE(' ' || (SELECT l || r FROM bt{k}) || ' ', '')) AS s, n
+  FROM bv{k}
+)""")
+        # bv{BPE_MERGES} is intentionally built and unused: uniform codegen
+    rounds = "\nUNION ALL\n".join(
+        f'SELECT CAST({k} AS INT) AS merge_idx, l AS "left", r AS "right", n'
+        f" FROM bt{k}" for k in range(BPE_MERGES))
+    return ("WITH " + ",".join(ctes) + "\nSELECT * FROM (\n" + rounds
+            + "\n) ORDER BY merge_idx")
+
+
 def collocations_sql() -> str:
     """Twin of textstats.collocations: adjacent [a-z]+ bigram counts,
     unigram counts, Dice = 2*n_xy/(n_x+n_y) as _ppm_wide exact
@@ -1188,8 +1246,9 @@ w AS (
   WINDOW win AS (PARTITION BY user_id ORDER BY us, is_probe, event_id
                  ROWS UNBOUNDED PRECEDING)
 )
-SELECT event_id, user_id, event_type, last_ref_id,
-       CAST(us - last_ref_us AS BIGINT) AS us_since_ref
+SELECT event_id, user_id, event_type,
+       COALESCE(last_ref_id, -1) AS last_ref_id,
+       CAST(COALESCE(us - last_ref_us, -1) AS BIGINT) AS us_since_ref
 FROM w WHERE is_probe = 1"""
 
 
@@ -1960,3 +2019,107 @@ SELECT day,
        CAST(sum(is_retained) AS BIGINT) AS n_retained,
        CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected
 FROM flagged GROUP BY 1"""
+
+
+def _kmeans_ctes() -> str:
+    """Shared CTE chain for the k-means twins: quantize, md5-bucket
+    seeds, KMEANS_ITERS unrolled (assign, floor-mean, carry) rounds —
+    the same fixed-round unroll pattern as the LPA/k-core oracles. The
+    centroid mean uses the divisibility-exact floor formula
+    (s - ((s % n) + n) % n) // n, identical to the Spark expression
+    for negative sums too."""
+    from openie_spark.datapipe.cluster import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_SALT,
+        KMEANS_SCALE,
+    )
+
+    h = _md5h60(f"'{KMEANS_SALT}#' || CAST(vec_id AS VARCHAR)")
+    parts = [f"""
+kmq AS MATERIALIZED (
+  SELECT vec_id, list_transform(
+           embedding, e -> CAST(round(CAST(e AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS qvec
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+kmc0 AS MATERIALIZED (
+  SELECT b.bucket AS cluster, q.qvec AS cv
+  FROM (SELECT bucket, min(vec_id) AS rep
+        FROM (SELECT vec_id, {h} % {KMEANS_K} AS bucket FROM kmq)
+        GROUP BY 1) b
+  JOIN kmq q ON q.vec_id = b.rep
+)"""]
+    for t in range(1, KMEANS_ITERS + 2):
+        parts.append(f"""
+kma{t} AS MATERIALIZED (
+  SELECT vec_id, qvec, cluster, d AS dist_sq FROM (
+    SELECT q.vec_id, q.qvec, c.cluster,
+           CAST(list_sum(list_transform(range(1, len(q.qvec) + 1),
+                i -> (q.qvec[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                   * (q.qvec[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS BIGINT) AS d,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY CAST(list_sum(list_transform(range(1, len(q.qvec) + 1),
+                i -> (q.qvec[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                   * (q.qvec[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS BIGINT),
+                                       c.cluster) AS rk
+    FROM kmq q CROSS JOIN kmc{t - 1} c)
+  WHERE rk = 1
+)""")
+        if t <= KMEANS_ITERS:
+            parts.append(f"""
+kmm{t} AS MATERIALIZED (
+  SELECT cluster, list(m ORDER BY dim) AS cv FROM (
+    SELECT cluster, dim, (s - ((s % n) + n) % n) // n AS m FROM (
+      SELECT cluster, u.i AS dim,
+             CAST(sum(qvec[CAST(u.i AS INT)]) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM kma{t}, unnest(range(1, len(qvec) + 1)) AS u(i)
+      GROUP BY 1, 2))
+  GROUP BY 1
+),
+kmc{t} AS MATERIALIZED (
+  SELECT c.cluster, COALESCE(m.cv, c.cv) AS cv
+  FROM kmc{t - 1} c LEFT JOIN kmm{t} m USING (cluster)
+)""")
+    return ",".join(parts)
+
+
+def kmeans_sql() -> str:
+    """Twin of cluster.kmeans_assign: final assignment after the
+    unrolled Lloyd rounds."""
+    from openie_spark.datapipe.cluster import KMEANS_ITERS
+
+    return (f"WITH {_kmeans_ctes()}\n"
+            f"SELECT vec_id, CAST(cluster AS INT) AS cluster, dist_sq\n"
+            f"FROM kma{KMEANS_ITERS + 1}")
+
+
+def kmeans_stats_sql() -> str:
+    """Twin of cluster.kmeans_stats: per-cluster size, integer
+    inertia, majority label (ties to the LOWEST label, NULLS FIRST to
+    match Spark's asc ordering)."""
+    from openie_spark.datapipe.cluster import KMEANS_ITERS
+
+    return f"""WITH {_kmeans_ctes()},
+kmal AS (
+  SELECT a.cluster, e.label, a.dist_sq
+  FROM kma{KMEANS_ITERS + 1} a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+kmpl AS (
+  SELECT cluster, label,
+         CAST(count(*) AS BIGINT) AS n_l,
+         CAST(sum(dist_sq) AS BIGINT) AS in_l
+  FROM kmal GROUP BY 1, 2
+),
+kmrk AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+                               ORDER BY n_l DESC, label ASC NULLS FIRST) AS rk
+  FROM kmpl
+)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(sum(n_l) AS BIGINT) AS n_vecs,
+       CAST(sum(in_l) AS BIGINT) AS inertia,
+       max(CASE WHEN rk = 1 THEN label END) AS majority_label,
+       CAST(max(CASE WHEN rk = 1 THEN n_l END) AS BIGINT) AS n_majority
+FROM kmrk GROUP BY 1"""

@@ -2184,6 +2184,51 @@ SELECT p.from_role, p.to_role, p.n_transitions, p.n_convs,
 FROM pairs p JOIN totals t USING (from_role)""")
 
 
+def kg_tool_stats_sql() -> str:
+    """Twin of kg.dialogue.tool_stats: lead-ts turnaround in integer
+    minutes over the conversation window, tools-sized rollup."""
+    return _with(TRANSCRIPTS_CTE_DUCKDB, """
+tturns AS (
+  SELECT conv_id, tool, length(text) AS n_chars,
+         (lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+          - epoch_us(ts)) // 60000000 AS lat_min
+  FROM transcripts
+  QUALIFY tool IS NOT NULL
+)""", select="""
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars,
+       CAST(count(lat_min) AS BIGINT) AS n_followed,
+       CAST(COALESCE(sum(lat_min) // nullif(count(lat_min), 0), -1) AS BIGINT)
+         AS avg_follow_min
+FROM tturns GROUP BY 1""")
+
+
+def kg_tool_sequences_sql() -> str:
+    """Twin of kg.dialogue.tool_sequences: lead(tool) over the
+    tool-bearing slice per conversation, tools-squared collapse,
+    round-down row_ppm."""
+    return _with(TRANSCRIPTS_CTE_DUCKDB, """
+tpairs AS (
+  SELECT from_tool, to_tool,
+         CAST(count(*) AS BIGINT) AS n_transitions,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM (
+    SELECT conv_id, tool AS from_tool,
+           lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS to_tool
+    FROM transcripts WHERE tool IS NOT NULL)
+  WHERE to_tool IS NOT NULL GROUP BY 1, 2
+),
+ttotals AS (
+  SELECT from_tool, sum(n_transitions) AS n_from FROM tpairs GROUP BY 1
+)""", select="""
+SELECT p.from_tool, p.to_tool, p.n_transitions, p.n_convs,
+       CAST(p.n_transitions * 1000000 // t.n_from AS BIGINT) AS row_ppm
+FROM tpairs p JOIN ttotals t USING (from_tool)""")
+
+
 def kg_alias_hist_sql() -> str:
     """Twin of kg.analytics.alias_histogram over the nodes CTE."""
     return _with_kg("""

@@ -24,6 +24,16 @@ from openie_spark.config import ROLES, TURNS_PER_CONV
 
 _EPOCH = "2024-01-01 00:00:00"
 
+# Deterministic tool-name variety for tool-bearing turns (the agent
+# corpora this models run many tools; a single constant would make the
+# per-tool analytics vacuous). Picked by conversation arithmetic —
+# identical in the DuckDB CTE below. SEVEN names: coprime with both
+# the 5-turn conversation fold and the 4-role cycle, so multi-tool
+# conversations exercise every tool-to-tool transition instead of
+# collapsing onto one aligned pair.
+TOOLS = ("browse", "calc", "code_run", "db_query",
+         "file_read", "search", "shell")
+
 
 def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, …) → transcripts (deterministic)."""
@@ -37,7 +47,10 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
         role.alias("role"),
         F.col("text"),
-        F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string")).alias("tool"),
+        F.when(role == "tool", F.element_at(
+            F.array(*[F.lit(t) for t in TOOLS]),
+            (F.expr(f"doc_id DIV {len(ROLES)}") % len(TOOLS)).cast("int") + 1,
+        )).otherwise(F.lit(None).cast("string")).alias("tool"),
         F.timestamp_add("MINUTE", F.col("doc_id"), F.lit(_EPOCH).cast("timestamp")).alias("ts"),
     )
 
@@ -53,7 +66,11 @@ transcripts AS (
       {' '.join(f"WHEN {i} THEN '{r}'" for i, r in enumerate(ROLES))}
     END AS role,
     text,
-    CASE WHEN CAST(doc_id % {len(ROLES)} AS INT) = {ROLES.index('tool')} THEN 'search' END AS tool,
+    CASE WHEN CAST(doc_id % {len(ROLES)} AS INT) = {ROLES.index('tool')} THEN
+      CASE CAST((doc_id // {len(ROLES)}) % {len(TOOLS)} AS INT)
+        {' '.join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(TOOLS))}
+      END
+    END AS tool,
     TIMESTAMP '{_EPOCH}' + doc_id * INTERVAL '1 minute' AS ts
   FROM documents
 )"""

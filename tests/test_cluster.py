@@ -1,0 +1,134 @@
+"""Integer-exact Lloyd k-means (datapipe.cluster): python-twin parity,
+hand goldens, hostile inputs."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+
+def _md5h60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _kmeans_py(vecs: dict[int, list[float]], k: int, iters: int,
+               scale: int, salt: str = "km-v1"):
+    """Independent pure-python recompute of the full pinned protocol:
+    half-away quantization, md5-bucket min-id seeds, first-strict-min
+    ascending-cluster argmin, divisibility-exact floor means, empty
+    clusters carrying their previous centroid."""
+
+    def q(x: float) -> int:
+        import math
+
+        v = float(x) * scale
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    qv = {i: [q(x) for x in v] for i, v in vecs.items() if v}
+    buckets: dict[int, int] = {}
+    for i in qv:
+        b = _md5h60_py(f"{salt}#{i}") % k
+        buckets[b] = min(buckets.get(b, i), i)
+    cents = {b: list(qv[rep]) for b, rep in buckets.items()}
+
+    def assign():
+        out = {}
+        for i, v in qv.items():
+            best = None
+            for c in sorted(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(v, cents[c]))
+                if best is None or d < best[0]:
+                    best = (d, c)
+            out[i] = best
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        sums: dict[int, list[int]] = {}
+        ns: dict[int, int] = {}
+        for i, (_, c) in a.items():
+            ns[c] = ns.get(c, 0) + 1
+            s = sums.setdefault(c, [0] * len(qv[i]))
+            for d, x in enumerate(qv[i]):
+                s[d] += x
+        for c, s in sums.items():
+            n = ns[c]
+            cents[c] = [(x - ((x % n) + n) % n) // n for x in s]
+    return assign()
+
+
+def test_kmeans_python_twin(spark):
+    """Randomized full-protocol parity vs the independent python
+    recompute — assignments AND distances, including negative
+    components (floor-mean sign handling) and ties."""
+    rng = random.Random(7)
+    vecs = {i: [round(rng.uniform(-1, 1), 3) for _ in range(6)]
+            for i in range(60)}
+    from openie_spark.datapipe.cluster import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.dist_sq, r.cluster)
+           for r in kmeans_assign(emb, k=4, iters=3, scale=1000).collect()}
+    want = _kmeans_py(vecs, k=4, iters=3, scale=1000)
+    assert got == want
+
+
+def test_kmeans_separated_blobs(spark):
+    """Hand golden: two well-separated blobs never SHARE a cluster
+    after convergence (k=4 may legitimately split a blob internally;
+    it must not bridge the gap)."""
+    from openie_spark.datapipe.cluster import kmeans_assign
+
+    pts = [(i, [0.01 * i, 0.0]) for i in range(10)] + \
+          [(100 + i, [10.0 + 0.01 * i, 0.0]) for i in range(10)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = kmeans_assign(emb, k=4, iters=4).collect()
+    assert len(rows) == 20
+    lo = {r.cluster for r in rows if r.vec_id < 100}
+    hi = {r.cluster for r in rows if r.vec_id >= 100}
+    assert lo and hi and not (lo & hi)
+
+
+def test_kmeans_stats_majority_label(spark):
+    """kmeans_stats: sizes sum to the corpus, inertia is the summed
+    assignment distance, and majority_label reports the dominant
+    label with ties to the lowest."""
+    from openie_spark.datapipe.cluster import kmeans_assign, kmeans_stats
+
+    rng = random.Random(3)
+    pts = [(i, [rng.uniform(-1, 1) for _ in range(4)], i % 3)
+           for i in range(40)]
+    emb = spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>, label int")
+    a = {r.vec_id: r for r in kmeans_assign(emb, k=3, iters=2).collect()}
+    stats = kmeans_stats(emb, k=3, iters=2).collect()
+    assert sum(s.n_vecs for s in stats) == len(pts)
+    assert sum(s.inertia for s in stats) == sum(r.dist_sq for r in a.values())
+    for s in stats:
+        members = [i for i, r in a.items() if r.cluster == s.cluster]
+        counts: dict[int, int] = {}
+        for i in members:
+            counts[i % 3] = counts.get(i % 3, 0) + 1
+        top = max(counts.values())
+        want_label = min(l for l, c in counts.items() if c == top)
+        assert (s.majority_label, s.n_majority) == (want_label, top)
+
+
+def test_kmeans_hostile_inputs(spark):
+    """NULL and empty embeddings are excluded, not crashed on; a
+    single-vector corpus still assigns."""
+    from openie_spark.datapipe.cluster import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, None), (3, [])],
+        "vec_id long, embedding array<float>")
+    rows = kmeans_assign(emb, k=2, iters=2).collect()
+    assert [r.vec_id for r in rows] == [1]
+    assert rows[0].dist_sq == 0
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_assign(empty, k=2, iters=2).count() == 0

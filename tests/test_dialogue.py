@@ -158,3 +158,64 @@ def test_role_transitions_hand_golden(spark):
         ("assistant", "user"): (1, 1, 500000),
         ("assistant", "tool"): (1, 1, 500000),
     }
+
+
+def test_tool_stats_hand_golden(spark):
+    """Per-tool rollup: latency to the NEXT turn in integer minutes, a
+    trailing tool turn counted in n_calls but not n_followed, tool-less
+    turns excluded entirely."""
+    import datetime as dt
+
+    from openie_spark.kg.dialogue import tool_stats
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, ts(0)),
+         ("c1", 1, "tool", "xxxx", "search", ts(1)),     # next at +3 -> 2 min
+         ("c1", 2, "assistant", "ok", None, ts(3)),
+         ("c1", 3, "tool", "yy", "search", ts(4)),       # trailing: no next
+         ("c2", 0, "tool", "zzzzzz", "calc", ts(0)),     # next at +90s -> 1
+         ("c2", 1, "assistant", "done", None, ts(1.5)),
+         ("c2", 2, "tool", "x", "probe", ts(5))],        # never followed
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    got = {r.tool: r.asDict() for r in tool_stats(df).collect()}
+    assert set(got) == {"search", "calc", "probe"}
+    s = got["search"]
+    assert (s["n_calls"], s["n_convs"], s["total_chars"], s["avg_chars"]) == (2, 1, 6, 3)
+    assert (s["n_followed"], s["avg_follow_min"]) == (1, 2)
+    c = got["calc"]
+    assert (c["n_calls"], c["n_convs"], c["n_followed"], c["avg_follow_min"]) == (1, 1, 1, 1)
+    # an entirely-unfollowed tool reports the -1 sentinel, never NULL
+    # (a NULL would float the int column under pandas — driver hash)
+    p = got["probe"]
+    assert (p["n_calls"], p["n_followed"], p["avg_follow_min"]) == (1, 0, -1)
+
+
+def test_tool_sequences_skips_non_tool_turns(spark):
+    """The chain is over TOOL turns only: intervening assistant/user
+    turns don't break adjacency; row_ppm row-normalizes per from_tool."""
+    import datetime as dt
+
+    from openie_spark.kg.dialogue import tool_sequences
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, tool in enumerate(["a", None, "b", None, "a", "b"]):
+        rows.append(("c1", i, "tool" if tool else "assistant",
+                     "t", tool, t0))
+    rows += [("c2", 0, "tool", "t", "a", t0), ("c2", 1, "tool", "t", "b", t0)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    got = {(r.from_tool, r.to_tool): (r.n_transitions, r.n_convs, r.row_ppm)
+           for r in tool_sequences(df).collect()}
+    # c1 chain: a->b->a->b ; c2 chain: a->b
+    assert got == {
+        ("a", "b"): (3, 2, 1000000),
+        ("b", "a"): (1, 1, 1000000),
+    }

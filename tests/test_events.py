@@ -145,11 +145,11 @@ def test_asof_last_ref_edges(ev_asof):
 
     got = {r.event_id: (r.last_ref_id, r.us_since_ref)
            for r in asof_last_ref(ev_asof).collect()}
-    assert got[0] == (None, None)           # before any error
+    assert got[0] == (-1, -1)               # before any error (sentinel)
     assert got[1] == (1, 0)                 # an error matches itself
     assert got[2] == (1, 0)                 # same-ts tie includes the ref
     assert got[3] == (1, 4 * 60_000_000)
-    assert got[4] == (None, None)           # user with no refs
+    assert got[4] == (-1, -1)               # user with no refs (sentinel)
     assert got[5] == (6, 0)                 # same-ts refs: max event_id wins
     assert got[6] == (6, 0)
     assert got[7] == (6, 20 * 60_000_000)

@@ -117,6 +117,21 @@ def test_table_io_seam_defaults_to_parquet(spark, tmp_path):
         pipe2 = KGPipeline(spark, "in", str(tmp_path))
         assert pipe2._manifest_path("triples") == str(
             tmp_path / "triples" / "_manifest.json")
+
+        # Drive the Iceberg branch as far as the sandbox allows: the
+        # write must route into DataFrameWriterV2 against the
+        # configured catalog and die on CATALOG resolution (no Iceberg
+        # runtime jar / no spark.sql.catalog.lake impl here), NOT on
+        # anything in our own plumbing. The error naming the catalog
+        # proves the qualified identifier reached Spark's v2 resolver.
+        df = spark.range(3).withColumnRenamed("id", "x")
+        try:
+            io2.write(spark, df, "triples")
+            raise AssertionError(
+                "iceberg write unexpectedly succeeded without a catalog")
+        except Exception as ex:  # AnalysisException / ParseException
+            msg = str(ex).lower()
+            assert "lake" in msg or "catalog" in msg, msg
     finally:
         spark.conf.unset("spark.openie.catalog")
 
