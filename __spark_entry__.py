@@ -260,10 +260,13 @@ def _carb_parts(spark: SparkSession, sf_dir: str):
     computed, and pred is the deterministically degraded
     varied-confidence prediction side all four degraded-eval queries
     consume. Both are hash-REPARTITIONED on norm_key to the session
-    shuffle parallelism and localCheckpointed — the cogroup in every
-    carb query then starts from co-partitioned children (the keyed
-    eval table is built and shuffled once, not once per query; the
-    warehouse pattern, same rationale as _TRIPLES_MEMO)."""
+    shuffle parallelism and PERSISTED (cache, not localCheckpoint: a
+    checkpointed RDD comes back as UnknownPartitioning, while the
+    cached plan keeps its HashPartitioning) — the cogroup in every
+    carb query then starts from co-partitioned children and elides
+    both child exchanges (the keyed eval table is built and shuffled
+    once, not once per query; the warehouse pattern, same rationale
+    as _TRIPLES_MEMO)."""
     from openie_spark.datapipe.hashing import md5h60
     from openie_spark.eval.carb import normalize_key_col, triples_as_tuples
 
@@ -275,7 +278,8 @@ def _carb_parts(spark: SparkSession, sf_dir: str):
             triples_as_tuples(_triples_memo(spark, sf_dir))
             .withColumn("norm_key", normalize_key_col(F.col("sent")))
             .repartition(n, "norm_key")
-            .localCheckpoint(eager=True))
+            .persist())
+        gold.count()   # materialize eagerly, like the other memos
         pred = (
             gold
             .withColumn("args",
@@ -283,7 +287,8 @@ def _carb_parts(spark: SparkSession, sf_dir: str):
             .withColumn("confidence",
                         (F.pmod(md5h60(F.concat_ws("|", "sent", "pred")),
                                 F.lit(4)) + 1) / 4.0)
-            .localCheckpoint(eager=True))   # partitioning carries over
+            .persist())   # projection preserves the hash partitioning
+        pred.count()
         _CARB_MEMO[key] = (gold, pred)
     return _CARB_MEMO[key]
 
@@ -1635,6 +1640,16 @@ def _q_dp_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_topk_sql(_emb(spark, sf_dir))
 
 
+def _q_dp_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document vectors (hashing trick): sparse
+    (doc_id, dim_idx, val) signed-count rows — deterministic text
+    featurization feeding the vector ops with no trained model; one
+    (doc_id, bucket) partial-agg shuffle."""
+    from openie_spark.datapipe.cluster import hash_doc_vectors
+
+    return hash_doc_vectors(_docs(spark, sf_dir))
+
+
 def _q_dp_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Lloyd k-means over the embedding table (SemDeDup-
     style semantic bucketing for curation): fixed-point quantization,
@@ -1857,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_mixture": _q_dp_mixture,
         "dp_embedding_topk": _q_dp_embedding_topk,
         "dp_embedding_topk_np": _q_dp_embedding_topk_np,
+        "dp_hash_embed": _q_dp_hash_embed,
         "dp_kmeans": _q_dp_kmeans,
         "dp_kmeans_stats": _q_dp_kmeans_stats,
         "dp_embedding_ivf": _q_dp_embedding_ivf,
@@ -2004,6 +2020,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_mixture": dp.corpus_mixture_sql(),
         "dp_embedding_topk": dp.brute_topk_sql_oracle(),
         "dp_embedding_topk_np": dp.brute_topk_sql_oracle(),
+        "dp_hash_embed": dp.hash_embed_sql(),
         "dp_kmeans": dp.kmeans_sql(),
         "dp_kmeans_stats": dp.kmeans_stats_sql(),
         "dp_embedding_ivf": dp.ivf_topk_sql(),

@@ -172,3 +172,44 @@ def kmeans_stats(emb: DataFrame, k: int = KMEANS_K,
             F.max(F.when(F.col("rk") == 1, F.col("n_l"))).alias("n_majority"),
         )
     )
+
+
+HASH_EMBED_DIM = 64
+HASH_EMBED_SALT = "he-v1"
+
+
+def hash_doc_vectors(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Feature-hashing document vectors (Weinberger et al. 2009, the
+    'hashing trick') -> SPARSE rows (doc_id, dim_idx, val): each
+    [a-z0-9]+ token adds ±count to the md5-chosen bucket, the sign
+    from an independent salted hash — a deterministic, model-free
+    text featurization that feeds the vector operators (ANN, k-means)
+    straight from the documents table with NO trained embedding, and
+    is exactly integer-reproducible in any engine. Zero buckets are
+    omitted (sparse contract; consumers densify with a sequence
+    transform when needed).
+
+    Scale shape: tokenize/explode is map-only; ONE (doc_id, bucket)
+    partial-agg shuffle bounded by dim buckets per doc — the same
+    profile as word counting. No driver state, no vocabulary.
+    """
+    from openie_spark.datapipe.hashing import md5h60
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .alias("tok"),
+    )
+    signed = toks.select(
+        "doc_id",
+        (md5h60(F.concat(F.lit(f"{HASH_EMBED_SALT}#"), F.col("tok"))) % dim)
+        .cast("int").alias("dim_idx"),
+        F.when(
+            md5h60(F.concat(F.lit(f"{HASH_EMBED_SALT}s#"), F.col("tok"))) % 2
+            == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("sgn"),
+    )
+    return (
+        signed.groupBy("doc_id", "dim_idx")
+        .agg(F.sum("sgn").alias("val"))
+        .where(F.col("val") != 0)
+    )

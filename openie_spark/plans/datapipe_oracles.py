@@ -2123,3 +2123,25 @@ SELECT CAST(cluster AS INT) AS cluster,
        max(CASE WHEN rk = 1 THEN label END) AS majority_label,
        CAST(max(CASE WHEN rk = 1 THEN n_l END) AS BIGINT) AS n_majority
 FROM kmrk GROUP BY 1"""
+
+
+def hash_embed_sql() -> str:
+    """Twin of cluster.hash_doc_vectors: md5 bucket + independent md5
+    sign per token, signed counts, zero buckets omitted."""
+    from openie_spark.datapipe.cluster import HASH_EMBED_DIM, HASH_EMBED_SALT
+
+    b = _md5h60(f"'{HASH_EMBED_SALT}#' || tok")
+    sg = _md5h60(f"'{HASH_EMBED_SALT}s#' || tok")
+    return f"""WITH het AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+hes AS (
+  SELECT doc_id,
+         CAST({b} % {HASH_EMBED_DIM} AS INT) AS dim_idx,
+         CASE WHEN {sg} % 2 = 0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(-1 AS BIGINT) END AS sgn
+  FROM het
+)
+SELECT doc_id, dim_idx, CAST(sum(sgn) AS BIGINT) AS val
+FROM hes GROUP BY 1, 2 HAVING sum(sgn) <> 0"""

@@ -132,3 +132,29 @@ def test_kmeans_hostile_inputs(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert kmeans_assign(empty, k=2, iters=2).count() == 0
+
+
+def test_hash_doc_vectors_python_twin(spark):
+    """Signed feature hashing vs a direct python recompute: buckets,
+    independent sign hash, count weighting, zero-bucket omission."""
+    from openie_spark.datapipe.cluster import (
+        HASH_EMBED_DIM,
+        HASH_EMBED_SALT,
+        hash_doc_vectors,
+    )
+
+    docs = [(1, "Spark spark SHUFFLE join 42"), (2, "a b a b a"), (3, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.dim_idx): r.val
+           for r in hash_doc_vectors(df).collect()}
+
+    import re
+    want: dict = {}
+    for doc_id, text in docs:
+        for tok in re.findall(r"[a-z0-9]+", text.lower()):
+            b = _md5h60_py(f"{HASH_EMBED_SALT}#{tok}") % HASH_EMBED_DIM
+            s = 1 if _md5h60_py(f"{HASH_EMBED_SALT}s#{tok}") % 2 == 0 else -1
+            want[(doc_id, b)] = want.get((doc_id, b), 0) + s
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+    assert got  # non-vacuous on the fixture
