@@ -7,6 +7,7 @@ bundling the audit operators that already back the driver gate:
   * canonicalization alias profile
   * extraction yield + graph summary + growth tail
   * statement-support and degree shape
+  * per-tool usage/turnaround (the agent-platform operational slice)
 
 Usage: python tools/kg_report.py [sf_dir]   (default sf0.001)
 
@@ -75,6 +76,12 @@ def main() -> int:
     for r in sorted(rows("kg_support_hist"), key=lambda r: r.bin):
         print(f"  bin {r.bin:<2} statements={r.n_statements:<8} "
               f"support {r.min_support}..{r.max_support}")
+
+    print("\n## Tool usage (agent-platform readout)")
+    for r in sorted(rows("kg_tool_stats"), key=lambda r: (-r.n_calls, r.tool)):
+        lat = "never followed" if r.avg_follow_min < 0 else f"{r.avg_follow_min} min avg turnaround"
+        print(f"  {r.tool:<12} calls={r.n_calls:<7} convs={r.n_convs:<7} "
+              f"avg {r.avg_chars} chars, {lat}")
 
     print("\n## Growth (last 3 observed days)")
     g = sorted(rows("kg_growth"), key=lambda r: r.day)[-3:]
