@@ -73,6 +73,8 @@ def main() -> None:
     e._comention_memo(spark, sf_dir)
     # shared keyed/partitioned carb eval inputs (all five carb queries)
     e._carb_parts(spark, sf_dir)
+    # shared k-means assignment (dp_kmeans_stats reads the table)
+    e._kmeans_memo(spark, sf_dir)
     # the incremental pair's shared prior-graph + merge build (lazy
     # checkpoints — force them so the cost lands here, not in whichever
     # incremental query runs first)

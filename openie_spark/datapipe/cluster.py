@@ -143,7 +143,8 @@ def kmeans_assign(emb: DataFrame, k: int = KMEANS_K,
 
 def kmeans_stats(emb: DataFrame, k: int = KMEANS_K,
                  iters: int = KMEANS_ITERS,
-                 scale: int = KMEANS_SCALE) -> DataFrame:
+                 scale: int = KMEANS_SCALE,
+                 assignment: DataFrame | None = None) -> DataFrame:
     """Per-cluster curation readout -> (cluster, n_vecs, inertia,
     majority_label, n_majority): sizes, integer inertia (sum of
     squared quantized distances), and the dominant ``label`` with its
@@ -151,10 +152,13 @@ def kmeans_stats(emb: DataFrame, k: int = KMEANS_K,
     run uses to decide whether semantic buckets track the taxonomy.
 
     Scale shape: one (cluster, label) partial-agg shuffle over the
-    assignment (itself map-only), then a K-sized top-1 window."""
+    assignment (itself map-only), then a K-sized top-1 window. Pass a
+    precomputed ``assignment`` (the warehouse pattern: cluster once,
+    read the table) to skip re-running the Lloyd loop."""
     from pyspark.sql import Window
 
-    a = kmeans_assign(emb, k, iters, scale)
+    a = (assignment if assignment is not None
+         else kmeans_assign(emb, k, iters, scale))
     al = a.join(emb.select("vec_id", "label"), "vec_id")
     per_label = (
         al.groupBy("cluster", "label")
