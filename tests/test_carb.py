@@ -601,3 +601,30 @@ def test_tokenized_matcher_parity_randomized():
         want = binary_lenient_match(gp, list(ga), ep, list(ea))
         got = binary_lenient_match_tokens(pre_gold(gp, ga), pre_pred(ep, ea))
         assert got == want, (gp, ga, ep, ea, got, want)
+
+
+def test_carb_prekeyed_inputs_match_unkeyed(spark):
+    """The pre-keyed/pre-partitioned eval-input path (_with_key reusing
+    an existing norm_key, the __spark_entry__ carb memo shape) is
+    row-identical to handing the scorer raw (sent, pred, args) frames."""
+    from pyspark.sql import functions as F
+
+    from openie_spark.eval.carb import carb_compare, normalize_key_col
+
+    rows = [
+        ("The cat (old) sat.", "sat", ["The cat", "on the mat"]),
+        ("The cat (old) sat.", "lay", ["A dog", "yesterday"]),
+        ("Dogs -LRB-two-RRB- ran fast.", "ran", ["Dogs", "fast"]),
+    ]
+    gold = spark.createDataFrame(
+        rows, "sent string, pred string, args array<string>")
+    pred = gold.withColumn(
+        "args", F.transform("args", lambda a: F.split(a, " ")[0]))
+
+    direct = carb_compare(gold, pred).collect()
+    keyed_gold = (gold.withColumn("norm_key", normalize_key_col(F.col("sent")))
+                  .repartition(4, "norm_key").persist())
+    keyed_pred = (pred.withColumn("norm_key", normalize_key_col(F.col("sent")))
+                  .repartition(4, "norm_key").persist())
+    keyed = carb_compare(keyed_gold, keyed_pred).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in keyed]

@@ -63,3 +63,36 @@ def test_all_oracle_sql_parses_in_duckdb(entry):
             pass  # table absent at this sf — oracles don't use it
     for name, sql in entry.oracle_sql().items():
         con.execute(f"EXPLAIN {sql}")  # plans without executing
+
+
+def test_oracle_output_types_driver_hashable(entry):
+    """DESCRIBE every registered oracle and fail on any output column
+    type pandas cannot round-trip losslessly (HUGEINT -> float64,
+    DECIMAL -> objects, LIST/STRUCT -> unhashable) — the round-3
+    driver-red class, pinned as a test so it can never ship again.
+    (Runtime NULLs in integer columns are the one residue DESCRIBE
+    cannot see; the non-null-sentinel contract covers those and the
+    strict check_oracles sweep verifies it empirically.)"""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from check_oracles import _bad_type
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'/root/testdata/sf0.001/{t}.parquet'")
+        except duckdb.IOException:
+            pass
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        cols = [(c, ty) for (c, ty, *_r) in desc if _bad_type(ty)]
+        if cols:
+            bad[name] = cols
+    assert not bad, bad
