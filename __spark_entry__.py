@@ -757,10 +757,11 @@ def _incremental_parts(spark: SparkSession, sf_dir: str):
         .localCheckpoint(eager=False)
 
     vocab_m = merge_vocab(vocab_old, mention_vocab(extract_mentions(delta_t)))
-    pairs_m = incremental_exact_pairs(pairs_old, vocab_old, vocab_m)
+    pairs_m = incremental_exact_pairs(pairs_old, vocab_old, vocab_m) \
+        .localCheckpoint(eager=False)
     canon_m = canonical_map(vocab_m, merge_components(canon_old, pairs_m)) \
         .localCheckpoint(eager=False)
-    _INCR_MEMO[key] = (old_t, delta_t, canon_old, canon_m)
+    _INCR_MEMO[key] = (old_t, delta_t, canon_old, canon_m, pairs_m)
     return _INCR_MEMO[key]
 
 
@@ -771,7 +772,7 @@ def _q_kg_nodes_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the incremental algebra is exact."""
     from openie_spark.kg.graph import build_nodes
 
-    _, _, _, canon_m = _incremental_parts(spark, sf_dir)
+    _, _, _, canon_m, _ = _incremental_parts(spark, sf_dir)
     return build_nodes(canon_m).select("entity_id", "canonical", "n_aliases", "freq")
 
 
@@ -783,11 +784,22 @@ def _q_kg_edges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openie_spark.kg.graph import build_edges
     from openie_spark.kg.incremental import entity_remap, remap_edges
 
-    old_t, delta_t, canon_old, canon_m = _incremental_parts(spark, sf_dir)
+    old_t, delta_t, canon_old, canon_m, _ = _incremental_parts(spark, sf_dir)
     old_edges = build_edges(old_t, canon_old, strategy="broadcast")
     remap = entity_remap(canon_old, canon_m)
     delta_edges = build_edges(delta_t, canon_m, strategy="broadcast")
     return remap_edges(old_edges, remap).unionByName(delta_edges)
+
+
+def _q_kg_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linking-candidate pairs built INCREMENTALLY (touched-block
+    recompute + untouched-block keep-filter over the even/odd conv
+    split) — oracle = the full-recompute kg_pairs_exact SQL, so
+    hash-green proves pair generation's incremental algebra exact,
+    independent of the downstream component/canon merges. Same
+    round-6 jaccard projection as kg_pairs_exact (the oracle rounds)."""
+    _, _, _, _, pairs_m = _incremental_parts(spark, sf_dir)
+    return pairs_m.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1816,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _q_kg_negatives,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "kg_edges_incremental": _q_kg_edges_incremental,
+        "kg_pairs_incremental": _q_kg_pairs_incremental,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_khop": _q_kg_khop,
@@ -1964,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negatives": o.kg_negatives_sql(),
         "kg_nodes_incremental": o.kg_nodes_sql(),
         "kg_edges_incremental": o.kg_edges_sql(),
+        "kg_pairs_incremental": o.kg_pairs_sql(),
         "kg_pagerank": o.kg_pagerank_sql(),
         "kg_triangles": o.kg_triangles_sql(),
         "kg_khop": o.kg_khop_sql(),
