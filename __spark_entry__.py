@@ -802,6 +802,16 @@ def _q_kg_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_m.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality for the md5 seed slice (sampled-
+    sources protocol): per-seed round-half-up sum of 1e6/d over the
+    k-hop ball — labeled BFS, one (src,node) frontier join per round."""
+    from openie_spark.kg.analytics import harmonic_centrality
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return harmonic_centrality(nodes, edges)
+
+
 def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (5 iterations, rank units of 1e9) over
     the canonical entity graph — per round one shuffle join + partial
@@ -1832,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_khop": _q_kg_khop,
+        "kg_harmonic": _q_kg_harmonic,
         "kg_ppr": _q_kg_ppr,
         "kg_integrity": _q_kg_integrity,
         "kg_communities": _q_kg_communities,
@@ -1981,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": o.kg_pagerank_sql(),
         "kg_triangles": o.kg_triangles_sql(),
         "kg_khop": o.kg_khop_sql(),
+        "kg_harmonic": o.kg_harmonic_sql(),
         "kg_ppr": o.kg_ppr_sql(),
         "kg_integrity": o.kg_integrity_sql(),
         "kg_communities": o.kg_lpa_sql(),

@@ -824,6 +824,58 @@ def khop_distances(nodes: DataFrame, edges: DataFrame,
     return dist
 
 
+def harmonic_centrality(nodes: DataFrame, edges: DataFrame,
+                        k: int = KHOP_K,
+                        seed_mod: int = KHOP_SEED_MOD) -> DataFrame:
+    """Truncated harmonic centrality (Boldi & Vigna 2014) for the
+    md5-ticket seed slice -> (entity_id, n_reached, harmonic_ppm):
+    per-seed sum of round-half-up(1e6 / d) over every node within k
+    undirected hops (d >= 1) — the standard sampled-sources protocol
+    for centrality at scale (exact per sampled source, sources chosen
+    deterministically). Isolated seeds reach nothing and are absent,
+    like khop's ball semantics. Exact integers end to end, so the
+    unrolled DuckDB twin matches bit-for-bit.
+
+    Scale shape: the khop BFS with a SOURCE LABEL — per round ONE
+    (src, node)-keyed frontier equi-join + anti-join against the
+    settled set; state is bounded by |seed slice| x ball size, the
+    knob a production run sets via seed_mod. Rollup is one
+    partial-agg groupBy(src)."""
+    und = undirected_edges(edges)
+    sym = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    dist = (
+        seed_entities(nodes, seed_mod)
+        .select(F.col("entity_id").alias("src"), "entity_id",
+                F.lit(0).alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("src", "entity_id")
+    for level in range(1, k + 1):
+        nxt = (
+            frontier.join(sym, frontier.entity_id == sym.a)
+            .select("src", F.col("b").alias("entity_id"))
+            .distinct()
+            .join(dist.select("src", "entity_id"),
+                  ["src", "entity_id"], "left_anti")
+            .select("src", "entity_id", F.lit(level).alias("dist"))
+            .localCheckpoint(eager=False)    # feeds union AND next frontier
+        )
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("src", "entity_id")
+    return (
+        dist.where(F.col("dist") > 0)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.expr("(2 * 1000000 + dist) DIV (2 * dist)"))
+            .alias("harmonic_ppm"),
+        )
+        .select(F.col("src").alias("entity_id"), "n_reached", "harmonic_ppm")
+    )
+
+
 def entity_timeline(edges: DataFrame, transcripts: DataFrame) -> DataFrame:
     """Per-entity activity timeline -> (entity_id, n_mentions, n_convs,
     first_us, last_us, active_days): when each canonical entity was

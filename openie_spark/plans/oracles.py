@@ -708,6 +708,51 @@ d0 AS MATERIALIZED (
     )
 
 
+def kg_harmonic_sql() -> str:
+    """Twin of kg.analytics.harmonic_centrality: the khop BFS unroll
+    with a source label — level j = distinct (src, neighbor) pairs of
+    level j-1 not settled for that src — then a per-src round-half-up
+    1e6/d rollup."""
+    from openie_spark.kg.analytics import KHOP_K, KHOP_SALT, KHOP_SEED_MOD
+
+    ticket = (f"CAST(concat('0x', substr(md5('{KHOP_SALT}#' || entity_id), "
+              f"1, 15)) AS BIGINT)")
+    lvl_ctes = [f"""
+h0 AS MATERIALIZED (
+  SELECT entity_id AS src, entity_id, 0 AS dist FROM nodes
+  WHERE {ticket} % {KHOP_SEED_MOD} = 0),
+hs0 AS MATERIALIZED (SELECT src, entity_id FROM h0)"""]
+    lvl_selects = []
+    for j in range(1, KHOP_K + 1):
+        lvl_ctes.append(f"""
+h{j} AS MATERIALIZED (
+  SELECT DISTINCT f.src, s.b AS entity_id, {j} AS dist
+  FROM h{j - 1} f JOIN sym s ON s.a = f.entity_id
+  WHERE NOT EXISTS (SELECT 1 FROM hs{j - 1} p
+                    WHERE p.src = f.src AND p.entity_id = s.b)),
+hs{j} AS MATERIALIZED (
+  SELECT src, entity_id FROM hs{j - 1}
+  UNION ALL SELECT src, entity_id FROM h{j})""")
+        lvl_selects.append(f"SELECT src, dist FROM h{j}")
+    return _with_kg(
+        f"""
+SELECT src AS entity_id,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum((2 * 1000000 + dist) // (2 * dist)) AS BIGINT)
+         AS harmonic_ppm
+FROM ({chr(10).join("UNION ALL" + chr(10) + s if i else s
+                    for i, s in enumerate(lvl_selects))})
+GROUP BY 1""",
+        extra_ctes="""
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id),
+sym AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),"""
+        + ",".join(lvl_ctes),
+    )
+
+
 def kg_timeline_sql() -> str:
     """Twin of kg.analytics.entity_timeline: endpoint-union of the
     ts-joined provenance edges, one entity rollup."""

@@ -1850,3 +1850,26 @@ def test_growth_snapshot_typegraph_randomized_twin(spark):
     want_tg = {k: (v["n"], len(v["stmts"]), len(v["preds"]),
                    len(v["src"]), len(v["dst"])) for k, v in agg.items()}
     assert got_tg == want_tg
+
+
+def test_harmonic_centrality_path_golden(spark):
+    """Path a-b-c-d with every entity a seed (seed_mod=1), k=3:
+    endpoints read 1e6 + 5e5 + 333333; inner nodes 2.5e6; an isolated
+    entity is absent (reaches nothing)."""
+    from openie_spark.kg.analytics import harmonic_centrality
+
+    e = spark.createDataFrame(
+        [("a", "b", "r", "c0", 0, 0, 0),
+         ("b", "c", "r", "c0", 0, 0, 1),
+         ("c", "d", "r", "c0", 0, 0, 2)],
+        _EDGE_SCHEMA)
+    nodes = spark.createDataFrame(
+        [(x,) for x in "abcde"], "entity_id string")
+    got = {r.entity_id: (r.n_reached, r.harmonic_ppm)
+           for r in harmonic_centrality(nodes, e, k=3, seed_mod=1).collect()}
+    assert got == {
+        "a": (3, 1833333),
+        "b": (3, 2500000),
+        "c": (3, 2500000),
+        "d": (3, 1833333),
+    }
