@@ -802,6 +802,19 @@ def _q_kg_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_m.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_kg_statement_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role provenance per statement (user-asserted vs model-generated
+    vs tool-retrieved mention counts + exact tool-source ppm) — the
+    trust signal weighed before acting on a KG fact; one provenance
+    equi-join + one statement rollup."""
+    from openie_spark.kg.enrich import statement_role_provenance
+    from openie_spark.sources.transcripts import read_transcripts
+
+    _, edges = _graph_parts(spark, sf_dir)
+    return statement_role_provenance(
+        edges, read_transcripts(_tune(spark), sf_dir))
+
+
 def _q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality for the md5 seed slice (sampled-
     sources protocol): per-seed round-half-up sum of 1e6/d over the
@@ -1843,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_khop": _q_kg_khop,
         "kg_harmonic": _q_kg_harmonic,
+        "kg_statement_roles": _q_kg_statement_roles,
         "kg_ppr": _q_kg_ppr,
         "kg_integrity": _q_kg_integrity,
         "kg_communities": _q_kg_communities,
@@ -1993,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": o.kg_triangles_sql(),
         "kg_khop": o.kg_khop_sql(),
         "kg_harmonic": o.kg_harmonic_sql(),
+        "kg_statement_roles": o.kg_statement_roles_sql(),
         "kg_ppr": o.kg_ppr_sql(),
         "kg_integrity": o.kg_integrity_sql(),
         "kg_communities": o.kg_lpa_sql(),

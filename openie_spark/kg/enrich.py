@@ -264,3 +264,39 @@ def segment_salience(edges: DataFrame, segments: DataFrame,
         .select("conv_id", "seg_idx", "entity_id", "n_local", "n_segs",
                 "salience", "rank")
     )
+
+
+def statement_role_provenance(edges: DataFrame,
+                              transcripts: DataFrame) -> DataFrame:
+    """Role provenance per statement -> (src_id, pred, dst_id,
+    n_mentions, n_user, n_assistant, n_system, n_tool, tool_src_ppm):
+    how many of a statement's supporting mentions came from each
+    speaker role, plus the exact round-half-up share that originated
+    in TOOL output — the trust signal a downstream consumer weighs
+    before acting on a fact (user-asserted vs model-generated vs
+    tool-retrieved provenance are not interchangeable at any scale).
+
+    Scale shape: one (conv_id, turn_idx) equi-join of the provenance
+    edges against the role projection (column pruning reaches both
+    scans), then ONE partial-aggregated statement rollup — the same
+    join profile as temporal_relations. Integer-only outputs."""
+    r = transcripts.select("conv_id", "turn_idx", "role")
+    j = edges.select("conv_id", "turn_idx", "src_id", "pred", "dst_id") \
+        .join(r, ["conv_id", "turn_idx"])
+
+    def n_of(role: str):
+        return F.sum(F.when(F.col("role") == role, 1).otherwise(0))
+
+    return (
+        j.groupBy("src_id", "pred", "dst_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            n_of("user").alias("n_user"),
+            n_of("assistant").alias("n_assistant"),
+            n_of("system").alias("n_system"),
+            n_of("tool").alias("n_tool"),
+        )
+        .withColumn(
+            "tool_src_ppm",
+            F.expr("(2 * n_tool * 1000000 + n_mentions) DIV (2 * n_mentions)"))
+    )

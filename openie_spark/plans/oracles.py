@@ -708,6 +708,24 @@ d0 AS MATERIALIZED (
     )
 
 
+def kg_statement_roles_sql() -> str:
+    """Twin of kg.enrich.statement_role_provenance: (conv_id,
+    turn_idx) role join, per-statement role counts, exact
+    round-half-up tool-source ppm."""
+    return _with_kg("""
+SELECT e.src_id, e.pred, e.dst_id,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(sum(CASE WHEN t.role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN t.role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(sum(CASE WHEN t.role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+       CAST(sum(CASE WHEN t.role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+       CAST((2 * sum(CASE WHEN t.role = 'tool' THEN 1 ELSE 0 END) * 1000000
+             + count(*)) // (2 * count(*)) AS BIGINT) AS tool_src_ppm
+FROM kg_edges e
+JOIN transcripts t ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx
+GROUP BY 1, 2, 3""")
+
+
 def kg_harmonic_sql() -> str:
     """Twin of kg.analytics.harmonic_centrality: the khop BFS unroll
     with a source label — level j = distinct (src, neighbor) pairs of

@@ -200,3 +200,33 @@ def test_segment_salience_scopes_to_segments(spark):
         (1, "r"): (1, 1, 2, 2),
         (1, "z"): (1, 2, 1, 3),
     }
+
+
+def test_statement_role_provenance_hand_golden(spark):
+    """Role counts per statement and the exact tool-source share: a
+    statement mentioned from a tool turn and a user turn reads
+    tool_src_ppm = 500000; a user-only statement reads 0."""
+    import datetime as dt
+
+    from openie_spark.kg.enrich import statement_role_provenance
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "user", "t", None, dt.datetime(2024, 1, 1)),
+         ("c1", 1, "tool", "t", "search", dt.datetime(2024, 1, 1)),
+         ("c2", 0, "user", "t", None, dt.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    edges = spark.createDataFrame(
+        # src, dst, pred, conv, turn, sent, ext
+        [("a", "b", "r", "c1", 0, 0, 0),
+         ("a", "b", "r", "c1", 1, 0, 0),
+         ("x", "y", "q", "c2", 0, 0, 0)],
+        "src_id string, dst_id string, pred string, conv_id string,"
+        " turn_idx int, sent_idx int, ext_idx int")
+    got = {(r.src_id, r.pred, r.dst_id):
+           (r.n_mentions, r.n_user, r.n_tool, r.tool_src_ppm)
+           for r in statement_role_provenance(edges, tr).collect()}
+    assert got == {
+        ("a", "r", "b"): (2, 1, 1, 500000),
+        ("x", "q", "y"): (1, 1, 0, 0),
+    }
