@@ -1873,3 +1873,47 @@ def test_harmonic_centrality_path_golden(spark):
         "c": (3, 2500000),
         "d": (3, 1833333),
     }
+
+
+def test_harmonic_centrality_python_twin(spark):
+    """Randomized parity vs a direct python BFS over the same md5
+    seed slice — distances, truncation at k, round-half-up ppm sum."""
+    import random
+
+    from openie_spark.kg.analytics import KHOP_SALT, harmonic_centrality
+
+    rng = random.Random(23)
+    ents = [f"e{i:02d}" for i in range(30)]
+    stmts = sorted({(rng.choice(ents), "r", rng.choice(ents))
+                    for _ in range(60)})
+    stmts = [x for x in stmts if x[0] != x[2]]
+    e = spark.createDataFrame(
+        [(s, o, p, "c0", 0, 0, i) for i, (s, p, o) in enumerate(stmts)],
+        _EDGE_SCHEMA)
+    nodes = spark.createDataFrame([(x,) for x in ents], "entity_id string")
+    K, MOD = 3, 3
+    got = {r.entity_id: (r.n_reached, r.harmonic_ppm)
+           for r in harmonic_centrality(nodes, e, k=K, seed_mod=MOD).collect()}
+
+    adj: dict = {}
+    for s, _, o in stmts:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    seeds = [x for x in ents
+             if _md5h60_py(f"{KHOP_SALT}#{x}") % MOD == 0]
+    want = {}
+    for src in seeds:
+        dist = {src: 0}
+        frontier = [src]
+        for d in range(1, K + 1):
+            nxt = [v for u in frontier for v in adj.get(u, ())
+                   if v not in dist]
+            for v in nxt:
+                dist.setdefault(v, d)
+            frontier = sorted(set(nxt))
+        reached = [d for v, d in dist.items() if d > 0]
+        if reached:
+            want[src] = (len(reached),
+                         sum((2 * 1000000 + d) // (2 * d) for d in reached))
+    assert got == want
+    assert got, "fixture must produce a non-empty seed slice"
