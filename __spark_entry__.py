@@ -1685,6 +1685,18 @@ def _q_dp_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_doc_vectors(_docs(spark, sf_dir))
 
 
+def _q_dp_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling from the k-means buckets (SemDeDup-style
+    selection): up to DIVERSE_PER_CLUSTER md5-ticket picks from EVERY
+    semantic bucket — an even, reproducible slice of the embedding
+    space instead of a front-to-back truncation. Reads the memoized
+    assignment table; one cluster-partitioned window."""
+    from openie_spark.datapipe.cluster import cluster_diverse_sample
+
+    return cluster_diverse_sample(
+        _emb(spark, sf_dir), assignment=_kmeans_memo(spark, sf_dir))
+
+
 def _q_dp_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Lloyd k-means over the embedding table (SemDeDup-
     style semantic bucketing for curation): fixed-point quantization,
@@ -1933,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_embedding_topk_np": _q_dp_embedding_topk_np,
         "dp_hash_embed": _q_dp_hash_embed,
         "dp_kmeans": _q_dp_kmeans,
+        "dp_diverse_sample": _q_dp_diverse_sample,
         "dp_kmeans_stats": _q_dp_kmeans_stats,
         "dp_embedding_ivf": _q_dp_embedding_ivf,
         "dp_embedding_ivfpq": _q_dp_embedding_ivfpq,
@@ -2084,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_embedding_topk_np": dp.brute_topk_sql_oracle(),
         "dp_hash_embed": dp.hash_embed_sql(),
         "dp_kmeans": dp.kmeans_sql(),
+        "dp_diverse_sample": dp.cluster_diverse_sample_sql(),
         "dp_kmeans_stats": dp.kmeans_stats_sql(),
         "dp_embedding_ivf": dp.ivf_topk_sql(),
         "dp_embedding_ivfpq": dp.ivfpq_topk_sql(),

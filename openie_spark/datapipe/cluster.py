@@ -217,3 +217,41 @@ def hash_doc_vectors(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
         .agg(F.sum("sgn").alias("val"))
         .where(F.col("val") != 0)
     )
+
+
+DIVERSE_PER_CLUSTER = 32
+DIVERSE_SALT = "ds-v1"
+
+
+def cluster_diverse_sample(emb: DataFrame,
+                           per_cluster: int = DIVERSE_PER_CLUSTER,
+                           k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                           scale: int = KMEANS_SCALE,
+                           assignment: DataFrame | None = None) -> DataFrame:
+    """Diversity sampling -> (vec_id, cluster, rank): up to
+    ``per_cluster`` vectors from EVERY k-means bucket, picked by md5
+    ticket (deterministic, RNG-free) — the selection step of
+    semantic curation: instead of truncating the corpus front-to-back
+    (which keeps near-duplicates and drops whole regions of the
+    embedding space), take an even, reproducible slice of each
+    semantic bucket. Pass the memoized ``assignment`` to reuse a
+    clustered table.
+
+    Scale shape: one window over the assignment partitioned by
+    cluster — partition width is cluster size; for skew-heavy corpora
+    raise k (more, smaller buckets), the same knob the clustering
+    itself scales by. Output is K x per_cluster bounded."""
+    from pyspark.sql import Window
+
+    from openie_spark.datapipe.hashing import md5h60
+
+    a = (assignment if assignment is not None
+         else kmeans_assign(emb, k, iters, scale))
+    ticket = md5h60(F.concat(F.lit(f"{DIVERSE_SALT}#"),
+                             F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cluster").orderBy(ticket.asc(), F.col("vec_id"))
+    return (
+        a.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= per_cluster)
+        .select("vec_id", "cluster", "rank")
+    )

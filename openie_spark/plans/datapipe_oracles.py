@@ -2145,3 +2145,22 @@ hes AS (
 )
 SELECT doc_id, dim_idx, CAST(sum(sgn) AS BIGINT) AS val
 FROM hes GROUP BY 1, 2 HAVING sum(sgn) <> 0"""
+
+
+def cluster_diverse_sample_sql() -> str:
+    """Twin of cluster.cluster_diverse_sample: md5-ticket row_number
+    inside each final k-means bucket, capped per cluster."""
+    from openie_spark.datapipe.cluster import (
+        DIVERSE_PER_CLUSTER,
+        DIVERSE_SALT,
+        KMEANS_ITERS,
+    )
+
+    t = _md5h60(f"'{DIVERSE_SALT}#' || CAST(vec_id AS VARCHAR)")
+    return (f"WITH {_kmeans_ctes()}\n"
+            f"""SELECT vec_id, CAST(cluster AS INT) AS cluster, rank FROM (
+  SELECT vec_id, cluster,
+         CAST(row_number() OVER (PARTITION BY cluster
+                                 ORDER BY {t}, vec_id) AS INT) AS rank
+  FROM kma{KMEANS_ITERS + 1})
+WHERE rank <= {DIVERSE_PER_CLUSTER}""")

@@ -158,3 +158,32 @@ def test_hash_doc_vectors_python_twin(spark):
     want = {k: v for k, v in want.items() if v != 0}
     assert got == want
     assert got  # non-vacuous on the fixture
+
+
+def test_cluster_diverse_sample_caps_and_tickets(spark):
+    """Every cluster contributes at most per_cluster rows, ranks are
+    1..n within a cluster, and the picks follow the md5 ticket order
+    (lowest tickets win) — reproducible diversity sampling."""
+    from openie_spark.datapipe.cluster import (
+        DIVERSE_SALT,
+        cluster_diverse_sample,
+        kmeans_assign,
+    )
+
+    rng = random.Random(5)
+    pts = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(50)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    a = kmeans_assign(emb, k=3, iters=2)
+    got = cluster_diverse_sample(emb, per_cluster=5, assignment=a).collect()
+    by_c: dict = {}
+    for r in got:
+        by_c.setdefault(r.cluster, []).append(r)
+    full = {r.vec_id: r.cluster for r in a.collect()}
+    for c, rows in by_c.items():
+        assert len(rows) <= 5
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        members = sorted(
+            (v for v, cc in full.items() if cc == c),
+            key=lambda v: (_md5h60_py(f"{DIVERSE_SALT}#{v}"), v))
+        want = members[:5]
+        assert sorted(r.vec_id for r in rows) == sorted(want)
