@@ -235,6 +235,27 @@ def _comention_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _COMENTION_MEMO[key]
 
 
+_SEEDBALL_MEMO: dict = {}
+
+
+def _seedball_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-labeled truncated-BFS table (src, entity_id, dist),
+    computed ONCE per (application, sf_dir) and localCheckpointed:
+    kg_harmonic (per-src rollup) and kg_khop (min over src) both start
+    from this table — previously each ran its own k-round BFS over the
+    same seeds, and the labeled one dominated the analytics board.
+    Warehouse pattern, same rationale as _COMENTION_MEMO."""
+    from openie_spark.kg.analytics import seed_ball_distances
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SEEDBALL_MEMO:
+        _evict_stale(_SEEDBALL_MEMO, key)
+        nodes, edges = _graph_parts(spark, sf_dir)
+        _SEEDBALL_MEMO[key] = seed_ball_distances(
+            nodes, edges).localCheckpoint(eager=True)
+    return _SEEDBALL_MEMO[key]
+
+
 def _evict_stale(memo: dict, new_key) -> None:
     """Keep only the latest (application, sf_dir): a long-lived driver
     iterating sf dirs must not pin every dir's checkpointed tables for
@@ -818,11 +839,24 @@ def _q_kg_statement_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_kg_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality for the md5 seed slice (sampled-
     sources protocol): per-seed round-half-up sum of 1e6/d over the
-    k-hop ball — labeled BFS, one (src,node) frontier join per round."""
+    k-hop ball — one groupBy(src) rollup over the memoized labeled-BFS
+    table shared with kg_khop."""
     from openie_spark.kg.analytics import harmonic_centrality
 
     nodes, edges = _graph_parts(spark, sf_dir)
-    return harmonic_centrality(nodes, edges)
+    return harmonic_centrality(nodes, edges,
+                               ball=_seedball_memo(spark, sf_dir))
+
+
+def _q_kg_seed_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-to-seed landmark distance matrix (src, dst, dist 1..K):
+    a map-only md5-ticket filter over the memoized labeled-BFS ball
+    shared with kg_khop/kg_harmonic — no BFS, no join of its own."""
+    from openie_spark.kg.analytics import seed_pair_distances
+
+    nodes, edges = _graph_parts(spark, sf_dir)
+    return seed_pair_distances(nodes, edges,
+                               ball=_seedball_memo(spark, sf_dir))
 
 
 def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1249,13 +1283,14 @@ def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-hop BFS (K=3) from a deterministic md5-ticket seed slice over
     the undirected canonical entity graph: min hop distance per
-    reachable entity. One frontier equi-join + settled anti-join per
-    level, frontiers localCheckpointed so level j never re-derives
-    levels < j."""
+    reachable entity — derived as min-over-sources from the memoized
+    labeled-BFS table shared with kg_harmonic (seed-set distance ==
+    min per-source distance; one partial-agg groupBy)."""
     from openie_spark.kg.analytics import khop_distances
 
     nodes, edges = _graph_parts(spark, sf_dir)
-    return khop_distances(nodes, edges)
+    return khop_distances(nodes, edges,
+                          ball=_seedball_memo(spark, sf_dir))
 
 
 # ------------------------------------------------- datapipe (documents)
@@ -1726,6 +1761,17 @@ def _kmeans_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _KMEANS_MEMO[key]
 
 
+def _q_dp_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-bucket near-dedup (Abbas et al. 2023): close
+    pairs inside each k-means bucket with the farther-from-centroid
+    member marked for dropping — reads the memoized assignment
+    table."""
+    from openie_spark.datapipe.cluster import semdedup_pairs
+
+    return semdedup_pairs(
+        _emb(spark, sf_dir), assignment=_kmeans_memo(spark, sf_dir))
+
+
 def _q_dp_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster curation readout for the k-means buckets: size,
     integer inertia, and the majority ``label`` with support — the
@@ -1868,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_khop": _q_kg_khop,
         "kg_harmonic": _q_kg_harmonic,
+        "kg_seed_distances": _q_kg_seed_distances,
         "kg_statement_roles": _q_kg_statement_roles,
         "kg_ppr": _q_kg_ppr,
         "kg_integrity": _q_kg_integrity,
@@ -1947,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_kmeans": _q_dp_kmeans,
         "dp_diverse_sample": _q_dp_diverse_sample,
         "dp_kmeans_stats": _q_dp_kmeans_stats,
+        "dp_semdedup": _q_dp_semdedup,
         "dp_embedding_ivf": _q_dp_embedding_ivf,
         "dp_embedding_ivfpq": _q_dp_embedding_ivfpq,
         "dp_embedding_lsh": _q_dp_embedding_lsh,
@@ -2020,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": o.kg_triangles_sql(),
         "kg_khop": o.kg_khop_sql(),
         "kg_harmonic": o.kg_harmonic_sql(),
+        "kg_seed_distances": o.kg_seed_distances_sql(),
         "kg_statement_roles": o.kg_statement_roles_sql(),
         "kg_ppr": o.kg_ppr_sql(),
         "kg_integrity": o.kg_integrity_sql(),
@@ -2099,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_kmeans": dp.kmeans_sql(),
         "dp_diverse_sample": dp.cluster_diverse_sample_sql(),
         "dp_kmeans_stats": dp.kmeans_stats_sql(),
+        "dp_semdedup": dp.semdedup_sql(),
         "dp_embedding_ivf": dp.ivf_topk_sql(),
         "dp_embedding_ivfpq": dp.ivfpq_topk_sql(),
         "dp_embedding_lsh": dp.lsh_topk_sql(),

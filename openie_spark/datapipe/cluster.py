@@ -37,14 +37,17 @@ KMEANS_SALT = "km-v1"
 def quantized_vecs(emb: DataFrame, scale: int = KMEANS_SCALE) -> DataFrame:
     """(vec_id, qvec array<long>): fixed-point integer embeddings.
     round-half-away-from-zero matches both JVM F.round and DuckDB
-    round(); NULL/empty vectors are excluded (no direction, no
-    cluster)."""
+    round(); NULL/empty vectors AND vectors containing a NULL element
+    are excluded (no direction, no cluster — a single NULL element
+    would poison every distance and desynchronize the Spark argmin
+    from the oracle's NULLS LAST ordering)."""
     q = F.transform(
         "embedding",
         lambda e: F.round(e.cast("double") * scale).cast("long"))
     return (
         emb.select("vec_id", q.alias("qvec"))
-        .where(F.col("qvec").isNotNull() & (F.size("qvec") > 0))
+        .where(F.col("qvec").isNotNull() & (F.size("qvec") > 0)
+               & ~F.exists("qvec", lambda x: x.isNull()))
     )
 
 
@@ -71,16 +74,20 @@ def _cent_literal(cents: dict[int, list[int]]) -> Column:
 
 def _assign(qdf: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
     """+ (cluster, dist_sq): nearest centroid, ties to lowest cluster
-    id. Map-only — the centroids ride along as a literal."""
-    best = F.aggregate(
+    id. Map-only — the centroids ride along as a literal. Distances
+    are materialized ONCE per centroid (transform), then argmin'd over
+    the precomputed structs — halving the O(K*dim) per-row cost that
+    dominates each Lloyd round."""
+    dists = F.transform(
         _cent_literal(cents),
+        lambda e: F.struct(_dist_sq(F.col("qvec"), e["v"]).alias("d"),
+                           e["c"].alias("c")))
+    best = F.aggregate(
+        dists,
         F.struct(F.lit(None).cast("long").alias("d"),
                  F.lit(-1).alias("c")),
         lambda acc, e: F.when(
-            acc["d"].isNull() | (_dist_sq(F.col("qvec"), e["v"]) < acc["d"]),
-            F.struct(_dist_sq(F.col("qvec"), e["v"]).alias("d"),
-                     e["c"].alias("c")),
-        ).otherwise(acc),
+            acc["d"].isNull() | (e["d"] < acc["d"]), e).otherwise(acc),
     )
     return qdf.withColumn("b", best).select(
         "vec_id", "qvec",
@@ -216,6 +223,54 @@ def hash_doc_vectors(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
         signed.groupBy("doc_id", "dim_idx")
         .agg(F.sum("sgn").alias("val"))
         .where(F.col("val") != 0)
+    )
+
+
+SEMDEDUP_EPS_SQ = 1_300_000   # quantized L2^2; ~6% of within-cluster pairs
+
+
+def semdedup_pairs(emb: DataFrame, eps_sq: int = SEMDEDUP_EPS_SQ,
+                   k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                   scale: int = KMEANS_SCALE,
+                   assignment: DataFrame | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic near-dedup ->
+    (cluster, keep_id, drop_id, pair_dist_sq): within every k-means
+    bucket, the vector pairs closer than ``eps_sq`` (integer quantized
+    squared L2 — the fixed-point stand-in for the paper's cosine
+    threshold), with the member FARTHER from its centroid marked
+    ``drop_id`` (ties to the higher vec_id) — exactly the paper's
+    prune rule: keep the most central representative of each
+    semantic duplicate pair. Pairs split across buckets are missed by
+    design; that approximation IS SemDeDup (vs the exact quadratic
+    sweep the ANN ground truths pin).
+
+    Scale shape: ONE shuffle on the cluster key for the self-join;
+    the within-cluster pair comparison is quadratic in bucket size BY
+    DESIGN (the paper's published complexity — clustering exists to
+    make the quadratic factor |corpus|/k, not |corpus|); raise k to
+    shrink buckets, the same skew knob as diversity sampling. The
+    vec_id join back to quantized vectors is id-keyed and
+    partial-agg-free."""
+    a = (assignment if assignment is not None
+         else kmeans_assign(emb, k, iters, scale))
+    withq = a.join(quantized_vecs(emb, scale), "vec_id")
+    l, r = withq.alias("l"), withq.alias("r")
+    pd_ = _dist_sq(F.col("l.qvec"), F.col("r.qvec"))
+    l_keeps = (
+        (F.col("l.dist_sq") < F.col("r.dist_sq"))
+        | ((F.col("l.dist_sq") == F.col("r.dist_sq"))
+           & (F.col("l.vec_id") < F.col("r.vec_id"))))
+    return (
+        l.join(r, (F.col("l.cluster") == F.col("r.cluster"))
+               & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(
+            F.col("l.cluster").alias("cluster"),
+            F.when(l_keeps, F.col("l.vec_id")).otherwise(F.col("r.vec_id"))
+            .alias("keep_id"),
+            F.when(l_keeps, F.col("r.vec_id")).otherwise(F.col("l.vec_id"))
+            .alias("drop_id"),
+            pd_.alias("pair_dist_sq"))
+        .where(F.col("pair_dist_sq") <= eps_sq)
     )
 
 

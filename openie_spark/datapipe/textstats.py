@@ -211,12 +211,13 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     tables are localCheckpointed per round so round k's plan never
     re-derives rounds < k.
 
-    No SQL oracle: the data-dependent argmax loop is not expressible
-    as a non-recursive DuckDB query (each round's pair counts depend
-    on all previous winners); correctness is value-pinned by pytest
-    parity against an independent transcription of the published
-    algorithm (tests/test_datapipe.py), the same treatment as the
-    greedy CaRB sweeps.
+    Oracle-backed: the data-dependent argmax loop IS SQL-expressible
+    for a fixed merge budget — `dp_bpe_merges` ships an unrolled
+    12-round DuckDB twin (plans/datapipe_oracles.bpe_merges_sql) in
+    which each round's merge application is exact string replace()
+    over double-space-joined symbol strings. Also value-pinned by
+    pytest parity against an independent transcription of the
+    published algorithm (tests/test_datapipe.py).
     """
     syms0 = F.split(F.concat(F.col("word"), F.lit(BPE_EOW)), "")
     vocab = (

@@ -786,7 +786,8 @@ def seed_entities(nodes: DataFrame, seed_mod: int = KHOP_SEED_MOD) -> DataFrame:
 
 def khop_distances(nodes: DataFrame, edges: DataFrame,
                    k: int = KHOP_K,
-                   seed_mod: int = KHOP_SEED_MOD) -> DataFrame:
+                   seed_mod: int = KHOP_SEED_MOD,
+                   ball: DataFrame | None = None) -> DataFrame:
     """(entity_id, dist): minimum hop distance (0..k) from the seed
     set over the UNDIRECTED simple entity graph; entities farther than
     k hops are absent. Min-distance is set-deterministic, so the
@@ -799,7 +800,16 @@ def khop_distances(nodes: DataFrame, edges: DataFrame,
     round j's plan never re-derives rounds < j. Power-law hubs fan a
     frontier out, never a driver loop — AQE splits skewed frontier
     partitions like any other join.
+
+    Pass a precomputed ``ball`` (seed_ball_distances' labeled
+    (src, entity_id, dist) table, same k/seed_mod) to skip the BFS
+    entirely: the seed-SET distance is exactly min over sources of the
+    per-source distance, so when harmonic centrality has already paid
+    for the labeled BFS this collapses to ONE partial-agg groupBy —
+    the warehouse memo pattern shared with kg_harmonic.
     """
+    if ball is not None:
+        return ball.groupBy("entity_id").agg(F.min("dist").alias("dist"))
     und = undirected_edges(edges)
     sym = und.unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -824,23 +834,20 @@ def khop_distances(nodes: DataFrame, edges: DataFrame,
     return dist
 
 
-def harmonic_centrality(nodes: DataFrame, edges: DataFrame,
+def seed_ball_distances(nodes: DataFrame, edges: DataFrame,
                         k: int = KHOP_K,
                         seed_mod: int = KHOP_SEED_MOD) -> DataFrame:
-    """Truncated harmonic centrality (Boldi & Vigna 2014) for the
-    md5-ticket seed slice -> (entity_id, n_reached, harmonic_ppm):
-    per-seed sum of round-half-up(1e6 / d) over every node within k
-    undirected hops (d >= 1) — the standard sampled-sources protocol
-    for centrality at scale (exact per sampled source, sources chosen
-    deterministically). Isolated seeds reach nothing and are absent,
-    like khop's ball semantics. Exact integers end to end, so the
-    unrolled DuckDB twin matches bit-for-bit.
+    """Source-labeled truncated BFS -> (src, entity_id, dist in 0..k):
+    per-seed hop distances over the UNDIRECTED simple entity graph for
+    the md5-ticket seed slice — the shared upstream of BOTH harmonic
+    centrality (per-src rollup) and khop (min over src == seed-set
+    distance), so one memoized pass serves the pair.
 
-    Scale shape: the khop BFS with a SOURCE LABEL — per round ONE
-    (src, node)-keyed frontier equi-join + anti-join against the
-    settled set; state is bounded by |seed slice| x ball size, the
-    knob a production run sets via seed_mod. Rollup is one
-    partial-agg groupBy(src)."""
+    Scale shape: per round ONE (src, node)-keyed frontier equi-join +
+    anti-join against the settled set; state is bounded by
+    |seed slice| x ball size, the knob a production run sets via
+    seed_mod. localCheckpoints keep round j's plan from re-deriving
+    rounds < j."""
     und = undirected_edges(edges)
     sym = und.unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -864,6 +871,27 @@ def harmonic_centrality(nodes: DataFrame, edges: DataFrame,
         )
         dist = dist.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("src", "entity_id")
+    return dist
+
+
+def harmonic_centrality(nodes: DataFrame, edges: DataFrame,
+                        k: int = KHOP_K,
+                        seed_mod: int = KHOP_SEED_MOD,
+                        ball: DataFrame | None = None) -> DataFrame:
+    """Truncated harmonic centrality (Boldi & Vigna 2014) for the
+    md5-ticket seed slice -> (entity_id, n_reached, harmonic_ppm):
+    per-seed sum of round-half-up(1e6 / d) over every node within k
+    undirected hops (d >= 1) — the standard sampled-sources protocol
+    for centrality at scale (exact per sampled source, sources chosen
+    deterministically). Isolated seeds reach nothing and are absent,
+    like khop's ball semantics. Exact integers end to end, so the
+    unrolled DuckDB twin matches bit-for-bit.
+
+    Scale shape: seed_ball_distances (the labeled BFS — see there) +
+    ONE partial-agg groupBy(src) rollup. Pass a precomputed ``ball``
+    to reuse a memoized labeled-BFS table (shared with khop)."""
+    dist = (ball if ball is not None
+            else seed_ball_distances(nodes, edges, k, seed_mod))
     return (
         dist.where(F.col("dist") > 0)
         .groupBy("src")
@@ -873,6 +901,37 @@ def harmonic_centrality(nodes: DataFrame, edges: DataFrame,
             .alias("harmonic_ppm"),
         )
         .select(F.col("src").alias("entity_id"), "n_reached", "harmonic_ppm")
+    )
+
+
+def seed_pair_distances(nodes: DataFrame, edges: DataFrame,
+                        k: int = KHOP_K,
+                        seed_mod: int = KHOP_SEED_MOD,
+                        ball: DataFrame | None = None) -> DataFrame:
+    """Seed-to-seed distance matrix -> (src, dst, dist in 1..k): hop
+    distance between every ORDERED pair of distinct seed entities
+    whose balls touch — the landmark-distance table (Thorup & Zwick
+    style landmark sketches use exactly this: exact distances among a
+    deterministic sample of sources) that downstream estimators and
+    graph-health dashboards read ("are the sampled hubs getting closer
+    as the KG densifies?"). Pairs farther than k hops are absent, like
+    khop's ball semantics; dist is symmetric because the graph is
+    undirected, and both orientations are emitted (matrix contract).
+
+    Scale shape: the third consumer of the memoized labeled-BFS ball —
+    and because seed membership is a PURE md5-ticket predicate, the
+    seed restriction is a map-only FILTER on the ball's entity_id
+    column (no join at all; every reached entity is in nodes by
+    construction); no BFS of its own when ``ball`` is passed."""
+    from openie_spark.datapipe.hashing import md5h60
+
+    dist = (ball if ball is not None
+            else seed_ball_distances(nodes, edges, k, seed_mod))
+    return (
+        dist.where(F.col("dist") > 0)
+        .where(md5h60(F.concat(F.lit(f"{KHOP_SALT}#"), F.col("entity_id")))
+               % seed_mod == 0)
+        .select("src", F.col("entity_id").alias("dst"), "dist")
     )
 
 

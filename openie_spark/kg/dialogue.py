@@ -243,7 +243,14 @@ def tool_stats(transcripts: DataFrame) -> DataFrame:
             "conv_id", "turn_idx", "tool", F.length("text").alias("n_chars"),
             (em.alias("em")), F.lead(em).over(w).alias("next_em"))
         .where(F.col("tool").isNotNull())
-        .withColumn("lat_min", F.expr("(next_em - em) DIV 60000000"))
+        # FLOOR division (not DIV's truncate-toward-zero): the window is
+        # ordered by turn_idx, not ts, so a non-monotone timestamp gives a
+        # negative gap and the DuckDB twin's `//` floors it — use the same
+        # sign-safe floor formula as the k-means centroid means so both
+        # engines agree on negative gaps too.
+        .withColumn("lat_min", F.expr(
+            "((next_em - em) - (((next_em - em) % 60000000) + 60000000)"
+            " % 60000000) DIV 60000000"))
         .groupBy("tool")
         .agg(
             F.count(F.lit(1)).alias("n_calls"),
@@ -252,7 +259,9 @@ def tool_stats(transcripts: DataFrame) -> DataFrame:
             F.expr("sum(n_chars) DIV count(1)").alias("avg_chars"),
             F.count("lat_min").alias("n_followed"),
             F.coalesce(
-                F.expr("sum(lat_min) DIV nullif(count(lat_min), 0)"),
+                F.expr("(sum(lat_min) - ((sum(lat_min) % nullif(count(lat_min), 0))"
+                       " + count(lat_min)) % count(lat_min))"
+                       " DIV nullif(count(lat_min), 0)"),
                 F.lit(-1).cast("long")).alias("avg_follow_min"),
         )
     )

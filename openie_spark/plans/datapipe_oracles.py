@@ -2042,6 +2042,7 @@ kmq AS MATERIALIZED (
            embedding, e -> CAST(round(CAST(e AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)) AS qvec
   FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) > 0
+    AND len(list_filter(embedding, e -> e IS NULL)) = 0
 ),
 kmc0 AS MATERIALIZED (
   SELECT b.bucket AS cluster, q.qvec AS cv
@@ -2145,6 +2146,29 @@ hes AS (
 )
 SELECT doc_id, dim_idx, CAST(sum(sgn) AS BIGINT) AS val
 FROM hes GROUP BY 1, 2 HAVING sum(sgn) <> 0"""
+
+
+def semdedup_sql() -> str:
+    """Twin of cluster.semdedup_pairs: within-bucket close pairs over
+    the final unrolled assignment, keep = the member nearer its
+    centroid (ties to the lower vec_id)."""
+    from openie_spark.datapipe.cluster import KMEANS_ITERS, SEMDEDUP_EPS_SQ
+
+    t = KMEANS_ITERS + 1
+    return (f"WITH {_kmeans_ctes()}\n"
+            f"""SELECT cluster, keep_id, drop_id, pair_dist_sq FROM (
+  SELECT CAST(a.cluster AS INT) AS cluster,
+         CASE WHEN (a.dist_sq, a.vec_id) < (b.dist_sq, b.vec_id)
+              THEN a.vec_id ELSE b.vec_id END AS keep_id,
+         CASE WHEN (a.dist_sq, a.vec_id) < (b.dist_sq, b.vec_id)
+              THEN b.vec_id ELSE a.vec_id END AS drop_id,
+         CAST(list_sum(list_transform(range(1, len(a.qvec) + 1),
+              i -> (a.qvec[CAST(i AS INT)] - b.qvec[CAST(i AS INT)])
+                 * (a.qvec[CAST(i AS INT)] - b.qvec[CAST(i AS INT)])))
+           AS BIGINT) AS pair_dist_sq
+  FROM kma{t} a JOIN kma{t} b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+WHERE pair_dist_sq <= {SEMDEDUP_EPS_SQ}""")
 
 
 def cluster_diverse_sample_sql() -> str:

@@ -726,11 +726,11 @@ JOIN transcripts t ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx
 GROUP BY 1, 2, 3""")
 
 
-def kg_harmonic_sql() -> str:
-    """Twin of kg.analytics.harmonic_centrality: the khop BFS unroll
-    with a source label — level j = distinct (src, neighbor) pairs of
-    level j-1 not settled for that src — then a per-src round-half-up
-    1e6/d rollup."""
+def _labeled_bfs_parts() -> tuple[str, str]:
+    """(extra_ctes, levels_union): the source-labeled khop BFS unroll
+    shared by the harmonic and seed-distance twins — level j =
+    distinct (src, neighbor) pairs of level j-1 not settled for that
+    src. levels_union selects (src, entity_id, dist) for dist 1..K."""
     from openie_spark.kg.analytics import KHOP_K, KHOP_SALT, KHOP_SEED_MOD
 
     ticket = (f"CAST(concat('0x', substr(md5('{KHOP_SALT}#' || entity_id), "
@@ -751,23 +751,50 @@ h{j} AS MATERIALIZED (
 hs{j} AS MATERIALIZED (
   SELECT src, entity_id FROM hs{j - 1}
   UNION ALL SELECT src, entity_id FROM h{j})""")
-        lvl_selects.append(f"SELECT src, dist FROM h{j}")
+        lvl_selects.append(f"SELECT src, entity_id, dist FROM h{j}")
+    extra = """
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
+  FROM kg_edges WHERE src_id <> dst_id),
+sym AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),""" \
+        + ",".join(lvl_ctes)
+    union = "\nUNION ALL\n".join(lvl_selects)
+    return extra, union
+
+
+def kg_harmonic_sql() -> str:
+    """Twin of kg.analytics.harmonic_centrality: the labeled khop BFS
+    unroll (_labeled_bfs_parts) + a per-src round-half-up 1e6/d
+    rollup."""
+    extra, union = _labeled_bfs_parts()
     return _with_kg(
         f"""
 SELECT src AS entity_id,
        CAST(count(*) AS BIGINT) AS n_reached,
        CAST(sum((2 * 1000000 + dist) // (2 * dist)) AS BIGINT)
          AS harmonic_ppm
-FROM ({chr(10).join("UNION ALL" + chr(10) + s if i else s
-                    for i, s in enumerate(lvl_selects))})
+FROM ({union})
 GROUP BY 1""",
-        extra_ctes="""
-und AS MATERIALIZED (
-  SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b
-  FROM kg_edges WHERE src_id <> dst_id),
-sym AS MATERIALIZED (
-  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),"""
-        + ",".join(lvl_ctes),
+        extra_ctes=extra,
+    )
+
+
+def kg_seed_distances_sql() -> str:
+    """Twin of kg.analytics.seed_pair_distances: the labeled BFS
+    levels restricted to destinations that are themselves seeds (the
+    same md5 ticket predicate, on the DESTINATION column)."""
+    from openie_spark.kg.analytics import KHOP_SALT, KHOP_SEED_MOD
+
+    dticket = (f"CAST(concat('0x', substr(md5('{KHOP_SALT}#' || dst), "
+               f"1, 15)) AS BIGINT)")
+    extra, union = _labeled_bfs_parts()
+    return _with_kg(
+        f"""
+SELECT src, dst, dist FROM (
+  SELECT src, entity_id AS dst, dist FROM ({union}))
+WHERE {dticket} % {KHOP_SEED_MOD} = 0""",
+        extra_ctes=extra,
     )
 
 

@@ -154,7 +154,14 @@ def stream_event_trigrams(events: DataFrame) -> DataFrame:
     (ts_us, event_id) order within an invocation and in arrival order
     across invocations; a downstream groupBy(t1,t2,t3) over the sink
     reproduces event_trigrams' counts when batches arrive ordered.
-    The shuffle key is user_id."""
+    The shuffle key is user_id.
+
+    STATE-SCHEMA BREAK (v2): the state struct gained a leading
+    ``n_seen int`` occupancy field (7 fields, was 6 with a ts-sign
+    sentinel). A job restarted from a checkpoint written by the
+    6-field version will fail/misparse its carried state — upgrading
+    requires a NEW checkpoint directory (drain-and-restart), the
+    standard Structured Streaming state-evolution procedure."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def chain(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:

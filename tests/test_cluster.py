@@ -124,14 +124,61 @@ def test_kmeans_hostile_inputs(spark):
     from openie_spark.datapipe.cluster import kmeans_assign
 
     emb = spark.createDataFrame(
-        [(1, [0.5, 0.5]), (2, None), (3, [])],
+        [(1, [0.5, 0.5]), (2, None), (3, []), (4, [0.1, None])],
         "vec_id long, embedding array<float>")
     rows = kmeans_assign(emb, k=2, iters=2).collect()
+    # vec 4 has a NULL ELEMENT: excluded too — it would poison every
+    # distance (all-NULL argmin) and diverge from the oracle's
+    # NULLS LAST ordering
     assert [r.vec_id for r in rows] == [1]
     assert rows[0].dist_sq == 0
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert kmeans_assign(empty, k=2, iters=2).count() == 0
+
+
+def test_semdedup_python_twin(spark):
+    """SemDeDup within-bucket close pairs vs a direct python recompute
+    over the twin's assignment: pair membership, the
+    nearer-to-centroid keep rule (with the (dist, id) tie order), and
+    planted near-identical twins that MUST be caught when co-bucketed."""
+    import math
+
+    rng = random.Random(11)
+    vecs = {i: [round(rng.uniform(-1, 1), 3) for _ in range(4)]
+            for i in range(50)}
+    # planted near-dups: same id-hash bucket membership not guaranteed,
+    # but the python twin computes the exact expectation either way
+    vecs[100] = [v + 0.001 for v in vecs[0]]
+    vecs[101] = list(vecs[7])
+    eps, k, iters, scale = 250_000, 4, 2, 1000
+    from openie_spark.datapipe.cluster import semdedup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>")
+    got = {(r.cluster, r.keep_id, r.drop_id): r.pair_dist_sq
+           for r in semdedup_pairs(emb, eps_sq=eps, k=k, iters=iters,
+                                   scale=scale).collect()}
+
+    def q(x: float) -> int:
+        v = float(x) * scale
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    a = _kmeans_py(vecs, k=k, iters=iters, scale=scale)
+    qv = {i: [q(x) for x in v] for i, v in vecs.items() if v}
+    want = {}
+    for i in sorted(a):
+        for j in sorted(a):
+            if i < j and a[i][1] == a[j][1]:
+                d = sum((x - y) * (x - y) for x, y in zip(qv[i], qv[j]))
+                if d <= eps:
+                    keep, drop = ((i, j) if (a[i][0], i) < (a[j][0], j)
+                                  else (j, i))
+                    want[(a[i][1], keep, drop)] = d
+    assert got == want
+    assert any(set(p[1:]) == {7, 101} for p in want), \
+        "planted identical twin must land in one bucket and be caught"
 
 
 def test_hash_doc_vectors_python_twin(spark):

@@ -196,6 +196,24 @@ def test_tool_stats_hand_golden(spark):
     assert (p["n_calls"], p["n_followed"], p["avg_follow_min"]) == (1, 0, -1)
 
 
+def test_tool_stats_negative_gap_floors(spark):
+    """Timestamps non-monotone in turn_idx (the window orders by
+    turn_idx, not ts): a -90s gap must FLOOR to -2 minutes like the
+    DuckDB twin's `//`, not truncate to -1; same for the average."""
+    import datetime as dt
+
+    from openie_spark.kg.dialogue import tool_stats
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [("c1", 0, "tool", "x", "probe", t0),
+         ("c1", 1, "assistant", "ok", None, t0 - dt.timedelta(seconds=90))],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    r = tool_stats(df).collect()[0]
+    assert (r.tool, r.n_followed, r.avg_follow_min) == ("probe", 1, -2)
+
+
 def test_tool_sequences_skips_non_tool_turns(spark):
     """The chain is over TOOL turns only: intervening assistant/user
     turns don't break adjacency; row_ppm row-normalizes per from_tool."""

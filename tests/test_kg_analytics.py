@@ -199,6 +199,89 @@ def test_khop_empty_edge_set(spark):
     assert got == want and len(want) > 0
 
 
+def test_khop_from_shared_ball_matches_standalone(spark):
+    """The memo path: khop derived as min-over-sources from the
+    labeled seed_ball_distances table must equal the standalone
+    unlabeled BFS row-for-row (multi-seed graph with overlapping
+    balls, so the min actually collapses something)."""
+    from openie_spark.kg.analytics import (
+        KHOP_SEED_MOD,
+        khop_distances,
+        seed_ball_distances,
+    )
+
+    ids = [f"e{i}" for i in range(4000)]
+    seeds = [e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD == 0]
+    non = [e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD != 0]
+    s1, s2, (n1, n2, n3) = seeds[0], seeds[1], non[:3]
+    # two seeds whose balls overlap on n2: s1-n1-n2, s2-n2, s2-n3
+    edges = spark.createDataFrame(
+        [(s1, n1), (n1, n2), (s2, n2), (s2, n3)],
+        "src_id string, dst_id string")
+    nodes = spark.createDataFrame(
+        [(e,) for e in [s1, s2, n1, n2, n3]], "entity_id string")
+    ball = seed_ball_distances(nodes, edges)
+    via_ball = {r.entity_id: r.dist
+                for r in khop_distances(nodes, edges, ball=ball).collect()}
+    standalone = {r.entity_id: r.dist
+                  for r in khop_distances(nodes, edges).collect()}
+    assert via_ball == standalone
+    assert via_ball[n2] == 1        # min(dist from s1 = 2, from s2 = 1)
+
+
+def test_harmonic_from_shared_ball_matches_standalone(spark):
+    """harmonic_centrality(ball=...) over a precomputed labeled BFS
+    equals the self-computed path."""
+    from openie_spark.kg.analytics import (
+        KHOP_SEED_MOD,
+        harmonic_centrality,
+        seed_ball_distances,
+    )
+
+    ids = [f"e{i}" for i in range(4000)]
+    seeds = [e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD == 0]
+    non = [e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD != 0]
+    s1, s2, (n1, n2) = seeds[0], seeds[1], non[:2]
+    edges = spark.createDataFrame(
+        [(s1, n1), (n1, n2), (s2, n2)], "src_id string, dst_id string")
+    nodes = spark.createDataFrame(
+        [(e,) for e in [s1, s2, n1, n2]], "entity_id string")
+    ball = seed_ball_distances(nodes, edges)
+    key = lambda rows: {r.entity_id: (r.n_reached, r.harmonic_ppm)  # noqa: E731
+                        for r in rows}
+    assert key(harmonic_centrality(nodes, edges, ball=ball).collect()) \
+        == key(harmonic_centrality(nodes, edges).collect())
+
+
+def test_seed_pair_distances_hand_golden(spark):
+    """Two seeds joined by a 2-hop path through a non-seed, plus a
+    non-seed leaf: only seed-to-seed rows come back, both
+    orientations, no self rows, nothing beyond k."""
+    from openie_spark.kg.analytics import (
+        KHOP_SEED_MOD,
+        seed_ball_distances,
+        seed_pair_distances,
+    )
+
+    ids = [f"e{i}" for i in range(4000)]
+    seeds = [e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD == 0]
+    non = [e for e in ids if _khop_ticket(e) % KHOP_SEED_MOD != 0]
+    s1, s2, s3, (n1, n2) = seeds[0], seeds[1], seeds[2], non[:2]
+    # s1-n1-s2 (2 hops), n1-n2 leaf; s3 isolated
+    edges = spark.createDataFrame(
+        [(s1, n1), (n1, s2), (n1, n2)], "src_id string, dst_id string")
+    nodes = spark.createDataFrame(
+        [(e,) for e in [s1, s2, s3, n1, n2]], "entity_id string")
+    got = {(r.src, r.dst): r.dist
+           for r in seed_pair_distances(nodes, edges).collect()}
+    assert got == {(s1, s2): 2, (s2, s1): 2}
+    # the memo path agrees with the standalone path
+    ball = seed_ball_distances(nodes, edges)
+    via = {(r.src, r.dst): r.dist
+           for r in seed_pair_distances(nodes, edges, ball=ball).collect()}
+    assert via == got
+
+
 def test_graph_summary_hand_values(spark):
     """Triangle + pendant + isolated node; one duplicated provenance
     edge and one self-loop mention."""

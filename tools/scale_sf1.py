@@ -1,0 +1,280 @@
+#!/usr/bin/env python
+"""sf1.0 scale-up validation (10x the per-round bench scale).
+
+The brief grades plans "you'd want at 100x scale"; the per-round bench
+runs at sf0.1. This tool converts the plan audit into MEASURED
+evidence at 10x:
+
+  gen       build an sf1-equivalent directory by deterministic x10
+            replication of the driver's sf0.1 tables (id-offset
+            copies; text kept byte-identical per copy — exact
+            duplicates are what web-scale corpora actually contain
+            and what the dedup family is for). No external data.
+  pipeline  derive transcripts from the sf1 documents and run the
+            full KG job (tools/kg_job.py) at local[32] per backend,
+            recording per-stage wall seconds and the peak RSS of the
+            whole process tree (driver JVM + python workers).
+  report    join a bench.py JSON line at sf0.1 with one at sf1 and
+            write BENCH/scale_sf1.md, flagging any query whose
+            runtime grew super-linearly (> factor x SLACK).
+
+The per-query sf1 sweep itself is just bench.py repointed:
+
+    SPARK_GRAFT_SF_DIR=/tmp/openie_sf1 SPARK_GRAFT_REPEATS=1 \
+        python bench.py > /tmp/bench_sf1.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF1_DIR = "/tmp/openie_sf1"
+FACTOR = 10
+SLACK = 1.6   # super-linear flag: t_sf1 > FACTOR * SLACK * t_sf01 (+floor)
+FLOOR = 0.8   # ignore sub-second sf0.1 queries' fixed overheads
+
+# Labeled quadratic ground truths (PLANS.md): O(n^2) by DESIGN — they
+# exist to pin the recall of the bucketed scale paths, so a ~100x
+# ratio at 10x data is expected, not a regression.
+QUADRATIC = {"dp_embedding_topk", "dp_embedding_topk_np"}
+
+
+def gen(src: str, out: str, factor: int) -> dict:
+    """x`factor` id-offset replication of documents/embeddings/events.
+    Offsets are round multiples of 10^7 so every derived quantity
+    (conv fold, role cycle, tool pick, ts minutes) stays in-range and
+    copies never collide."""
+    from pyspark.sql import functions as F
+
+    from openie_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+    counts = {}
+    specs = {
+        "documents": ("doc_id", 10_000_000),
+        "embeddings": ("vec_id", 10_000_000),
+        "events": ("event_id", 100_000_000),
+    }
+    for t, (idcol, off) in specs.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        big = (
+            df.withColumn(
+                "k", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+            .withColumn(idcol, F.col(idcol) + F.col("k") * off)
+            .drop("k"))
+        if t == "events":   # user space must grow too or every user 10x's
+            big = big.withColumn(
+                "user_id",
+                F.col("user_id")
+                + (F.col("event_id") // off).cast("long") * 1_000_000)
+        n_files = 64 if t != "events" else 128
+        big.repartition(n_files, idcol).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet")
+        counts[t] = spark.read.parquet(f"{out}/{t}.parquet").count()
+    spark.stop()
+    json.dump({"factor": factor, "counts": counts},
+              open(f"{out}/_gen.json", "w"))
+    return counts
+
+
+class _RssPoller(threading.Thread):
+    """Samples the RSS sum of a process tree once a second; keeps the
+    peak. Reads /proc directly (no psutil in the sandbox)."""
+
+    def __init__(self, root_pid: int):
+        super().__init__(daemon=True)
+        self.root = root_pid
+        self.peak_kb = 0
+        self._stop = threading.Event()
+
+    @staticmethod
+    def _children() -> dict[int, list[int]]:
+        kids: dict[int, list[int]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    ppid = int(f.read().split(")")[-1].split()[1])
+                kids.setdefault(ppid, []).append(int(p))
+            except OSError:
+                continue
+        return kids
+
+    def _tree_rss_kb(self) -> int:
+        kids = self._children()
+        total, stack = 0, [self.root]
+        while stack:
+            pid = stack.pop()
+            stack.extend(kids.get(pid, []))
+            try:
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            total += int(line.split()[1])
+                            break
+            except OSError:
+                continue
+        return total
+
+    def run(self) -> None:
+        while not self._stop.is_set():
+            self.peak_kb = max(self.peak_kb, self._tree_rss_kb())
+            self._stop.wait(1.0)
+
+    def stop(self) -> int:
+        self._stop.set()
+        self.join(timeout=5)
+        return self.peak_kb
+
+
+def pipeline(sf1_dir: str, backends: list[str], workdir: str) -> dict:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from openie_spark.session import get_spark
+    from openie_spark.sources.transcripts import derive_transcripts
+
+    tr_path = os.path.join(workdir, "transcripts_sf1.parquet")
+    if not os.path.exists(tr_path):
+        spark = get_spark(app_name="sf1-transcripts", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        derive_transcripts(spark, sf1_dir).repartition(128, "conv_id") \
+            .write.mode("overwrite").parquet(tr_path)
+        spark.stop()
+
+    results = {}
+    for backend in backends:
+        out_dir = os.path.join(workdir, f"kg_sf1_{backend}")
+        subprocess.run(["rm", "-rf", out_dir], check=True)
+        cmd = [sys.executable, os.path.join(REPO, "tools", "kg_job.py"),
+               "--input", tr_path, "--output", out_dir,
+               "--master", "local[32]", "--shuffle-partitions", "64",
+               "--backend", backend, "--driver-memory", "48g",
+               "--no-resume"]
+        env = dict(os.environ, OPENBLAS_NUM_THREADS="1",
+                   OMP_NUM_THREADS="1", MKL_NUM_THREADS="1")
+        t0 = time.perf_counter()
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True, env=env)
+        poller = _RssPoller(proc.pid)
+        poller.start()
+        out, err = proc.communicate()
+        peak_kb = poller.stop()
+        if proc.returncode != 0:
+            raise RuntimeError(f"{backend} failed:\n{err[-4000:]}")
+        summary = json.loads(out.strip().splitlines()[-1])
+        summary["wall_with_startup"] = round(time.perf_counter() - t0, 1)
+        summary["peak_rss_gib"] = round(peak_kb / (1024 * 1024), 2)
+        results[backend] = summary
+    return results
+
+
+def report(sf01_json: str, sf1_json: str, pipe_json: str | None,
+           out_md: str) -> int:
+    b01 = json.load(open(sf01_json))
+    b1 = json.load(open(sf1_json))
+    factor = FACTOR
+    rows, flagged = [], []
+    for name, t1 in sorted(b1["queries"].items(),
+                           key=lambda kv: -kv[1]):
+        t0 = b01["queries"].get(name)
+        if t0 is None:
+            continue
+        ratio = t1 / max(t0, 1e-9)
+        flag = t1 > factor * SLACK * t0 + FLOOR and name not in QUADRATIC
+        if flag:
+            flagged.append(name)
+        verdict = ("quadratic-by-design" if name in QUADRATIC
+                   else "**SUPER-LINEAR**" if flag else "ok")
+        rows.append(f"| {name} | {t0:.2f} | {t1:.2f} | {ratio:.1f}x |"
+                    f" {verdict} |")
+    md = [
+        "# BENCH/scale_sf1 — 10x scale-up validation",
+        "",
+        f"Same queries, same box (local[32]), sf0.1 vs the x{factor}",
+        "id-offset replica (`tools/scale_sf1.py gen`). Linear scaling",
+        f"predicts a {factor}x ratio; fixed per-query overheads pull",
+        "small queries below it. Flag threshold: t_sf1 >",
+        f"{factor}*{SLACK}*t_sf0.1 + {FLOOR}s.",
+        "",
+        f"Suite totals: sf0.1 {b01['value']}s -> sf1 {b1['value']}s "
+        f"({b1['value'] / max(b01['value'], 1e-9):.1f}x over {factor}x "
+        "the data); shared materialization "
+        f"{b01['shared_materialization_sec']}s -> "
+        f"{b1['shared_materialization_sec']}s.",
+        "",
+        "| query | sf0.1 s | sf1 s | ratio | verdict |",
+        "|---|---|---|---|---|",
+        *rows,
+    ]
+    if pipe_json:
+        pipe = json.load(open(pipe_json))
+        md += ["", "## Full pipeline (tools/kg_job.py) at sf1",
+               "",
+               "| backend | total s | triples/s | peak RSS GiB |",
+               "|---|---|---|---|"]
+        for backend, s in pipe.items():
+            md.append(f"| {backend} | {s['total_seconds']:.1f} | "
+                      f"{s['triples_per_sec']:,.0f} | {s['peak_rss_gib']} |")
+        md += ["", "Per-stage wall seconds:", ""]
+        any_b = next(iter(pipe.values()))
+        heads = list(pipe)
+        md.append("| stage | rows | " + " s | ".join(heads) + " s |")
+        md.append("|---|---|" + "---|" * len(heads))
+        for st in any_b["stages"]:
+            cells = " | ".join(f"{pipe[b]['stages'][st]['seconds']:.1f}"
+                               for b in heads)
+            md.append(f"| {st} | {any_b['stages'][st]['rows']:,} | {cells} |")
+    md += ["", f"Flagged super-linear: {flagged if flagged else 'none'}."]
+    with open(out_md, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(json.dumps({"flagged": flagged, "n_compared": len(rows)}))
+    return 1 if flagged else 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("gen")
+    g.add_argument("--src", default="/root/testdata/sf0.1")
+    g.add_argument("--out", default=SF1_DIR)
+    g.add_argument("--factor", type=int, default=FACTOR)
+    p = sub.add_parser("pipeline")
+    p.add_argument("--sf1-dir", default=SF1_DIR)
+    p.add_argument("--backends", default="rule,neural_staged,neural_fused")
+    p.add_argument("--workdir", default="/tmp/openie_sf1_work")
+    p.add_argument("--json-out", default="/tmp/sf1_pipeline.json")
+    r = sub.add_parser("report")
+    r.add_argument("--sf01", required=True)
+    r.add_argument("--sf1", required=True)
+    r.add_argument("--pipeline", default=None)
+    r.add_argument("--out", default=os.path.join(REPO, "BENCH", "scale_sf1.md"))
+    args = ap.parse_args()
+
+    if args.cmd == "gen":
+        print(json.dumps(gen(args.src, args.out, args.factor)))
+    elif args.cmd == "pipeline":
+        os.makedirs(args.workdir, exist_ok=True)
+        res = pipeline(args.sf1_dir, args.backends.split(","), args.workdir)
+        json.dump(res, open(args.json_out, "w"), indent=1)
+        print(json.dumps({b: {"total_seconds": s["total_seconds"],
+                              "triples_per_sec": s["triples_per_sec"],
+                              "peak_rss_gib": s["peak_rss_gib"]}
+                          for b, s in res.items()}))
+    else:
+        sys.exit(report(args.sf01, args.sf1, args.pipeline, args.out))
+
+
+if __name__ == "__main__":
+    main()
