@@ -33,7 +33,12 @@ def main() -> None:
 
     from openie_spark.session import get_spark
 
-    spark = get_spark(app_name="openie-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    # shuffle parallelism: default cpus, overridable for larger-than-
+    # default SF dirs (partitions must shrink to fit execution memory
+    # as data grows — the per-SF sizing knob the optimization guide
+    # prescribes; e.g. SPARK_GRAFT_SHUFFLE=64 for the sf1 replica)
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(cpus, 8)))
+    spark = get_spark(app_name="openie-bench", master=f"local[{cpus}]", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e

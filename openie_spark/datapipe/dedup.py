@@ -103,14 +103,39 @@ def minhash_pairs_docs(docs: DataFrame,
     explode); the band self-join carries only (doc_id, band hash) —
     candidate (a, b) pairs dedup WITHOUT the shingle arrays in the
     shuffle, and shingles re-attach afterwards by doc_id join for the
-    exact-Jaccard verify."""
+    exact-Jaccard verify.
+
+    Exact-duplicate collapse (semantics-preserving): byte-identical
+    texts share the full signature (every band collides) and score
+    jaccard 1.0, so the LSH + verify runs once per DISTINCT text and
+    members fan back in by id join afterwards — identical output, but
+    the expensive verify stage is bounded by the distinct corpus.
+    Without this, a corpus where popular conversations repeat m times
+    pays m² shingle-array verifies per duplicate group (measured 703s
+    vs ~10s on a 10x replica with 10-copy groups)."""
     from openie_spark.functions.partitioning import spread
+
+    keyed = spread(docs, "doc_id").select(
+        "doc_id", "text",
+        F.md5(F.coalesce(F.col("text"), F.lit("\x00NULL"))).alias("gkey"),
+    ).localCheckpoint(eager=False)     # feeds reps AND the member map
+    reps = (
+        keyed.groupBy("gkey")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.min("text").alias("text"))   # constant within the group
+    )
+    mem = (
+        keyed.select("doc_id", "gkey")
+        .join(reps.select("gkey", F.col("doc_id").alias("rep")), "gkey")
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=False)      # feeds three fan-out joins
+    )
 
     # both tables materialized once: sh feeds the signature AND the two
     # verify joins; banded feeds both sides of the self-join (without
     # the checkpoint the 16-slot md5 projection is evaluated twice per
     # doc — the same fix simhash_pairs / kg exact_pairs carry)
-    sh = _with_shingles(spread(docs, "doc_id")).localCheckpoint(eager=False)
+    sh = _with_shingles(spread(reps, "doc_id")).localCheckpoint(eager=False)
     sig = spread(
         sh.select("doc_id", minhash_sig_md5(F.col("shingles"), bands * rows).alias("sig")),
         "doc_id",
@@ -127,13 +152,33 @@ def minhash_pairs_docs(docs: DataFrame,
         .select("a", "b").distinct()
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    return (
+    rep_pairs = (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb")), "b")
         .withColumn("jaccard", inter / (F.size("sa") + F.size("sb") - inter))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # fan the rep-level pairs back out to every member combination, and
+    # add the within-group pairs (jaccard exactly 1.0; empty-shingle
+    # groups stay excluded, matching the NULL-jaccard filter above)
+    cross = (
+        rep_pairs
+        .join(mem.select(F.col("rep").alias("a"), F.col("doc_id").alias("ma")), "a")
+        .join(mem.select(F.col("rep").alias("b"), F.col("doc_id").alias("mb")), "b")
+        .select(F.least("ma", "mb").alias("a"),
+                F.greatest("ma", "mb").alias("b"), "jaccard")
+    )
+    nonempty = sh.where(F.size("shingles") > 0).select(F.col("doc_id").alias("rep"))
+    within = (
+        mem.join(nonempty, "rep")
+        .alias("l")
+        .join(mem.alias("r"), (F.col("l.rep") == F.col("r.rep"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"),
+                F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = DOC_JACCARD) -> DataFrame:

@@ -379,12 +379,15 @@ class KGPipeline:
                 ASSOC_MIN_CONVS,
                 comention_pairs,
                 degree_histogram,
+                harmonic_centrality,
                 kcore,
                 khop_distances,
                 label_prop_communities,
                 pagerank,
                 relation_cardinality,
                 salsa,
+                seed_ball_distances,
+                seed_pair_distances,
                 triangle_counts,
                 truss,
             )
@@ -396,9 +399,22 @@ class KGPipeline:
             self._run_stage(
                 "triangles", lambda: triangle_counts(n_df, e_df),
                 "entity_id", ["nodes", "edges"], resume)
+            # one labeled BFS serves khop (min over sources), harmonic
+            # (per-source rollup), and the landmark distance matrix —
+            # lazy checkpoint, so a fully-resumed run never pays for it
+            ball = seed_ball_distances(n_df, e_df).localCheckpoint(
+                eager=False)
             self._run_stage(
-                "khop", lambda: khop_distances(n_df, e_df),
+                "khop", lambda: khop_distances(n_df, e_df, ball=ball),
                 "entity_id", ["nodes", "edges"], resume)
+            self._run_stage(
+                "harmonic",
+                lambda: harmonic_centrality(n_df, e_df, ball=ball),
+                "entity_id", ["nodes", "edges"], resume)
+            self._run_stage(
+                "seed_distances",
+                lambda: seed_pair_distances(n_df, e_df, ball=ball),
+                "src", ["nodes", "edges"], resume)
             self._run_stage(
                 "communities", lambda: label_prop_communities(n_df, e_df),
                 "entity_id", ["nodes", "edges"], resume)

@@ -152,6 +152,11 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path_factory):
     assert s1["stages"]["triangles"]["rows"] == s1["nodes"]
     assert 0 < s1["stages"]["khop"]["rows"] <= s1["nodes"]
     assert s1["stages"]["communities"]["rows"] == s1["nodes"]
+    # harmonic: one row per seed that reached anything; seed_distances:
+    # ordered seed pairs within K hops (both read the shared BFS ball,
+    # so they can't exceed the ball's coverage)
+    assert 0 <= s1["stages"]["harmonic"]["rows"] <= s1["stages"]["khop"]["rows"]
+    assert s1["stages"]["seed_distances"]["rows"] >= 0
     # kcore may legitimately be empty on a sparse test graph (rows>=0);
     # degree_hist always has >=1 bin when nodes exist
     assert s1["stages"]["kcore"]["rows"] >= 0
@@ -168,7 +173,8 @@ def test_pipeline_analytics_stages_and_resume(spark, tmp_path_factory):
     assert 0 < s1["stages"]["type_graph"]["rows"] <= 81
     s2 = KGPipeline(spark, SF, out, analytics=True).run(resume=True)
     assert all(s2["stages"][st]["resumed"]
-               for st in ("pagerank", "triangles", "khop", "communities",
+               for st in ("pagerank", "triangles", "khop", "harmonic",
+                          "seed_distances", "communities",
                           "kcore", "degree_hist", "salsa",
                           "rel_cardinality", "truss", "rules",
                           "conflicts", "type_graph"))

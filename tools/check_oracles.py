@@ -88,8 +88,11 @@ def _fresh_con(sf_dir: str):
     c.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if os.path.isdir(p):        # Spark-written (directory) parquet
+            p = f"{p}/*.parquet"
+        elif not os.path.exists(p):
+            continue
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return c
 
 

@@ -42,7 +42,8 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--analytics", action="store_true",
                     help="Also materialize stage-I graph analytics tables "
-                         "(pagerank, triangles, khop, communities, kcore, "
+                         "(pagerank, triangles, khop, harmonic, "
+                         "seed_distances, communities, kcore, "
                          "degree_hist) with manifests.")
     ap.add_argument("--export", action="store_true",
                     help="Also materialize consumer-facing sinks: temporal "

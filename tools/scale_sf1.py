@@ -6,10 +6,17 @@ runs at sf0.1. This tool converts the plan audit into MEASURED
 evidence at 10x:
 
   gen       build an sf1-equivalent directory by deterministic x10
-            replication of the driver's sf0.1 tables (id-offset
-            copies; text kept byte-identical per copy — exact
-            duplicates are what web-scale corpora actually contain
-            and what the dedup family is for). No external data.
+            replication of the driver's sf0.1 tables. Ids are offset
+            per copy; document TOKENS and embedding DIMS are ROTATED
+            by the copy index so copies are distinct texts/directions
+            with identical length/token/norm statistics — a 10x
+            corpus whose duplication RATE matches the original
+            (real corpora grow by adding new content at a constant
+            dup rate; byte-identical copies would instead inflate
+            every duplicate GROUP 10x and blow up pair-emitting
+            operators quadratically — that stress case is covered by
+            the dedup family's planted fixtures, not this harness).
+            No external data.
   pipeline  derive transcripts from the sf1 documents and run the
             full KG job (tools/kg_job.py) at local[32] per backend,
             recording per-stage wall seconds and the peak RSS of the
@@ -61,8 +68,13 @@ def gen(src: str, out: str, factor: int) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
     counts = {}
+    # documents offset MUST keep doc_id under 5,000,000: the derived
+    # conv_id is lpad(doc_id DIV 5, 6, '0') and Spark lpad TRUNCATES
+    # a 7-digit conv number, silently merging conversations across
+    # copies into 151k-char monsters (found the hard way — the first
+    # replica's kg blowups were all this)
     specs = {
-        "documents": ("doc_id", 10_000_000),
+        "documents": ("doc_id", 100_000),
         "embeddings": ("vec_id", 10_000_000),
         "events": ("event_id", 100_000_000),
     }
@@ -71,13 +83,44 @@ def gen(src: str, out: str, factor: int) -> dict:
         big = (
             df.withColumn(
                 "k", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
-            .withColumn(idcol, F.col(idcol) + F.col("k") * off)
-            .drop("k"))
+            .withColumn(idcol, F.col(idcol) + F.col("k") * off))
         if t == "events":   # user space must grow too or every user 10x's
             big = big.withColumn(
-                "user_id",
-                F.col("user_id")
-                + (F.col("event_id") // off).cast("long") * 1_000_000)
+                "user_id", F.col("user_id") + F.col("k") * 1_000_000)
+        if t == "documents":
+            # per-copy md5 remap of LONG lowercase tokens (>=5 alpha
+            # chars), length-preserving: copies are distinct texts with
+            # identical token/length statistics, near-zero cross-copy
+            # n-gram jaccard (a token rotation instead preserves the
+            # circular n-gram set — copies stayed 0.9+ near-dups), and
+            # the extraction-relevant surface intact: capitalized
+            # entity tokens, punctuation-bearing tokens, short
+            # verbs/stopwords all pass through, so the KG sees the
+            # realistic "same entities, 10x new mentions" growth.
+            # Copy 0 is byte-identical to the source.
+            from openie_spark.config import PRED_LEXICON
+
+            toks = F.split(F.col("text"), " ")
+            remap = F.transform(
+                toks,
+                lambda w: F.when(
+                    (F.col("k") == 0) | ~w.rlike("^[a-z]{5,}$")
+                    | w.isin(*PRED_LEXICON),   # keep predicates: yield
+                    w                          # must scale ~10x, not 5x
+                ).otherwise(
+                    F.md5(F.concat(F.col("k").cast("string"),
+                                   F.lit("#"), w))
+                    .substr(F.lit(1), F.least(F.length(w), F.lit(32)))))
+            big = big.withColumn("text", F.array_join(remap, " "))
+        if t == "embeddings":
+            # rotate dims by k: same norm/quantization stats, a
+            # near-orthogonal direction per copy
+            e, d = F.col("embedding"), F.size("embedding")
+            rote = F.when((F.col("k") == 0) | (d < 2), e).otherwise(
+                F.concat(F.slice(e, F.pmod(F.col("k"), d) + 1, d),
+                         F.slice(e, F.lit(1), F.pmod(F.col("k"), d))))
+            big = big.withColumn("embedding", rote)
+        big = big.drop("k")
         n_files = 64 if t != "events" else 128
         big.repartition(n_files, idcol).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet")
@@ -96,7 +139,7 @@ class _RssPoller(threading.Thread):
         super().__init__(daemon=True)
         self.root = root_pid
         self.peak_kb = 0
-        self._stop = threading.Event()
+        self._halt = threading.Event()
 
     @staticmethod
     def _children() -> dict[int, list[int]]:
@@ -129,12 +172,12 @@ class _RssPoller(threading.Thread):
         return total
 
     def run(self) -> None:
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             self.peak_kb = max(self.peak_kb, self._tree_rss_kb())
-            self._stop.wait(1.0)
+            self._halt.wait(1.0)
 
     def stop(self) -> int:
-        self._stop.set()
+        self._halt.set()
         self.join(timeout=5)
         return self.peak_kb
 
@@ -145,8 +188,12 @@ def pipeline(sf1_dir: str, backends: list[str], workdir: str) -> dict:
     from openie_spark.session import get_spark
     from openie_spark.sources.transcripts import derive_transcripts
 
-    tr_path = os.path.join(workdir, "transcripts_sf1.parquet")
+    # kg_job reads <input>/transcripts.parquet (or derives from
+    # <input>/documents.parquet), so the input is the DIRECTORY
+    in_dir = os.path.join(workdir, "input")
+    tr_path = os.path.join(in_dir, "transcripts.parquet")
     if not os.path.exists(tr_path):
+        os.makedirs(in_dir, exist_ok=True)
         spark = get_spark(app_name="sf1-transcripts", master="local[32]")
         spark.sparkContext.setLogLevel("ERROR")
         derive_transcripts(spark, sf1_dir).repartition(128, "conv_id") \
@@ -158,7 +205,7 @@ def pipeline(sf1_dir: str, backends: list[str], workdir: str) -> dict:
         out_dir = os.path.join(workdir, f"kg_sf1_{backend}")
         subprocess.run(["rm", "-rf", out_dir], check=True)
         cmd = [sys.executable, os.path.join(REPO, "tools", "kg_job.py"),
-               "--input", tr_path, "--output", out_dir,
+               "--input", in_dir, "--output", out_dir,
                "--master", "local[32]", "--shuffle-partitions", "64",
                "--backend", backend, "--driver-memory", "48g",
                "--no-resume"]
