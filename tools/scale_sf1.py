@@ -7,8 +7,10 @@ evidence at 10x:
 
   gen       build an sf1-equivalent directory by deterministic x10
             replication of the driver's sf0.1 tables. Ids are offset
-            per copy; document TOKENS and embedding DIMS are ROTATED
-            by the copy index so copies are distinct texts/directions
+            per copy; long lowercase document tokens are md5-REMAPPED
+            per copy (length-preserving; entities, punctuation, and
+            the predicate lexicon pass through) and embedding DIMS
+            are ROTATED, so copies are distinct texts/directions
             with identical length/token/norm statistics — a 10x
             corpus whose duplication RATE matches the original
             (real corpora grow by adding new content at a constant
